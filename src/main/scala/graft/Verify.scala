@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // null-on-failure coercion semantics engine-wide (SURVEY.md P4):
+      // x/0 and bad casts yield NULL, matching both the reference's
+      // _coerce_* helpers and DuckDB's float division.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

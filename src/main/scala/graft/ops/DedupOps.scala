@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (north-star ops beyond the reference surface; the reference's own
+  * duplicate-rate EDA is SURVEY.md A10).
+  *
+  * Hash choice: MD5-hex (engine-portable, identical in Spark / DuckDB /
+  * any SQL engine) rather than Spark's xxhash64, so every stage is
+  * oracle-checkable. Lexicographic min over hex strings is a valid
+  * min-hash (uniform over the hash codomain).
+  *
+  * Scale notes: every variant is a groupBy/join on a hash-derived key —
+  * uniformly distributed, so no skew; candidate generation via LSH bands
+  * keeps the join linear-ish instead of the O(n^2) all-pairs.
+  */
+object DedupOps {
+
+  /** Exact dedup: keep min(doc_id) per identical text, report group size.
+    * Hash-groupBy on md5(text) (not raw text) keeps shuffle rows narrow —
+    * at 100 TB you shuffle 32-byte keys, not document bodies.
+    */
+  def exactDuplicateGroups(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    docs.select(md5(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** A10: duplicate-rate per group (Milestone4 cell 9
+    * `text.duplicated().mean()`): 1 - distinct/count. The double division
+    * is over exact longs, so it is bit-identical across engines.
+    */
+  def duplicateRate(docs: DataFrame, byCol: String,
+                    textCol: String = "text"): DataFrame =
+    docs.groupBy(col(byCol))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col(textCol)).as("n_distinct"))
+      .withColumn("dup_rate",
+        (col("n_docs") - col("n_distinct")).cast("double") / col("n_docs"))
+
+  /** Word n-gram shingles (sorted distinct array). */
+  def wordShingles(textCol: String, n: Int): Column = {
+    val words = split(col(textCol), " ")
+    val idx = sequence(lit(0), greatest(size(words) - n, lit(0)))
+    array_sort(array_distinct(transform(idx, i =>
+      concat_ws(" ", slice(words, i + 1, lit(n))))))
+  }
+
+  /** MinHash signature: for seed i in [0, k), min over shingles of
+    * md5(i || '|' || shingle) — k permutation surrogates.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingles, s =>
+        md5(concat(lit(i.toString), lit("|"), s))))): _*)
+
+  /** MinHash + LSH near-dup candidate pairs: signature of k hashes split
+    * into `bands` bands; docs sharing any band hash become a candidate
+    * pair. Output: (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
+    * The self-join is on the band hash — uniform keys, broadcastable
+    * band-bucket sizes, no quadratic blowup unless true near-dups exist.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", shingleWords: Int = 3,
+                        k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sig = Rebalance(docs).select(col(idCol),
+      minhashSignature(wordShingles(textCol, shingleWords), k).as("sig"))
+    val banded = sig.select(col(idCol), posexplode(
+        expr(s"transform(sequence(0, ${bands - 1})," +
+             s" b -> md5(concat_ws('|', slice(sig, b * $rows + 1, $rows))))"))
+      .as(Seq("band", "band_hash")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs (verification
+    * stage after LSH, or direct on a bounded subset): explode shingle sets,
+    * self-join on shingle, |A∩B| / (|A|+|B|-|A∩B|).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", n: Int = 3,
+                        minJaccard: Double = 0.0): DataFrame = {
+    val sh = Rebalance(docs).select(col(idCol),
+      wordShingles(textCol, n).as("shingles"))
+    val sizes = sh.select(col(idCol), size(col("shingles")).as("sz"))
+    val exploded = sh.select(col(idCol), explode(col("shingles")).as("sh"))
+    val inter = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.sh") === col("b.sh") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "doc_a")
+                 .withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed(idCol, "doc_b")
+                 .withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
+
+  /** SimHash (64-bit) from word shingles: per-bit majority vote over
+    * md5-derived 64-bit shingle hashes (two 32-bit hex halves as longs).
+    * Output long signature; near-dups = pairs at small Hamming distance.
+    * Pure bit algebra on built-ins — codegen'd, one shuffle (the groupBy).
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", shingleWords: Int = 2): DataFrame = {
+    val exploded = Rebalance(docs)
+      .select(col(idCol),
+        explode(wordShingles(textCol, shingleWords)).as("s"))
+      .withColumn("_h1", conv(substring(md5(col("s")), 1, 8), 16, 10)
+        .cast("long"))
+      .withColumn("_h2", conv(substring(md5(col("s")), 9, 8), 16, 10)
+        .cast("long"))
+    val bitVotes = (0 until 64).map { b =>
+      val half = if (b < 32) col("_h1") else col("_h2")
+      val bit = shiftright(half, b % 32).bitwiseAND(lit(1L))
+      sum(bit * 2 - 1).as(s"bit_$b")
+    }
+    val votes = exploded.groupBy(col(idCol))
+      .agg(bitVotes.head, bitVotes.tail: _*)
+    val sig = (0 until 64)
+      .map(b => when(col(s"bit_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    votes.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash longs (for near-dup pairing). */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

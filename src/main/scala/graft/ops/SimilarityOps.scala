@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (north-star ops).
+  *
+  * Embeddings are `ARRAY<FLOAT>`; all math is done in double (explicit cast
+  * before the fold) so results are engine-portable and stable. Dot products
+  * use `aggregate(zip_with(...))` — codegen'd higher-order functions, no
+  * UDF, no shuffle for the scalar itself.
+  */
+object SimilarityOps {
+
+  /** Left-to-right fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors. Baseline path — O(|Q|·|C|) similarity evaluations distributed
+    * via broadcast of the (small) query side against the partitioned corpus,
+    * then per-query top-k with a rank window.
+    * At 100 TB corpus scale the broadcast-queries + partial top-k per
+    * partition pattern holds as long as |Q| is bounded; the scale path is
+    * [[ivfTopK]].
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = Rebalance(corpus)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), round(col("cos_sim"), 6)
+        .as("cos_sim"), col("rnk"))
+  }
+
+  /** IVF-style ANN: corpus bucketed by sign-LSH (hyperplane sketch from
+    * deterministic seed vectors derived off the dimension index), queries
+    * probe only their own bucket (+optionally neighbors). Recall < 1,
+    * runtime ~ 1/2^bits of brute force. The bucketing is a plain groupable
+    * int column, so at scale the corpus can be written bucketed/partitioned
+    * by it and probes become partition-pruned scans.
+    */
+  def lshBucket(vecCol: Column, dim: Int, bits: Int): Column = {
+    // deterministic pseudo-random hyperplanes: sign of sum_i v_i * w_{b,i},
+    // w from a fixed integer mix (no RNG at plan time, reproducible).
+    val planes = (0 until bits).map { b =>
+      val w = (0 until dim).map { i =>
+        val x = (1103515245L * (b * dim + i) + 12345L) % 1000003L
+        (x.toDouble / 1000003.0) * 2.0 - 1.0
+      }
+      val proj = aggregate(
+        zip_with(vecCol, typedLit(w), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1 << b)).otherwise(lit(0))
+    }
+    planes.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+              bits: Int = 4, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), dim, bits).as("bucket"))
+    val c = Rebalance(corpus)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+        lshBucket(col(vecCol), dim, bits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cos_sim"), 6).as("cos_sim"), col("rnk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold (the
+    * embedding leg of the dedup suite): all-pairs via self-join bounded to
+    * id_a < id_b. Use after LSH bucketing at scale; exact form here for
+    * oracle checkability.
+    */
+  def cosineNearDupPairs(vecs: DataFrame, threshold: Double,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val a = Rebalance(vecs).select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+}

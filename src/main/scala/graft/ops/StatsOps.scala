@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Descriptive statistics / EDA aggregations (SURVEY.md §2.5 A8/A9/A15/A16/A18).
+  * All double outputs are rounded (hash-stable) — see MetricOps.exactAvg for
+  * the precision policy.
+  */
+object StatsOps {
+
+  /** A8: describe/summary — count, mean, stddev, min, quartiles, max per
+    * group. Quartiles use exact `percentile` (linear interpolation, matches
+    * DuckDB quantile_cont), not percentile_approx, so the oracle can hash-
+    * match; at true 100 TB scale swap to percentile_approx(…, accuracy).
+    */
+  def summaryStats(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val v = col(valCol)
+    df.groupBy(col(keyCol)).agg(
+      count(v).as("n"),
+      round(sum(v), 2).as("sum_v"),
+      (round(sum(v), 2) / count(v)).as("mean_v"),
+      round(stddev_samp(v), 4).as("std_v"),
+      round(min(v), 4).as("min_v"),
+      round(expr(s"percentile($valCol, 0.25)"), 4).as("q25"),
+      round(expr(s"percentile($valCol, 0.5)"), 4).as("median"),
+      round(expr(s"percentile($valCol, 0.75)"), 4).as("q75"),
+      round(max(v), 4).as("max_v"))
+  }
+
+  /** A9/A18: share-of-rows aggregates — null ratio and predicate means
+    * (`isna().mean()`, `(len<10).mean()`). Exact long counts + IEEE division.
+    */
+  def shareOfRows(df: DataFrame, keyCol: String,
+                  preds: Seq[(String, Column)]): DataFrame = {
+    val n = count(lit(1))
+    val aggs = preds.map { case (name, p) =>
+      (sum(p.cast("long")).cast("double") / n).as(name)
+    }
+    df.groupBy(col(keyCol)).agg(n.as("n_rows"), aggs: _*)
+  }
+
+  /** A15: Pearson correlation per group, rounded for hash stability. */
+  def corrBy(df: DataFrame, keyCol: String, x: String, y: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(round(corr(col(x), col(y)), 4).as("pearson_r"),
+        count(lit(1)).as("n"))
+
+  /** A16: lag-correlation sweep — corr(x shifted by L, y) for L in
+    * [-maxLag, maxLag] (Milestone4 cell 13 `lag_corr`). One window shuffle
+    * produces all shifted columns; the corr aggregates share one scan.
+    */
+  def lagCorrSweep(df: DataFrame, keyCol: String, orderCol: String,
+                   x: String, y: String, maxLag: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val lags = (-maxLag to maxLag)
+    def tag(l: Int) = (if (l < 0) "m" else "p") + math.abs(l)
+    val withLags = lags.foldLeft(df) { (d, l) =>
+      val shifted = if (l >= 0) lag(col(x), l).over(w)
+                    else lead(col(x), -l).over(w)
+      d.withColumn(s"_x_${tag(l)}", shifted)
+    }
+    val aggs = lags.map(l =>
+      round(corr(col(s"_x_${tag(l)}"), col(y)), 4).as(s"corr_lag_${tag(l)}"))
+    withLags.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+}

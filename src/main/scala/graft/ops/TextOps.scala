@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text features, sentiment algebra, and training-data text analysis
+  * (SURVEY.md §2.9 F9-F12, §2.11 X1/X7, plus the north-star text-analysis
+  * operators: language-ID, quality score, token counting, fingerprinting).
+  *
+  * Everything here is pure `Column` algebra (codegen'd built-ins) — no UDFs,
+  * so the whole feature block stays inside one WholeStageCodegen span and
+  * runs as a narrow (shuffle-free) projection at any scale.
+  */
+object TextOps {
+
+  // --- F9-F12 / X7: basic text features (Milestone4 cell 9) ---------------
+
+  /** Reference `basic_text_features`: length, word count, URL / mention /
+    * hashtag / cashtag counts, call-to-action + contains-number flags.
+    */
+  def basicTextFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("text_len", length(t))
+      .withColumn("n_words", size(split(t, " ")))
+      .withColumn("n_urls", regexp_count(t, lit("http[s]?://|t\\.co/")))
+      .withColumn("n_mentions", regexp_count(t, lit("@\\w+")))
+      .withColumn("n_hashtags", regexp_count(t, lit("#\\w+")))
+      .withColumn("n_cashtags", regexp_count(t, lit("\\$\\w+")))
+      .withColumn("has_number",
+        regexp_count(t, lit("\\b\\d+(\\.\\d+)?\\b")) > 0)
+      .withColumn("has_cta",
+        regexp_count(lower(t), lit("buy|sell|join|subscribe|click")) > 0)
+  }
+
+  // --- X1: sentiment algebra ---------------------------------------------
+
+  /** Deterministic lexicon scorer with exactly the reference's
+    * score->label->signal algebra (stream_join.py:231-346):
+    * renormalized pos/neg class scores, `score = pos - neg`,
+    * `magnitude = pos + neg`, label = argmax, `signal = score>0 ? buy :
+    * sell`; empty text -> all-null row; text clipped to 10 000 chars (P12).
+    * The HF TinyBERT classifier itself is swapped for a lexicon count
+    * (documented divergence — model weights are not reproducible in-JVM);
+    * the algebra is bit-exact.
+    */
+  def sentiment(df: DataFrame, textCol: String = "text",
+                posWords: Seq[String] = Seq("fast", "big"),
+                negWords: Seq[String] = Seq("slow", "small")): DataFrame = {
+    val t = substring(lower(col(textCol)), 1, 10000)
+    def hits(ws: Seq[String]) =
+      ws.map(w => regexp_count(t, lit("\\b" + w + "\\b"))).reduce(_ + _)
+    val pos = hits(posWords).cast("double")
+    val neg = hits(negWords).cast("double")
+    val total = pos + neg
+    // renormalize to sum 1 (reference :327-337); 0/0 -> neutral 0.5/0.5
+    val posN = when(total > 0, pos / total).otherwise(lit(0.5))
+    val negN = when(total > 0, neg / total).otherwise(lit(0.5))
+    val score = posN - negN
+    val nonEmpty = length(col(textCol)) > 0
+    df.withColumn("sentiment_score", when(nonEmpty, score))
+      .withColumn("sentiment_magnitude", when(nonEmpty, posN + negN))
+      .withColumn("sentiment_label",
+        when(!nonEmpty, lit(null).cast("string"))
+          .when(score > 0.1, "POSITIVE")
+          .when(score < -0.1, "NEGATIVE")
+          .otherwise("NEUTRAL"))
+      .withColumn("action_signal",
+        when(!nonEmpty, lit(null).cast("string"))
+          .when(score > 0, "buy").otherwise("sell"))
+  }
+
+  // --- North-star: language ID (n-gram/stopword heuristic) ----------------
+
+  /** Marker-word language scorer: counts per-language stopword hits and
+    * argmaxes. Deterministic tiebreak = lexicographically-first language.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "fr" -> Seq("le", "la", "de", "et"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "zh" -> Seq("de", "le", "he", "shi"))
+
+  def languageId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = lower(col(textCol))
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      lang -> ws.map(w => regexp_count(t, lit("\\b" + w + "\\b"))).reduce(_ + _)
+    }
+    val best = greatest(scored.map(_._2): _*)
+    // tiebreak: first language in lexicographic order achieving the max —
+    // a CASE chain in fixed order, portable verbatim to the SQL oracle.
+    val pred = scored.tail.foldLeft(
+      when(scored.head._2 === best, scored.head._1)) {
+      case (acc, (lang, s)) => acc.when(s === best, lang)
+    }
+    df.withColumn("lang_pred", pred).withColumn("lang_score", best)
+  }
+
+  // --- North-star: quality scoring ---------------------------------------
+
+  /** Length / punctuation / stopword-ratio quality score in [0,1] —
+    * the standard pretraining-corpus heuristics (C4/Gopher-style rules)
+    * expressed as Column algebra. Ratios derive from exact integer counts,
+    * divisions are IEEE-identical across engines.
+    */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("double")
+    val nWords = size(split(t, " ")).cast("double")
+    val nPunct = regexp_count(t, lit("[\\.,;:!\\?]")).cast("double")
+    val nStop = regexp_count(lower(t),
+      lit("\\b(the|a|of|and|to|in|is)\\b")).cast("double")
+    val lenOk = (nChars >= 50 && nChars <= 10000).cast("double")
+    val punctRatio = nPunct / greatest(nChars, lit(1.0))
+    val stopRatio = nStop / greatest(nWords, lit(1.0))
+    val meanWordLen = nChars / greatest(nWords, lit(1.0))
+    val wordLenOk = (meanWordLen >= 2 && meanWordLen <= 12).cast("double")
+    df.withColumn("n_words", nWords.cast("long"))
+      .withColumn("punct_ratio", punctRatio)
+      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("quality_score",
+        (lenOk + wordLenOk + least(stopRatio * 4, lit(1.0))
+          + (lit(1.0) - least(punctRatio * 10, lit(1.0)))) / 4)
+  }
+
+  // --- North-star: token counting ----------------------------------------
+
+  /** Whitespace tokens + BPE-ish subword estimate (letter runs, digit runs,
+    * punctuation singles — the GPT-2 pre-tokenizer regex family).
+    */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("ws_tokens", size(split(t, "\\s+")))
+      .withColumn("bpe_ish_tokens",
+        regexp_count(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")))
+  }
+
+  // --- North-star: document fingerprinting -------------------------------
+
+  /** Winnowing-style fingerprint: min/max MD5 over character shingles.
+    * MD5-hex is engine-portable (identical in Spark and DuckDB), so the
+    * fingerprint doubles as an oracle-checkable rolling-hash surrogate.
+    */
+  /** Character shingles as an array column (shared by fingerprint + MinHash). */
+  def charShingles(textCol: String, shingle: Int): Column = expr(
+    s"transform(sequence(1, greatest(length($textCol) - ${shingle - 1}, 1))," +
+    s" i -> substring($textCol, i, $shingle))")
+
+  def fingerprint(df: DataFrame, textCol: String = "text",
+                  shingle: Int = 8): DataFrame = {
+    val sh = charShingles(textCol, shingle)
+    Rebalance(df).withColumn("fp_min", array_min(transform(sh, s => md5(s))))
+      .withColumn("fp_max", array_max(transform(sh, s => md5(s))))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization + model-quality metrics
+  * (SURVEY.md §2.5 A11/A12/A17, §2.6 W6).
+  */
+object TimeSeriesOps {
+
+  /** A11: time-bucket counts (tweets-per-minute, Milestone3 cells 20-21). */
+  def resampleCounts(df: DataFrame, timeCol: String, dur: String): DataFrame =
+    df.groupBy(window(col(timeCol), dur))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("n"))
+
+  /** A12: the canonical ARIMA-feed regularization — resample to a fixed
+    * grid with `last` per bucket, then forward-fill gaps per key
+    * (reference analytical_module/arima.py:229-235,338-344:
+    * `.resample(rule).last().ffill()`).
+    *
+    * Grid generation is distributed: one `sequence()` per key spanning the
+    * global [min,max] bucket range (a 2-row broadcast-joined bound, not a
+    * driver loop), exploded into rows; observed buckets left-join onto the
+    * grid; ffill via the gaps-and-islands trick (WindowOps.forwardFill).
+    * Scale: grid size = span/step per key — partitioned by key, so a
+    * 1000-executor cluster fills each key's series independently.
+    */
+  def resampleLastFfill(df: DataFrame, timeCol: String, keyCol: String,
+                        valCol: String, stepSeconds: Int): DataFrame = {
+    val step = stepSeconds
+    val bucketed = df
+      .withColumn("bucket",
+        timestamp_seconds(floor(unix_timestamp(col(timeCol)) / step) * step))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(max_by(col(valCol), col(timeCol)).as("last_val"))
+
+    val bounds = bucketed.select(
+      min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+
+    val grid = bucketed.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol),
+        explode(sequence(col("lo"), col("hi"),
+          expr(s"interval $step seconds"))).as("bucket"))
+
+    val joined = grid.join(bucketed, Seq(keyCol, "bucket"), "left")
+    graft.ops.WindowOps.forwardFill(joined, keyCol, Seq("bucket"),
+        "last_val", "value_ffill")
+      .drop("last_val")
+  }
+
+  /** A17/X6: forecast error metrics MAE / MAPE / MSE with the reference's
+    * 1e-8 clamp on the denominator (arima.py:123-137).
+    * Doubles are rounded for hash-stable comparison.
+    */
+  def errorMetrics(df: DataFrame, keyCol: String, actual: String,
+                   predicted: String): DataFrame = {
+    val err = col(actual) - col(predicted)
+    df.filter(col(predicted).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(abs(err)), 4).as("mae"),
+        round(avg(pow(err, 2)), 4).as("mse"),
+        round(avg(abs(err / greatest(abs(col(actual)), lit(1e-8)))) * 100, 4)
+          .as("mape"))
+  }
+
+  /** X2 (batch analog): drift forecast — predict the next observation as
+    * `value + (value - lag(value))`, i.e. last step repeated. The streaming
+    * stateful form lives in graft.streaming.DriftForecaster; this batch
+    * form backtests it over history with one window shuffle.
+    */
+  def driftForecast(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                    valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    df.withColumn("prev", lag(col(valCol), 1).over(w))
+      .withColumn("forecast_next",
+        when(col("prev").isNotNull,
+          col(valCol) + (col(valCol) - col("prev"))))
+      .drop("prev")
+  }
+}

@@ -1,0 +1,30 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named query per implemented operator (SURVEY.md §2), each with an
+  * optional DuckDB oracle twin. Column names are aligned between the Spark
+  * result and the oracle SQL (the driver's compare sorts columns by name).
+  *
+  * Precision policy (hash-stable doubles):
+  *  - sums of fixed-decimal data      -> round(sum, 2): exact on both engines
+  *  - averages                        -> round(sum,2)/count: bit-identical IEEE
+  *  - per-row arithmetic / ratios of exact ints -> raw (identical expression
+  *    trees produce identical doubles)
+  *  - order-sensitive estimates (corr, stddev, percentile, cosine) -> round 4-6
+  * Timestamps: only bucket-aligned or truncated values are emitted (events.ts
+  * is nanosecond-precision parquet; Spark truncates to micros on read, so the
+  * oracle CASTs to microsecond TIMESTAMP before use).
+  */
+object Catalog {
+  type Q = (SparkSession, String) => DataFrame
+  final case class Entry(q: Q, oracle: Option[String])
+
+  def all: Map[String, Entry] =
+    CoreQueries.defs ++ StatsQueries.defs ++ TextQueries.defs ++
+      DedupSimQueries.defs ++ SeriesQueries.defs
+
+  def queries: Map[String, Q] = all.map { case (k, e) => k -> e.q }
+  def oracles: Map[String, String] =
+    all.collect { case (k, Entry(_, Some(sql))) => k -> sql }
+}

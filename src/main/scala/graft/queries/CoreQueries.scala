@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{MetricOps, RelationalOps}
+import Catalog.Entry
+
+/** Scans, projections, filters, explodes, joins, sorts, set ops, datetime
+  * scalars (SURVEY.md §2.1-§2.4, §2.7-§2.9).
+  */
+object CoreQueries {
+
+  def defs: Map[String, Entry] = Map(
+
+    // A1-A4 + T2 + F7: the flagship windowed-metrics slice — per 30 s
+    // window and key: volume, avg, last-by-time, collected texts
+    // (reference stream_join.py:401-428 / batch_to_mongo.py:201-238).
+    "a1a4_windowed_metrics" -> Entry(
+      (s, dir) => MetricOps.windowedMetricsWithTexts(
+        Tables.events(s, dir), "30 seconds"),
+      Some("""
+        WITH e AS (
+          SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+                 regexp_extract(props, '"k": ([0-9]+)', 1) AS k
+          FROM events)
+        SELECT time_bucket(INTERVAL '30 seconds', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               round(sum(value), 2) / count(*) AS avg_value,
+               arg_max(value, ts) AS last_value,
+               string_agg(k, ' ' ORDER BY k) AS props_keys
+        FROM e GROUP BY 1, 2""")),
+
+    // J2 + T3: lambda-architecture batch join — two windowed metric legs,
+    // full-outer on (window, key); a key present in either leg yields a row
+    // (reference batch_to_mongo.py:235, CoGroupByKey stream_join.py:519-524).
+    "j2_full_outer_metrics" -> Entry(
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        def leg(types: Seq[String], n: String, sm: String) = e
+          .filter(col("event_type").isin(types: _*))
+          .groupBy(window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as(n), round(sum(col("value")), 2).as(sm))
+          .select(col("window.start").as("window_start"), col("user_id"),
+            col(n), col(sm))
+        MetricOps.fullOuterMetricsJoin(
+          leg(Seq("click", "view"), "n_a", "sum_a"),
+          leg(Seq("purchase", "error"), "n_b", "sum_b"),
+          Seq("window_start", "user_id"))
+      },
+      Some("""
+        WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+                          value FROM events),
+        a AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+                     user_id, count(*) AS n_a, round(sum(value),2) AS sum_a
+              FROM e WHERE event_type IN ('click','view') GROUP BY 1,2),
+        b AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+                     user_id, count(*) AS n_b, round(sum(value),2) AS sum_b
+              FROM e WHERE event_type IN ('purchase','error') GROUP BY 1,2)
+        SELECT coalesce(a.window_start, b.window_start) AS window_start,
+               coalesce(a.user_id, b.user_id) AS user_id,
+               n_a, sum_a, n_b, sum_b
+        FROM a FULL OUTER JOIN b
+          ON a.window_start = b.window_start AND a.user_id = b.user_id""")),
+
+    // P2 + F18 + P4: JSON payload -> MAP<STRING,STRING> -> typed projection
+    // with null-on-failure cast (batch_to_mongo.py:125-153).
+    "p2_json_projection" -> Entry(
+      (s, dir) => RelationalOps.parseJsonProps(Tables.events(s, dir))
+        .select(col("event_id"), col("prop_k")),
+      Some("""
+        SELECT event_id,
+               CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                 AS prop_k
+        FROM events""")),
+
+    // P5-P8 + F13: not-null / IN-list / time-range predicates + projection
+    // with per-row computed revenue (arima.py:441-460 filter placement).
+    "p5p8_filter_project" -> Entry(
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R" &&
+          col("l_linestatus").isin("O", "F") &&
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp") &&
+          col("l_quantity").isNotNull)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          col("l_quantity"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue")),
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity,
+               l_extendedprice * (1 - l_discount) AS revenue
+        FROM lineitem
+        WHERE l_returnflag = 'R' AND l_linestatus IN ('O','F')
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+          AND l_quantity IS NOT NULL""")),
+
+    // E1/E2: wide->long unpivot via explode(array(struct)) — the
+    // reference's price explode (batch_to_mongo.py:169-198).
+    "e2_unpivot_measures" -> Entry(
+      (s, dir) => RelationalOps.unpivot(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+      Some("""
+        SELECT l_orderkey, l_linenumber, measure, val FROM (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                 l_quantity AS val FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+          FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+          FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        WHERE val IS NOT NULL""")),
+
+    // J3 + F16: left join + fill-zero (EDA bin join, Milestone4 cells 10/20).
+    "j3_left_join_fill_zero" -> Entry(
+      (s, dir) => {
+        val per = Tables.orders(s, dir).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("spend"))
+        RelationalOps.leftJoinFillZero(
+          Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+          per.withColumnRenamed("o_custkey", "c_custkey"),
+          Seq("c_custkey"), Seq("n_orders", "spend"))
+      },
+      Some("""
+        SELECT c.c_custkey, c.c_name,
+               coalesce(n_orders, 0) AS n_orders,
+               coalesce(spend, 0.0) AS spend
+        FROM customer c LEFT JOIN (
+          SELECT o_custkey, count(*) AS n_orders,
+                 round(sum(o_totalprice), 2) AS spend
+          FROM orders GROUP BY 1) o
+        ON c.c_custkey = o.o_custkey""")),
+
+    // J-star: multi-hop broadcast dimension join (lineitem ⋈ supplier ⋈
+    // nation ⋈ region) — the small-dim joins Catalyst broadcasts
+    // (SURVEY.md §2.4 note).
+    "j_dim_star" -> Entry(
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("total_price")),
+      Some("""
+        SELECT r_name, n_name, count(*) AS n_items,
+               round(sum(l_extendedprice), 2) AS total_price
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2""")),
+
+    // A1/A2/A6 + A8-lite: classic grouped aggregation with min/max.
+    "a2a6_agg_pricing" -> Entry(
+      (s, dir) => {
+        val n = count(lit(1))
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(n.as("n_rows"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"),
+            (round(sum(col("l_extendedprice")), 2) / n).as("avg_price"),
+            min(col("l_shipdate")).as("min_ship"),
+            max(col("l_shipdate")).as("max_ship"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(sum(l_extendedprice), 2) / count(*) AS avg_price,
+               min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        FROM lineitem GROUP BY 1, 2""")),
+
+    // A7/O3: value_counts + deterministic top-k (Milestone3 cells 22/28).
+    "a7_top_users" -> Entry(
+      (s, dir) => RelationalOps.topKByCount(Tables.events(s, dir),
+        "user_id", 10),
+      Some("""
+        SELECT user_id, count(*) AS cnt FROM events
+        GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 10""")),
+
+    // O1/O3: global sort + top-n with tiebreaker (arima.py:63 ORDER BY).
+    "o1_orders_topn" -> Entry(
+      (s, dir) => Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate")),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""")),
+
+    // U1: union-all of conformed dimensions (pd.concat, Milestone4 cell 5).
+    "u1_union_dims" -> Entry(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+          .select(col("c_nationkey").as("nationkey"),
+            lit("customer").as("side"))
+        val p = Tables.supplier(s, dir)
+          .select(col("s_nationkey").as("nationkey"),
+            lit("supplier").as("side"))
+        RelationalOps.unionByName(Seq(c, p))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("side"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT n_name, side, count(*) AS n FROM (
+          SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+          UNION ALL
+          SELECT s_nationkey, 'supplier' FROM supplier) u
+        JOIN nation ON nationkey = n_nationkey
+        GROUP BY 1, 2""")),
+
+    // F4/F6/F8: datetime scalar family — truncation, formatting, epoch
+    // millis (batch_to_mongo.py:154-165, Milestone4 cells 10/20).
+    "f4f8_datetime" -> Entry(
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          date_trunc("hour", col("ts")).as("ts_hour"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day_str"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+          unix_millis(col("ts")).as("epoch_ms")),
+      Some("""
+        SELECT event_id,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts_hour,
+               strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day_str,
+               strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_str,
+               epoch_ms(CAST(ts AS TIMESTAMP)) AS epoch_ms
+        FROM events"""))
+  )
+}

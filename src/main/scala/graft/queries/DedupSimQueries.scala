@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{DedupOps, SimilarityOps}
+import Catalog.Entry
+
+/** Deduplication + similarity-search suite (north-star training-data
+  * pipeline operators; reference's own duplicate-rate EDA is A10).
+  */
+object DedupSimQueries {
+
+  def defs: Map[String, Entry] = Map(
+
+    // Exact dedup via md5-hash groupBy (narrow shuffle keys at scale).
+    "dedup_exact" -> Entry(
+      (s, dir) => DedupOps.exactDuplicateGroups(Tables.documents(s, dir)),
+      Some("""
+        SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1""")),
+
+    // A10: duplicate-rate per group (Milestone4 cell 9).
+    "a10_duplicate_rate" -> Entry(
+      (s, dir) => DedupOps.duplicateRate(Tables.documents(s, dir), "lang"),
+      Some("""
+        SELECT lang, count(*) AS n_docs,
+               count(DISTINCT text) AS n_distinct,
+               CAST(count(*) - count(DISTINCT text) AS DOUBLE) / count(*)
+                 AS dup_rate
+        FROM documents GROUP BY 1""")),
+
+    // MinHash + LSH banding candidate pairs (16 hashes, 4 bands of 4).
+    // MD5-hex min over seeded shingle hashes = portable min-hash.
+    "dedup_minhash_lsh" -> Entry(
+      (s, dir) => DedupOps.minhashCandidates(Tables.documents(s, dir)),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            array_to_string(list_slice(ws, CAST(i AS INTEGER),
+              CAST(i AS INTEGER) + 2), ' ') AS s
+          FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 1)))
+            AS t(i)),
+        mh AS (
+          SELECT doc_id, CAST(h AS INTEGER) AS h,
+                 min(md5(CAST(h AS VARCHAR) || '|' || s)) AS minh
+          FROM sh, UNNEST(generate_series(0, 15)) AS ht(h)
+          GROUP BY 1, 2),
+        bands AS (
+          SELECT doc_id, h // 4 AS band,
+                 md5(string_agg(minh, '|' ORDER BY h)) AS band_hash
+          FROM mh GROUP BY 1, 2)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared_bands
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2""")),
+
+    // Exact word-2-gram Jaccard similarity pairs above a floor —
+    // the LSH verification stage, bounded to a doc subset.
+    "ngram_jaccard_pairs" -> Entry(
+      (s, dir) => DedupOps.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+        n = 2, minJaccard = 0.05),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents WHERE doc_id % 10 = 0),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            array_to_string(list_slice(ws, CAST(i AS INTEGER),
+              CAST(i AS INTEGER) + 1), ' ') AS s
+          FROM d, UNNEST(generate_series(1, greatest(len(ws) - 1, 1)))
+            AS t(i)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
+                 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
+                >= 0.05""")),
+
+    // SimHash 64-bit signatures (rows-only check: bit algebra is portable
+    // but base-conversion SQL is not worth the oracle complexity).
+    "dedup_simhash" -> Entry(
+      (s, dir) => DedupOps.simhash(Tables.documents(s, dir)),
+      None),
+
+    // Brute-force cosine top-k (ANN baseline): 10 query vectors vs the
+    // rest of the corpus, k=5.
+    "knn_cosine_topk" -> Entry(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilarityOps.bruteForceTopK(
+          e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id >= 10),
+        scored AS (
+          SELECT query_id, corpus_id,
+                 list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(cv, cv))) AS cos_raw
+          FROM c, q),
+        ranked AS (
+          SELECT query_id, corpus_id, cos_raw,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_raw DESC, corpus_id) AS rnk
+          FROM scored)
+        SELECT query_id, corpus_id, round(cos_raw, 6) AS cos_sim,
+               CAST(rnk AS INTEGER) AS rnk
+        FROM ranked WHERE rnk <= 5""")),
+
+    // Embedding-cosine near-duplicate pairs over a subset (exact form;
+    // the LSH-bucketed scale path is SimilarityOps.ivfTopK).
+    "cosine_near_dup" -> Entry(
+      (s, dir) => SimilarityOps.cosineNearDupPairs(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0), 0.3),
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings WHERE vec_id % 4 = 0)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.e, b.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) *
+                  sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+        FROM v a, v b
+        WHERE a.vec_id < b.vec_id
+          AND list_dot_product(a.e, b.e) /
+                (sqrt(list_dot_product(a.e, a.e)) *
+                 sqrt(list_dot_product(b.e, b.e))) >= 0.3""")),
+
+    // IVF/LSH-bucketed ANN top-k (approximate scale path; deterministic
+    // but hyperplane literals make the SQL twin impractical — rows-only).
+    "ivf_ann_topk" -> Entry(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilarityOps.ivfTopK(
+          e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+          k = 5, dim = 64, bits = 4)
+      },
+      None)
+  )
+}

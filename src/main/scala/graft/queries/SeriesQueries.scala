@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{MetricOps, StatsOps, TimeSeriesOps, WindowOps}
+import Catalog.Entry
+
+/** Time-series + analytic-window suite (SURVEY.md §2.5 A11-A14/A17,
+  * §2.6 W1-W6, §2.11 X2 batch analog).
+  */
+object SeriesQueries {
+
+  def defs: Map[String, Entry] = Map(
+
+    // A11: resample-size counts (tweets-per-minute, Milestone3 cells 20-21).
+    "a11_resample_counts" -> Entry(
+      (s, dir) => TimeSeriesOps.resampleCounts(Tables.events(s, dir),
+        "ts", "1 minute"),
+      Some("""
+        SELECT time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP))
+                 AS bucket,
+               count(*) AS n
+        FROM events GROUP BY 1""")),
+
+    // A12 + W6: resample-last + forward-fill on a 30 s grid — the ARIMA
+    // feed regularization (arima.py:229-235: .resample('30S').last().ffill()).
+    "a12_resample_ffill" -> Entry(
+      (s, dir) => TimeSeriesOps.resampleLastFfill(Tables.events(s, dir),
+        "ts", "event_type", "value", 30),
+      Some("""
+        WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+                   FROM events),
+        b AS (SELECT event_type,
+                     time_bucket(INTERVAL '30 seconds', ts) AS bucket,
+                     arg_max(value, ts) AS last_val
+              FROM e GROUP BY 1, 2),
+        bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+        grid AS (SELECT event_type, bucket FROM
+                   (SELECT DISTINCT event_type FROM b),
+                   (SELECT unnest(generate_series(lo, hi,
+                      INTERVAL '30 seconds')) AS bucket FROM bounds)),
+        j AS (SELECT grid.event_type, grid.bucket, b.last_val
+              FROM grid LEFT JOIN b
+                ON grid.event_type = b.event_type
+               AND grid.bucket = b.bucket),
+        f AS (SELECT event_type, bucket, last_val,
+                     count(last_val) OVER (
+                       PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS grp
+              FROM j)
+        SELECT event_type, bucket,
+               max(last_val) OVER (PARTITION BY event_type, grp)
+                 AS value_ffill
+        FROM f""")),
+
+    // A13: per-bin feature means (15-min bins, Milestone4 cells 10/20).
+    "a13_bin_features" -> Entry(
+      (s, dir) => {
+        val n = count(lit(1))
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+          .agg(n.as("n_events"),
+            MetricOps.exactAvg(col("value"), n).as("mean_value"),
+            (sum((col("value") > 100).cast("long")).cast("double") / n)
+              .as("share_gt100"))
+          .select(col("window.start").as("bin_ts"), col("event_type"),
+            col("n_events"), col("mean_value"), col("share_gt100"))
+      },
+      Some("""
+        SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+                 AS bin_ts,
+               event_type, count(*) AS n_events,
+               round(sum(value), 2) / count(*) AS mean_value,
+               CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) AS share_gt100
+        FROM events GROUP BY 1, 2""")),
+
+    // A14: group-concat documents per bin (TF-IDF prep, Milestone4 cell 15).
+    "a14_group_concat" -> Entry(
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          concat_ws(" ", array_sort(collect_list(col("text"))))
+            .as("doc_blob")),
+      Some("""
+        SELECT lang, source, count(*) AS n_docs,
+               string_agg(text, ' ' ORDER BY text) AS doc_blob
+        FROM documents GROUP BY 1, 2""")),
+
+    // A17/X6: MAE/MAPE/MSE of the naive last-value forecast, with the
+    // reference's 1e-8 denominator clamp (arima.py:123-137).
+    "a17_error_metrics" -> Entry(
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val withPrev = Tables.events(s, dir)
+          .withColumn("prev", lag(col("value"), 1).over(w))
+        TimeSeriesOps.errorMetrics(withPrev, "event_type", "value", "prev")
+      },
+      Some("""
+        WITH p AS (
+          SELECT event_type, value,
+                 lag(value, 1) OVER (PARTITION BY event_type
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+          FROM events)
+        SELECT event_type, count(*) AS n,
+               round(avg(abs(value - prev)), 4) AS mae,
+               round(avg((value - prev) * (value - prev)), 4) AS mse,
+               round(avg(abs((value - prev) /
+                 greatest(abs(value), 1e-8))) * 100, 4) AS mape
+        FROM p WHERE prev IS NOT NULL GROUP BY 1""")),
+
+    // W1-W3: diff / pct_change / lag features per key
+    // (Milestone3 cells 40/52/54).
+    "w1w3_windows" -> Entry(
+      (s, dir) => {
+        val w = WindowOps.keyedWindow("user_id", Seq("ts", "event_id"))
+        Tables.events(s, dir)
+          .withColumn("value_diff", WindowOps.diff(col("value"), w))
+          .withColumn("value_pct_change",
+            WindowOps.pctChange(col("value"), w))
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("prev_value"), col("value_diff"), col("value_pct_change"))
+      },
+      Some("""
+        SELECT event_id, user_id, value,
+               lag(value, 1) OVER w AS prev_value,
+               value - lag(value, 1) OVER w AS value_diff,
+               value / nullif(lag(value, 1) OVER w, 0) - 1
+                 AS value_pct_change
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)""")),
+
+    // W4 + F13: lead target — next-step log return (Milestone4 cells 10/20).
+    "w4_lead_target" -> Entry(
+      (s, dir) => {
+        val w = WindowOps.keyedWindow("event_type", Seq("ts", "event_id"))
+        // ln(0) -> null via nullif guard (null-on-failure semantics, P4)
+        val lv = log(nullif(col("value"), lit(0)))
+        Tables.events(s, dir)
+          .withColumn("log_value", lv)
+          .withColumn("target_ret_next",
+            round(lead(lv, 1).over(w) - lv, 6))
+          .select(col("event_id"), col("event_type"),
+            round(col("log_value"), 6).as("log_value"),
+            col("target_ret_next"))
+      },
+      Some("""
+        SELECT event_id, event_type,
+               round(ln(nullif(value, 0)), 6) AS log_value,
+               round(lead(ln(nullif(value, 0)), 1) OVER (
+                 PARTITION BY event_type
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                 - ln(nullif(value, 0)), 6) AS target_ret_next
+        FROM events""")),
+
+    // W5: normalize-to-first per key (Milestone4 cells 8/19).
+    "w5_normalize_first" -> Entry(
+      (s, dir) => {
+        val w = WindowOps.keyedWindow("user_id", Seq("ts", "event_id"))
+        Tables.events(s, dir)
+          .withColumn("value_norm",
+            WindowOps.normalizeToFirst(col("value"), w))
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("value_norm"))
+      },
+      Some("""
+        SELECT event_id, user_id, value,
+               value / nullif(first_value(value) OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                 AS value_norm
+        FROM events""")),
+
+    // X2 (batch analog): drift forecast — next value = value + last step
+    // (streaming stateful form: graft.streaming.DriftForecaster).
+    "x2_drift_forecast" -> Entry(
+      (s, dir) => TimeSeriesOps.driftForecast(Tables.events(s, dir),
+        "event_type", Seq("ts", "event_id"), "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("forecast_next")),
+      Some("""
+        SELECT event_id, event_type, value,
+               CASE WHEN lag(value, 1) OVER w IS NOT NULL
+                    THEN value + (value - lag(value, 1) OVER w) END
+                 AS forecast_next
+        FROM events
+        WINDOW w AS (PARTITION BY event_type
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)"""))
+  )
+}

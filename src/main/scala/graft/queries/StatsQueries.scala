@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.StatsOps
+import Catalog.Entry
+
+/** Descriptive statistics / EDA aggregations (SURVEY.md §2.5
+  * A8/A9/A15/A16/A18).
+  */
+object StatsQueries {
+
+  def defs: Map[String, Entry] = Map(
+
+    // A8: describe/summary with exact interpolated quartiles
+    // (Milestone3 cells 25/36/40).
+    "a8_summary_stats" -> Entry(
+      (s, dir) => StatsOps.summaryStats(Tables.lineitem(s, dir),
+        "l_returnflag", "l_extendedprice"),
+      Some("""
+        SELECT l_returnflag,
+               count(l_extendedprice) AS n,
+               round(sum(l_extendedprice), 2) AS sum_v,
+               round(sum(l_extendedprice), 2) / count(l_extendedprice)
+                 AS mean_v,
+               round(stddev_samp(l_extendedprice), 4) AS std_v,
+               round(min(l_extendedprice), 4) AS min_v,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS median,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS q75,
+               round(max(l_extendedprice), 4) AS max_v
+        FROM lineitem GROUP BY 1""")),
+
+    // A9/A18: null-ratio and predicate-share means (isna().mean(),
+    // (len<10).mean() — Milestone3 cells 27/37, Milestone4 cell 9).
+    "a9a18_share_of_rows" -> Entry(
+      (s, dir) => StatsOps.shareOfRows(Tables.part(s, dir), "p_brand", Seq(
+        "share_large" -> (col("p_size") >= 25),
+        "share_economy" -> col("p_type").contains("ECONOMY"),
+        "share_null_type" -> col("p_type").isNull)),
+      Some("""
+        SELECT p_brand, count(*) AS n_rows,
+               CAST(sum(CASE WHEN p_size >= 25 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) AS share_large,
+               CAST(sum(CASE WHEN p_type LIKE '%ECONOMY%' THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*) AS share_economy,
+               CAST(sum(CASE WHEN p_type IS NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*) AS share_null_type
+        FROM part GROUP BY 1""")),
+
+    // A15: Pearson correlation per group (Milestone3 cells 44/56/58).
+    "a15_corr" -> Entry(
+      (s, dir) => StatsOps.corrBy(Tables.lineitem(s, dir),
+        "l_returnflag", "l_quantity", "l_extendedprice"),
+      Some("""
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 4) AS pearson_r,
+               count(*) AS n
+        FROM lineitem GROUP BY 1""")),
+
+    // A16: lag-correlation sweep over a daily per-key series
+    // (Milestone4 cell 13 `lag_corr`).
+    "a16_lag_corr_sweep" -> Entry(
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).cast("double").as("n_events"),
+            round(sum(col("value")), 2).as("sum_value"))
+        StatsOps.lagCorrSweep(daily, "event_type", "day",
+          "n_events", "sum_value", 3)
+      },
+      Some("""
+        WITH daily AS (
+          SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+                 CAST(count(*) AS DOUBLE) AS n_events,
+                 round(sum(value), 2) AS sum_value
+          FROM events GROUP BY 1, 2),
+        shifted AS (
+          SELECT event_type, sum_value,
+                 lead(n_events, 3) OVER w AS x_m3,
+                 lead(n_events, 2) OVER w AS x_m2,
+                 lead(n_events, 1) OVER w AS x_m1,
+                 n_events AS x_p0,
+                 lag(n_events, 1) OVER w AS x_p1,
+                 lag(n_events, 2) OVER w AS x_p2,
+                 lag(n_events, 3) OVER w AS x_p3
+          FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        SELECT event_type,
+               round(corr(x_m3, sum_value), 4) AS corr_lag_m3,
+               round(corr(x_m2, sum_value), 4) AS corr_lag_m2,
+               round(corr(x_m1, sum_value), 4) AS corr_lag_m1,
+               round(corr(x_p0, sum_value), 4) AS corr_lag_p0,
+               round(corr(x_p1, sum_value), 4) AS corr_lag_p1,
+               round(corr(x_p2, sum_value), 4) AS corr_lag_p2,
+               round(corr(x_p3, sum_value), 4) AS corr_lag_p3
+        FROM shifted GROUP BY 1"""))
+  )
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TextOps
+import Catalog.Entry
+
+/** Text features, sentiment algebra, and the training-data text-analysis
+  * suite (SURVEY.md §2.9 F9-F12, §2.11 X1/X7; north-star language-ID /
+  * quality / token-count / fingerprint ops).
+  */
+object TextQueries {
+
+  def defs: Map[String, Entry] = Map(
+
+    // F9-F12 / X7: basic text features (Milestone4 cell 9
+    // `basic_text_features`).
+    "x7_text_features" -> Entry(
+      (s, dir) => TextOps.basicTextFeatures(Tables.documents(s, dir))
+        .select(col("doc_id"), col("text_len").cast("long").as("text_len"),
+          col("n_words").cast("long").as("n_words"),
+          col("n_urls").cast("long").as("n_urls"),
+          col("n_mentions").cast("long").as("n_mentions"),
+          col("n_hashtags").cast("long").as("n_hashtags"),
+          col("n_cashtags").cast("long").as("n_cashtags"),
+          col("has_number"), col("has_cta")),
+      Some("""
+        SELECT doc_id,
+               length(text) AS text_len,
+               len(string_split(text, ' ')) AS n_words,
+               len(regexp_extract_all(text, 'http[s]?://|t\.co/')) AS n_urls,
+               len(regexp_extract_all(text, '@\w+')) AS n_mentions,
+               len(regexp_extract_all(text, '#\w+')) AS n_hashtags,
+               len(regexp_extract_all(text, '\$\w+')) AS n_cashtags,
+               len(regexp_extract_all(text, '\b\d+(\.\d+)?\b')) > 0
+                 AS has_number,
+               len(regexp_extract_all(lower(text),
+                 'buy|sell|join|subscribe|click')) > 0 AS has_cta
+        FROM documents""")),
+
+    // X1 + P12: sentiment score->label->signal algebra
+    // (stream_join.py:231-346; lexicon swap documented in TextOps).
+    "x1_sentiment" -> Entry(
+      (s, dir) => TextOps.sentiment(Tables.documents(s, dir))
+        .select(col("doc_id"), col("sentiment_score"),
+          col("sentiment_magnitude"), col("sentiment_label"),
+          col("action_signal")),
+      Some("""
+        WITH scored AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(substring(lower(text), 1, 10000),
+              '\bfast\b')) + len(regexp_extract_all(substring(lower(text),
+              1, 10000), '\bbig\b')) AS DOUBLE) AS pos,
+            CAST(len(regexp_extract_all(substring(lower(text), 1, 10000),
+              '\bslow\b')) + len(regexp_extract_all(substring(lower(text),
+              1, 10000), '\bsmall\b')) AS DOUBLE) AS neg,
+            length(text) > 0 AS nonempty
+          FROM documents),
+        norm AS (
+          SELECT doc_id, nonempty,
+            CASE WHEN pos + neg > 0 THEN pos / (pos + neg) ELSE 0.5 END
+              AS posn,
+            CASE WHEN pos + neg > 0 THEN neg / (pos + neg) ELSE 0.5 END
+              AS negn
+          FROM scored)
+        SELECT doc_id,
+          CASE WHEN nonempty THEN posn - negn END AS sentiment_score,
+          CASE WHEN nonempty THEN posn + negn END AS sentiment_magnitude,
+          CASE WHEN NOT nonempty THEN NULL
+               WHEN posn - negn > 0.1 THEN 'POSITIVE'
+               WHEN posn - negn < -0.1 THEN 'NEGATIVE'
+               ELSE 'NEUTRAL' END AS sentiment_label,
+          CASE WHEN NOT nonempty THEN NULL
+               WHEN posn - negn > 0 THEN 'buy' ELSE 'sell' END
+            AS action_signal
+        FROM norm""")),
+
+    // North-star: n-gram/stopword language ID heuristic.
+    "lang_id" -> Entry(
+      (s, dir) => TextOps.languageId(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"), col("lang_pred"),
+          col("lang_score").cast("long").as("lang_score")),
+      Some {
+        val scoreSql = TextOps.langMarkers.toSeq.sortBy(_._1).map {
+          case (lang, ws) =>
+            ws.map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))")
+              .mkString(" + ") + s" AS s_$lang"
+        }.mkString(",\n            ")
+        val langs = TextOps.langMarkers.keys.toSeq.sorted
+        val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+        val caseChain = langs.map(l =>
+          s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+        s"""
+        WITH scored AS (
+          SELECT doc_id, lang,
+            $scoreSql
+          FROM documents)
+        SELECT doc_id, lang,
+               CASE $caseChain END AS lang_pred,
+               CAST($best AS BIGINT) AS lang_score
+        FROM scored"""
+      }),
+
+    // North-star: pretraining-corpus quality heuristics.
+    "quality_score" -> Entry(
+      (s, dir) => TextOps.qualityScore(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_words"), col("punct_ratio"),
+          col("stopword_ratio"), col("quality_score")),
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+            CAST(length(text) AS DOUBLE) AS nc,
+            CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+            CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE)
+              AS np,
+            CAST(len(regexp_extract_all(lower(text),
+              '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) AS ns
+          FROM documents)
+        SELECT doc_id,
+               CAST(nw AS BIGINT) AS n_words,
+               np / greatest(nc, 1.0) AS punct_ratio,
+               ns / greatest(nw, 1.0) AS stopword_ratio,
+               (CASE WHEN nc >= 50 AND nc <= 10000 THEN 1.0 ELSE 0.0 END
+                + CASE WHEN nc / greatest(nw, 1.0) >= 2
+                        AND nc / greatest(nw, 1.0) <= 12
+                       THEN 1.0 ELSE 0.0 END
+                + least(ns / greatest(nw, 1.0) * 4, 1.0)
+                + (1.0 - least(np / greatest(nc, 1.0) * 10, 1.0))) / 4
+                 AS quality_score
+        FROM f""")),
+
+    // North-star: whitespace + BPE-ish token counting.
+    "token_counts" -> Entry(
+      (s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          col("ws_tokens").cast("long").as("ws_tokens"),
+          col("bpe_ish_tokens").cast("long").as("bpe_ish_tokens")),
+      Some("""
+        SELECT doc_id,
+               len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
+               len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
+        FROM documents""")),
+
+    // North-star: winnowing-style MD5 shingle fingerprint (engine-portable
+    // rolling-hash surrogate).
+    "doc_fingerprint" -> Entry(
+      (s, dir) => TextOps.fingerprint(Tables.documents(s, dir))
+        .select(col("doc_id"), col("fp_min"), col("fp_max")),
+      Some("""
+        SELECT doc_id, min(md5(s)) AS fp_min, max(md5(s)) AS fp_max
+        FROM (
+          SELECT doc_id, substring(text, CAST(i AS INTEGER), 8) AS s
+          FROM documents,
+               UNNEST(generate_series(1, greatest(length(text) - 7, 1)))
+                 AS t(i))
+        GROUP BY doc_id"""))
+  )
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming assembly of the reference's speed layer
+  * (SURVEY.md §3.1, §2.10 T1-T4, J1).
+  *
+  * Event time = the `ts` column; `withWatermark` + append output mode
+  * reproduces Beam's default allowed_lateness=0 discard-late semantics
+  * (stream_join.py:479-524 uses default triggers — late records drop).
+  *
+  * J1 (the 30 s CoGroupByKey of tweets and prices) is realized as
+  * aggregate-then-full-outer-join per micro-batch in `foreachBatch` —
+  * exactly the reference's own batch-layer formulation
+  * (batch_to_mongo.py:235) — because a stream-stream outer join cannot
+  * emit a (window,key) row when only one side has data (SURVEY.md §7
+  * risk 1).
+  */
+object StreamingMetrics {
+
+  /** T2+A1-A4: watermarked tumbling-window metrics over one stream. */
+  def windowedMetrics(events: DataFrame, dur: String, watermark: String,
+                      timeCol: String = "ts", keyCol: String = "event_type",
+                      valCol: String = "value"): DataFrame =
+    events
+      .withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), dur), col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        avg(col(valCol)).as("avg_value"),
+        max_by(col(valCol), col(timeCol)).as("last_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n_events"), col("avg_value"), col("last_value"))
+
+  /** J1 per micro-batch: two legs aggregated then full-outer joined on
+    * (window_start, key), written by `sink` (parquet in tests; any
+    * idempotent writer in production — T8).
+    */
+  def cogroupedMetricsSink(
+      events: DataFrame, leftTypes: Seq[String], rightTypes: Seq[String],
+      dur: String, watermark: String)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val windowed = events
+      .withWatermark("ts", watermark)
+      .filter(col("event_type").isin(leftTypes ++ rightTypes: _*))
+      .groupBy(window(col("ts"), dur), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("user_id"), col("n"), col("avg_v"))
+    windowed.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val l = batch.filter(col("event_type").isin(leftTypes: _*))
+          .groupBy(col("window_start"), col("user_id"))
+          .agg(sum(col("n")).as("n_a"))
+        val r = batch.filter(col("event_type").isin(rightTypes: _*))
+          .groupBy(col("window_start"), col("user_id"))
+          .agg(sum(col("n")).as("n_b"))
+        sink(l.join(r, Seq("window_start", "user_id"), "full_outer"), id)
+      }
+  }
+
+  /** T7/S4: incremental file ingestion — the Structured Streaming file
+    * source replaces the reference's hand-rolled processed-blob state file
+    * (batch_to_mongo.py:22-57: list blobs, skip processed, persist JSON).
+    * Checkpointing tracks processed files natively.
+    */
+  def fileStream(spark: org.apache.spark.sql.SparkSession,
+                 schema: org.apache.spark.sql.types.StructType,
+                 path: String, format: String = "json"): DataFrame =
+    spark.readStream.schema(schema).format(format)
+      .option("maxFilesPerTrigger", 64).load(path)
+}

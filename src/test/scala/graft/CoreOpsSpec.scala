@@ -1,0 +1,141 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+class CoreOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("unpivot explodes measures and drops nulls (E2)") {
+    val df = Seq((1L, 2.0, 3.0), (2L, 4.0, 5.0)).toDF("id", "a", "b")
+      .withColumn("c", lit(null).cast("double"))
+    val out = RelationalOps.unpivot(df, Seq("id"), Seq("a", "b", "c"))
+    assert(out.count() === 4) // nulls dropped
+    val row = out.filter($"id" === 1L && $"measure" === "a").collect().head
+    assert(row.getAs[Double]("val") === 2.0)
+  }
+
+  test("windowed metrics: count/avg/last-by-time per 30s window (A1-A4)") {
+    val df = Seq(
+      ("A", ts("2024-01-01 00:00:05"), 10.0),
+      ("A", ts("2024-01-01 00:00:20"), 30.0),
+      ("A", ts("2024-01-01 00:00:40"), 99.0),
+      ("B", ts("2024-01-01 00:00:10"), 7.0)
+    ).toDF("event_type", "ts", "value")
+    val out = MetricOps.windowedMetrics(df, "30 seconds").collect()
+    val a0 = out.find(r => r.getAs[String]("event_type") == "A" &&
+      r.getAs[Timestamp]("window_start") == ts("2024-01-01 00:00:00")).get
+    assert(a0.getAs[Long]("n_events") === 2L)
+    assert(a0.getAs[Double]("avg_value") === 20.0)
+    assert(a0.getAs[Double]("last_value") === 30.0) // argmax by ts
+    val a1 = out.find(r => r.getAs[String]("event_type") == "A" &&
+      r.getAs[Timestamp]("window_start") == ts("2024-01-01 00:00:30")).get
+    assert(a1.getAs[Double]("last_value") === 99.0)
+  }
+
+  test("forwardFill carries last non-null within key (W6/A12)") {
+    val df = Seq(
+      ("A", 1, Some(10.0)), ("A", 2, None), ("A", 3, None),
+      ("A", 4, Some(40.0)), ("A", 5, None),
+      ("B", 1, None), ("B", 2, Some(5.0))
+    ).toDF("k", "t", "v")
+    val out = WindowOps.forwardFill(df, "k", Seq("t"), "v", "v_ff")
+      .orderBy($"k", $"t").collect()
+    val filled = out.map(r => (r.getAs[String]("k"), r.getAs[Int]("t"),
+      Option(r.getAs[java.lang.Double]("v_ff")).map(_.doubleValue)))
+    assert(filled.toSeq === Seq(
+      ("A", 1, Some(10.0)), ("A", 2, Some(10.0)), ("A", 3, Some(10.0)),
+      ("A", 4, Some(40.0)), ("A", 5, Some(40.0)),
+      ("B", 1, None), ("B", 2, Some(5.0))))
+  }
+
+  test("sentiment algebra: score/magnitude/label/signal (X1)") {
+    val df = Seq(
+      (1L, "fast fast big market"),   // pos=3 neg=0 -> score 1
+      (2L, "slow small crash"),       // neg=2 -> score -1
+      (3L, "fast slow"),              // balanced -> 0 NEUTRAL sell
+      (4L, "nothing relevant"),       // 0/0 -> 0.5/0.5 -> 0 NEUTRAL sell
+      (5L, "")                        // empty -> all null
+    ).toDF("doc_id", "text")
+    val out = TextOps.sentiment(df).orderBy($"doc_id").collect()
+    def r(i: Int) = out(i)
+    assert(r(0).getAs[Double]("sentiment_score") === 1.0)
+    assert(r(0).getAs[String]("sentiment_label") === "POSITIVE")
+    assert(r(0).getAs[String]("action_signal") === "buy")
+    assert(r(1).getAs[Double]("sentiment_score") === -1.0)
+    assert(r(1).getAs[String]("sentiment_label") === "NEGATIVE")
+    assert(r(1).getAs[String]("action_signal") === "sell")
+    assert(r(2).getAs[Double]("sentiment_score") === 0.0)
+    assert(r(2).getAs[String]("sentiment_label") === "NEUTRAL")
+    assert(r(2).getAs[String]("action_signal") === "sell")
+    assert(r(3).getAs[Double]("sentiment_magnitude") === 1.0)
+    assert(r(4).isNullAt(r(4).fieldIndex("sentiment_score")))
+    assert(r(4).isNullAt(r(4).fieldIndex("sentiment_label")))
+  }
+
+  test("pct_change yields null on zero previous value (W2/P4)") {
+    val w = WindowOps.keyedWindow("k", Seq("t"))
+    val df = Seq(("A", 1, 0.0), ("A", 2, 5.0), ("A", 3, 10.0))
+      .toDF("k", "t", "v")
+    val out = df.withColumn("pct", WindowOps.pctChange($"v", w))
+      .orderBy($"t").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("pct"))) // no previous
+    assert(out(1).isNullAt(out(1).fieldIndex("pct"))) // prev = 0 -> null
+    assert(out(2).getAs[Double]("pct") === 1.0)
+  }
+
+  test("error metrics apply 1e-8 MAPE clamp (A17)") {
+    val df = Seq(("A", 0.0, 1.0), ("A", 2.0, 1.0)).toDF("k", "actual", "pred")
+    val out = TimeSeriesOps.errorMetrics(df, "k", "actual", "pred").collect()
+    val mape = out.head.getAs[Double]("mape")
+    // |0-1|/1e-8 * 100 / 2 + |2-1|/2 * 100 / 2 -> dominated by clamp term
+    assert(mape > 1e9)
+    assert(out.head.getAs[Double]("mae") === 1.0)
+  }
+
+  test("explodePrices unpivots wide record, drops null prices (E1)") {
+    val wide = Seq((1000L, Some(3000.0), None: Option[Double]))
+      .toDF("timestamp", "ETH", "SOL")
+    val out = CryptoPipeline.explodePrices(wide, Seq("ETH", "SOL", "SHIB"))
+    val rows = out.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("symbol") === "ETH")
+    assert(rows.head.getAs[Double]("price") === 3000.0)
+  }
+
+  test("parseEventTime fallback chain (F1-F5)") {
+    val df = Seq(
+      ("2025-12-29T15:41:00Z", "x", 0L),
+      ("2025-12-29 15:41:00", "x", 0L),
+      ("bogus", "Mon Dec 29 15:41:00 +0000 2025", 0L),
+      ("bogus", "bogus", 1767022860000L)
+    ).toDF("iso", "raw", "ms")
+    val out = df.select(CryptoPipeline.parseEventTime($"iso", $"raw", $"ms")
+      .as("et")).collect()
+    val expected = ts("2025-12-29 15:41:00")
+    out.foreach(r => assert(r.getAs[Timestamp]("et") === expected))
+  }
+
+  test("windowedCryptoMetrics full-outer keeps single-sided keys (J1/J2)") {
+    val tweets = Seq(
+      ("1", "to the moon", "ETH", "x", "2024-01-01T00:00:10Z", 0L, 0L))
+      .toDF("id", "text", "crypto_key", "created_at_raw", "created_at_iso",
+        "timestamp_ms", "timestamp_sec")
+    val prices = Seq(
+      ("SOL", Some(100.0), Some(1704067205000L))) // 2024-01-01 00:00:05 UTC
+      .toDF("symbol", "price", "timestamp")
+    val out = CryptoPipeline
+      .windowedCryptoMetrics(tweets, prices, "30 seconds").collect()
+    assert(out.length === 2)
+    val eth = out.find(_.getAs[String]("symbol") == "ETH").get
+    assert(eth.getAs[Long]("tweet_volume") === 1L)
+    assert(eth.isNullAt(eth.fieldIndex("avg_price")))
+    val sol = out.find(_.getAs[String]("symbol") == "SOL").get
+    assert(sol.getAs[Long]("tweet_volume") === 0L)
+    assert(sol.getAs[Double]("last_price") === 100.0)
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, SimilarityOps}
+
+class DedupSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact duplicate groups keep min id and count copies") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.exactDuplicateGroups(df).collect()
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") === 1L)
+    assert(out.length === 2)
+  }
+
+  test("duplicate rate is (n - distinct) / n") {
+    val df = Seq(("en", "a"), ("en", "a"), ("en", "b"), ("fr", "c"))
+      .toDF("lang", "text")
+    val out = DedupOps.duplicateRate(df, "lang").collect()
+    val en = out.find(_.getAs[String]("lang") == "en").get
+    assert(en.getAs[Double]("dup_rate") === 1.0 / 3.0)
+  }
+
+  test("minhash LSH: identical docs share all bands, disjoint docs none") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "completely different words nothing in common at all here now")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.minhashCandidates(df).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("doc_a") === 1L)
+    assert(out.head.getAs[Long]("doc_b") === 2L)
+    assert(out.head.getAs[Long]("n_shared_bands") === 4L)
+  }
+
+  test("ngram jaccard: identical docs = 1.0") {
+    val df = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.ngramJaccardPairs(df, n = 3, minJaccard = 0.5)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("simhash: identical docs get identical signatures, hamming 0") {
+    val df = Seq(
+      (1L, "spark makes big data small again"),
+      (2L, "spark makes big data small again"),
+      (3L, "unrelated content entirely different")
+    ).toDF("doc_id", "text")
+    val sigs = DedupOps.simhash(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+    val hd = df.sparkSession.range(1)
+      .select(DedupOps.hammingDist(lit(sigs(1L)), lit(sigs(3L))).as("h"))
+      .collect().head.getAs[Int]("h")
+    assert(hd > 0)
+  }
+
+  test("cosine: identical vectors 1.0, orthogonal 0.0") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.cosineNearDupPairs(vecs, -1.0).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    assert(out((1L, 2L)) === 1.0)
+    assert(out((1L, 3L)) === 0.0)
+  }
+
+  test("brute-force top-k ranks by cosine desc with id tiebreak") {
+    val q = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Seq(
+      (10L, Array(1.0f, 0.1f)), (11L, Array(1.0f, 1.0f)),
+      (12L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.bruteForceTopK(q, c, 2).orderBy($"rnk").collect()
+    assert(out.map(_.getAs[Long]("corpus_id")).toSeq === Seq(10L, 11L))
+  }
+
+  test("ivf bucketing is deterministic and co-buckets identical vectors") {
+    val v = Seq((0L, Array.fill(4)(0.5f)), (1L, Array.fill(4)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val b = v.select(SimilarityOps.lshBucket($"embedding", 4, 4).as("b"))
+      .collect().map(_.getAs[Int]("b"))
+    assert(b(0) === b(1))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{DriftForecaster, StreamingMetrics}
+
+/** Structured Streaming semantics (SURVEY.md §2.10): event-time windows,
+  * watermark late-data drop (T4 — Beam allowed_lateness=0), keyed state
+  * (T5). MemoryStream drives micro-batches synchronously.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  final case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+  test("watermarked windowed metrics drop late rows in append mode (T2/T4)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamingMetrics.windowedMetrics(mem.toDF(), "30 seconds",
+      "30 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("wm").start()
+    try {
+      // batch 1: two events in window :00, watermark then advances far
+      mem.addData(Ev(ts("2024-01-01 00:00:05"), "A", 10.0),
+        Ev(ts("2024-01-01 00:00:10"), "A", 20.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 00:10:00"), "A", 1.0)) // advances wm
+      q.processAllAvailable()
+      // batch 3: late event for the long-closed :00 window -> dropped
+      mem.addData(Ev(ts("2024-01-01 00:00:20"), "A", 999.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 00:20:00"), "A", 2.0)) // close :10 win
+      q.processAllAvailable()
+      val rows = spark.table("wm").collect()
+      val w0 = rows.find(_.getAs[Timestamp]("window_start") ==
+        ts("2024-01-01 00:00:00")).get
+      assert(w0.getAs[Long]("n_events") === 2L)   // late 999.0 NOT counted
+      assert(w0.getAs[Double]("avg_value") === 15.0)
+      assert(w0.getAs[Double]("last_value") === 20.0)
+    } finally q.stop()
+  }
+
+  test("drift forecaster keeps per-key state across micro-batches (X2/T5)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[DriftForecaster.Tick]
+    val out = DriftForecaster.forecast(mem.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("fc").start()
+    try {
+      mem.addData(
+        DriftForecaster.Tick("ETH", ts("2024-01-01 00:00:00"), 100.0),
+        DriftForecaster.Tick("ETH", ts("2024-01-01 00:00:15"), 110.0))
+      q.processAllAvailable()
+      // state (last=110) must survive into the next micro-batch
+      mem.addData(
+        DriftForecaster.Tick("ETH", ts("2024-01-01 00:00:30"), 130.0),
+        DriftForecaster.Tick("SOL", ts("2024-01-01 00:00:30"), 50.0))
+      q.processAllAvailable()
+      val rows = spark.table("fc").collect()
+        .map(r => (r.getAs[String]("symbol"), r.getAs[Double]("price")) ->
+          r.getAs[Double]("forecast_next")).toMap
+      assert(rows(("ETH", 100.0)) === 100.0) // first obs: zero drift
+      assert(rows(("ETH", 110.0)) === 120.0) // drift +10
+      assert(rows(("ETH", 130.0)) === 150.0) // cross-batch drift +20
+      assert(rows(("SOL", 50.0)) === 50.0)   // independent key state
+    } finally q.stop()
+  }
+
+  test("cogrouped metrics join emits rows for single-sided keys (J1)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev2]
+    var captured: Seq[org.apache.spark.sql.Row] = Nil
+    val writer = StreamingMetrics.cogroupedMetricsSink(
+      mem.toDF(), Seq("click"), Seq("purchase"), "30 seconds", "30 seconds") {
+      (df, _) => val rows = df.collect(); if (rows.nonEmpty) captured = rows
+    }
+    val q = writer.start()
+    try {
+      mem.addData(
+        Ev2(ts("2024-01-01 00:00:05"), "click", 7L, 1.0),
+        Ev2(ts("2024-01-01 00:00:10"), "purchase", 8L, 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev2(ts("2024-01-01 00:10:00"), "click", 7L, 1.0))
+      q.processAllAvailable() // watermark passes, append emits window :00
+      assert(captured.nonEmpty)
+      val bySide = captured.map(r => r.getAs[Long]("user_id") ->
+        (Option(r.getAs[java.lang.Long]("n_a")),
+         Option(r.getAs[java.lang.Long]("n_b")))).toMap
+      assert(bySide(7L) === (Some(1L), None)) // click-only key present
+      assert(bySide(8L) === (None, Some(1L))) // purchase-only key present
+    } finally q.stop()
+  }
+
+  final case class Ev2(ts: Timestamp, event_type: String, user_id: Long,
+      value: Double)
+}
