@@ -36,6 +36,13 @@ object Tables {
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** documents/embeddings feed CPU-heavy per-row work (regex sweeps,
+    * hashing, vector math); a small single-file parquet arrives as one
+    * partition, so rebalance at the loader (no-op at real scale — see
+    * [[graft.ops.Rebalance]]).
+    */
+  def documents(s: SparkSession, d: String): DataFrame =
+    graft.ops.Rebalance(table(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    graft.ops.Rebalance(table(s, d, "embeddings"))
 }

@@ -48,13 +48,22 @@ object DedupOps {
       concat_ws(" ", slice(words, i + 1, lit(n))))))
   }
 
-  /** MinHash signature: for seed i in [0, k), min over shingles of
-    * md5(i || '|' || shingle) — k permutation surrogates.
+  /** MinHash signatures via explode + groupBy-min rather than
+    * `array_min(transform(...))`: higher-order-function lambdas are
+    * CodegenFallback (interpreted per element), while the exploded
+    * formulation keeps all k md5 projections and the min aggregate inside
+    * whole-stage codegen. Partial aggregation collapses to one row per
+    * (doc, partition) before the shuffle, so shuffle volume is O(docs),
+    * not O(shingles). Output: idCol, m0..m{k-1}.
     */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shingles, s =>
-        md5(concat(lit(i.toString), lit("|"), s))))): _*)
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleWords: Int, k: Int): DataFrame = {
+    val exploded = Rebalance(docs).select(col(idCol),
+      explode(wordShingles(textCol, shingleWords)).as("s"))
+    val mins = (0 until k).map(i =>
+      min(md5(concat(lit(i.toString), lit("|"), col("s")))).as(s"m$i"))
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
 
   /** MinHash + LSH near-dup candidate pairs: signature of k hashes split
     * into `bands` bands; docs sharing any band hash become a candidate
@@ -66,12 +75,14 @@ object DedupOps {
                         textCol: String = "text", shingleWords: Int = 3,
                         k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
-    val sig = Rebalance(docs).select(col(idCol),
-      minhashSignature(wordShingles(textCol, shingleWords), k).as("sig"))
-    val banded = sig.select(col(idCol), posexplode(
-        expr(s"transform(sequence(0, ${bands - 1})," +
-             s" b -> md5(concat_ws('|', slice(sig, b * $rows + 1, $rows))))"))
-      .as(Seq("band", "band_hash")))
+    val sig = minhashSignatures(docs, idCol, textCol, shingleWords, k)
+    val bandCols = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("band_hash"))
+    }
+    val banded = sig.select(col(idCol),
+        explode(array(bandCols: _*)).as("kv"))
+      .select(col(idCol), col("kv.band"), col("kv.band_hash"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,

@@ -17,7 +17,9 @@ object StatsOps {
     */
   def summaryStats(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
     val v = col(valCol)
-    df.groupBy(col(keyCol)).agg(
+    // exact percentile buffers values in the partial aggregate — rebalance
+    // so the partial pass parallelizes over a single-file input
+    Rebalance(df).groupBy(col(keyCol)).agg(
       count(v).as("n"),
       round(sum(v), 2).as("sum_v"),
       (round(sum(v), 2) / count(v)).as("mean_v"),

@@ -146,10 +146,14 @@ object TextOps {
     s"transform(sequence(1, greatest(length($textCol) - ${shingle - 1}, 1))," +
     s" i -> substring($textCol, i, $shingle))")
 
-  def fingerprint(df: DataFrame, textCol: String = "text",
-                  shingle: Int = 8): DataFrame = {
-    val sh = charShingles(textCol, shingle)
-    Rebalance(df).withColumn("fp_min", array_min(transform(sh, s => md5(s))))
-      .withColumn("fp_max", array_max(transform(sh, s => md5(s))))
-  }
+  /** Explode + groupBy min/max keeps the md5 projection and aggregate in
+    * whole-stage codegen (HOF lambdas are interpreted); shuffle is O(docs)
+    * thanks to partial aggregation. Output: idCol, fp_min, fp_max.
+    */
+  def fingerprint(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", shingle: Int = 8): DataFrame =
+    Rebalance(df)
+      .select(col(idCol), explode(charShingles(textCol, shingle)).as("s"))
+      .groupBy(col(idCol))
+      .agg(min(md5(col("s"))).as("fp_min"), max(md5(col("s"))).as("fp_max"))
 }

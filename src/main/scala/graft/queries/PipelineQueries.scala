@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.forecast.ArTrainer
+import graft.ml.TextRegression
+import graft.multimodal.MultimodalOps
+import Catalog.Entry
+
+/** Trainer / ML / multimodal surfaces (SURVEY.md §2.11 X5/X8, A5, P10, J4,
+  * north-star multimodal plumbing). Model-fitting queries are rows-only
+  * checks (not SQL-expressible); the multimodal payload projection keeps a
+  * DuckDB twin for the codec-independent columns.
+  */
+object PipelineQueries {
+
+  def defs: Map[String, Entry] = Map(
+
+    // X5 + A5 + A12 + K4: per-key AR(p)-OLS trainer over the 30 s
+    // regularized series with last-30 holdout (arima.py:298-408).
+    "x5_ar_trainer" -> Entry(
+      (s, dir) => ArTrainer.trainFromEvents(
+          Tables.events(s, dir), "ts", "event_type", "value", 30)
+        .toDF()
+        .select(col("symbol"), col("p"), col("n_train"), col("n_test"),
+          round(col("intercept"), 4).as("intercept"),
+          round(col("mae"), 4).as("mae"),
+          round(col("mape"), 4).as("mape"),
+          round(col("mse"), 4).as("mse")),
+      None),
+
+    // X8: TF-IDF (1+2-gram) + Ridge with time-ordered split
+    // (Milestone4 cell 15) — one summary row of train/test/baseline RMSE.
+    "x8_tfidf_ridge" -> Entry(
+      (s, dir) => {
+        val t = TextRegression.fitEval(
+          Tables.documents(s, dir), "n_chars", "doc_id")
+        import s.implicits._
+        Seq((t.trainRmse, t.testRmse, t.baselineRmse))
+          .toDF("train_rmse", "test_rmse", "baseline_rmse")
+      },
+      None),
+
+    // P10: regex content filter (publisher-side Japanese-char drop,
+    // twitter/stream_simulator_continuous.py:31-36 — same shape, corpus
+    // marker word here).
+    "p10_regex_filter" -> Entry(
+      (s, dir) => Tables.documents(s, dir)
+        .filter(!col("text").rlike("\\bdup\\b") && col("n_chars") >= 100)
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some("""
+        SELECT doc_id, lang, source FROM documents
+        WHERE NOT regexp_matches(text, '\bdup\b') AND n_chars >= 100""")),
+
+    // J4 + F16: doc-aggregation join — per-bin blobs left-joined onto
+    // metric bins, missing filled with '' (Milestone4 cell 15).
+    "j4_docagg_join" -> Entry(
+      (s, dir) => {
+        val stats = Tables.documents(s, dir).groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+        val blobs = Tables.documents(s, dir)
+          .filter(col("source") === "src0")
+          .groupBy(col("lang"))
+          .agg(concat_ws(" ", array_sort(collect_list(col("text"))))
+            .as("doc_blob"))
+        stats.join(blobs, Seq("lang"), "left").na.fill("", Seq("doc_blob"))
+      },
+      Some("""
+        SELECT s.lang, n_docs, coalesce(doc_blob, '') AS doc_blob
+        FROM (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1) s
+        LEFT JOIN (SELECT lang, string_agg(text, ' ' ORDER BY text)
+                     AS doc_blob
+                   FROM documents WHERE source = 'src0' GROUP BY 1) b
+        ON s.lang = b.lang""")),
+
+    // A5: collect_list-of-structs training fan-in (arima.py:482-484),
+    // canonicalized as sorted "epoch:value" strings for the oracle.
+    "a5_collect_series" -> Entry(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_points"),
+          concat_ws(";", array_sort(collect_list(
+            concat(unix_millis(col("ts")), lit(":"),
+              col("value").cast("decimal(12,2)"))))).as("series")),
+      Some("""
+        SELECT event_type, count(*) AS n_points,
+               string_agg(
+                 epoch_ms(CAST(ts AS TIMESTAMP)) || ':' ||
+                   CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR), ';'
+                 ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)) || ':' ||
+                   CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR)) AS series
+        FROM events GROUP BY 1""")),
+
+    // North-star multimodal: binary payload projection — the
+    // codec-independent columns are oracle-checked; decode-stub features
+    // are covered by the rows-only query below + unit specs.
+    "multimodal_payload" -> Entry(
+      (s, dir) => MultimodalOps
+        .mediaFromDocuments(Tables.documents(s, dir)).toDF()
+        .select(col("media_id"), col("kind"),
+          octet_length(col("payload")).cast("long").as("byte_len"),
+          md5(col("payload")).as("payload_md5")),
+      Some("""
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               strlen(text) AS byte_len,
+               md5(text) AS payload_md5
+        FROM documents""")),
+
+    // North-star multimodal: per-partition stub decode + resize plan +
+    // frame sampling (real Spark plumbing, fake codec — see
+    // MultimodalOps.StubDecoder).
+    "multimodal_decode_stub" -> Entry(
+      (s, dir) => {
+        val media = MultimodalOps.mediaFromDocuments(
+          Tables.documents(s, dir))
+        val features = MultimodalOps.extractFeatures(media).toDF()
+        MultimodalOps.resizePlan(features, maxSide = 32)
+          .select(col("media_id"), col("kind"), col("byte_len"),
+            col("width"), col("height"), col("n_frames"),
+            round(col("mean_intensity"), 4).as("mean_intensity"),
+            col("out_width"), col("out_height"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.forecast.ArTrainer
+import graft.ml.TextRegression
+import graft.multimodal.MultimodalOps
+
+class TrainerMlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fitAr recovers AR(1) coefficient from synthetic series (X5)") {
+    // x_t = 5 + 0.8 x_{t-1} + tiny deterministic wiggle
+    val xs = Iterator.iterate((100.0, 1))(p =>
+      (5 + 0.8 * p._1 + math.sin(p._2) * 0.01, p._2 + 1))
+      .map(_._1).take(300).toArray
+    val Some((c, phi)) = ArTrainer.fitAr(xs, 1)
+    assert(math.abs(phi(0) - 0.8) < 0.05)
+    assert(math.abs(c - 5.0) < 1.5)
+  }
+
+  test("trainer picks a model with sane holdout error on a trend (X5/A17)") {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val pts = (0 until 200).map { i =>
+      ArTrainer.SeriesPoint("K", new Timestamp(base + i * 30000L),
+        100.0 + i * 0.5) // linear trend, AR(2) captures drift exactly
+    }
+    val models = ArTrainer.train(pts.toDS(), holdout = 30, maxP = 3)
+      .collect()
+    assert(models.length === 1)
+    val m = models.head
+    assert(m.n_train === 170 && m.n_test === 30)
+    assert(m.mae < 1.0, s"holdout MAE ${m.mae} too high")
+  }
+
+  test("model bundle round-trips through parquet (K4)") {
+    val dir = java.nio.file.Files.createTempDirectory("bundle").toString
+    val m = ArTrainer.ArModel("ETH", 2, 1.5, Array(0.9, 0.05), 100, 30,
+      0.1, 0.2, 0.3)
+    ArTrainer.saveBundle(Seq(m).toDS(), s"$dir/models")
+    val loaded = ArTrainer.loadBundle(spark, s"$dir/models").collect().head
+    assert(loaded === m.copy(coeffs = loaded.coeffs))
+    assert(loaded.coeffs.toSeq === Seq(0.9, 0.05))
+  }
+
+  test("tf-idf ridge beats predict-the-mean baseline out of sample (X8)") {
+    // label = 10 * count("spark") + 5: perfectly predictable from text
+    val docs = (0 until 400).map { i =>
+      val k = i % 5
+      (i.toLong, Seq.fill(k)("spark").mkString(" ") + " filler words here",
+        10.0 * k + 5)
+    }.toDF("doc_id", "text", "n_chars")
+    val t = TextRegression.fitEval(docs, "n_chars", "doc_id")
+    assert(t.testRmse < t.baselineRmse * 0.5,
+      s"test rmse ${t.testRmse} vs baseline ${t.baselineRmse}")
+  }
+
+  test("multimodal stub decode is deterministic per-partition (T6 shape)") {
+    val docs = Seq((0L, "hello world", "en", "src0", 11L),
+      (1L, "abc", "en", "src0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = MultimodalOps.mediaFromDocuments(docs)
+    val f = MultimodalOps.extractFeatures(media).collect()
+      .map(x => x.media_id -> x).toMap
+    assert(f(0L).byte_len === 11L)
+    assert(f(0L).kind === "image")
+    assert(f(1L).kind === "audio")
+    // deterministic: re-run gives identical features
+    val f2 = MultimodalOps.extractFeatures(media).collect()
+      .map(x => x.media_id -> x).toMap
+    assert(f(0L) === f2(0L))
+    // md5 of "hello world"
+    assert(f(0L).sha_hex === "5eb63bbbe01eeed093cb22bb8f5acdc3")
+  }
+
+  test("resize plan caps the long side (multimodal metadata op)") {
+    val features = Seq((0L, 100, 50), (1L, 10, 20))
+      .toDF("media_id", "width", "height")
+    val out = MultimodalOps.resizePlan(features, 32).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))).toMap
+    assert(out(0L) === (32, 16))
+    assert(out(1L) === (10, 20)) // never upscale
+  }
+
+  test("frame sampling slices n windows from payload binary") {
+    val docs = Seq((0L, "x" * 1000, "en", "src0", 1000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = MultimodalOps.mediaFromDocuments(docs).toDF()
+    val frames = MultimodalOps.sampleFrames(media, n = 4).collect()
+    assert(frames.length === 4)
+    assert(frames.map(_.getAs[Int]("frame_no")).toSeq === Seq(0, 1, 2, 3))
+  }
+
+  test("to_json round-trips a struct (F17)") {
+    val df = Seq(("ETH", 123L, 1.5)).toDF("symbol", "ts", "price")
+    val js = df.select(to_json(struct($"symbol", $"ts", $"price")).as("j"))
+    val parsed = js.select(from_json($"j",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("symbol",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("price",
+          org.apache.spark.sql.types.DoubleType)))).as("s"))
+      .select($"s.*").collect().head
+    assert(parsed.getAs[String]("symbol") === "ETH")
+    assert(parsed.getAs[Long]("ts") === 123L)
+    assert(parsed.getAs[Double]("price") === 1.5)
+  }
+}
