@@ -13,14 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Left-to-right fold dot product in double precision. */
+  /** Left-to-right dot product in double precision — the codegen'd native
+    * expression (graft.functions.DotProduct); semantically identical to
+    * `aggregate(zip_with(...))` but stays inside whole-stage codegen
+    * instead of interpreted per-element lambda eval.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dot_product(a, b)
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
@@ -63,9 +64,7 @@ object SimilarityOps {
         val x = (1103515245L * (b * dim + i) + 12345L) % 1000003L
         (x.toDouble / 1000003.0) * 2.0 - 1.0
       }
-      val proj = aggregate(
-        zip_with(vecCol, typedLit(w), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dot(vecCol, typedLit(w))
       when(proj >= 0, lit(1 << b)).otherwise(lit(0))
     }
     planes.reduce((a, b) => a.bitwiseOR(b))

@@ -96,4 +96,62 @@ class StreamingSpec extends SparkSpec {
 
   final case class Ev2(ts: Timestamp, event_type: String, user_id: Long,
       value: Double)
+
+  test("file source -> windowed agg -> parquet sink w/ checkpoint (S4/T7/K3)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_stream").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(in, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts_ms",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val base = ts("2024-01-01 00:00:00").getTime
+    writeFile("f1.json", Seq(
+      s"""{"ts_ms": ${base + 5000}, "event_type": "A", "value": 10.0}""",
+      s"""{"ts_ms": ${base + 10000}, "event_type": "A", "value": 20.0}"""))
+    val stream = StreamingMetrics
+      .fileStream(spark, schema, in)
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val agg = StreamingMetrics.windowedMetrics(stream, "30 seconds",
+      "30 seconds")
+    val q = agg.writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // second file advances the watermark, closing window :00
+      writeFile("f2.json", Seq(
+        s"""{"ts_ms": ${base + 600000}, "event_type": "A", "value": 1.0}"""))
+      q.processAllAvailable()
+    } finally q.stop()
+    val result = spark.read.parquet(out)
+      .filter(col("window_start") === ts("2024-01-01 00:00:00")).collect()
+    assert(result.length === 1)
+    assert(result.head.getAs[Long]("n_events") === 2L)
+    assert(result.head.getAs[Double]("last_value") === 20.0)
+  }
+
+  test("per-element model scoring over a stream (T6/X1)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val scored = graft.ops.TextOps.sentiment(
+      mem.toDF().toDF("doc_id", "text"))
+    val q = scored.writeStream.outputMode("append")
+      .format("memory").queryName("sent").start()
+    try {
+      mem.addData((1L, "fast big win"), (2L, "slow small loss"))
+      q.processAllAvailable()
+      val rows = spark.table("sent").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[String]("action_signal")).toMap
+      assert(rows(1L) === "buy")
+      assert(rows(2L) === "sell")
+    } finally q.stop()
+  }
 }
