@@ -22,7 +22,7 @@ object TextRegression {
   final case class Trained(model: org.apache.spark.ml.PipelineModel,
       trainRmse: Double, testRmse: Double, baselineRmse: Double)
 
-  def pipeline(numFeatures: Int = 4096, regParam: Double = 0.1): Pipeline = {
+  def pipeline(numFeatures: Int = 2048, regParam: Double = 0.1): Pipeline = {
     val tok = new RegexTokenizer().setInputCol("text").setOutputCol("words")
       .setPattern("\\s+")
     val bigrams = new NGram().setN(2).setInputCol("words")
@@ -37,7 +37,7 @@ object TextRegression {
       .setOutputCol("features")
     val ridge = new LinearRegression().setLabelCol("label")
       .setFeaturesCol("features").setRegParam(regParam)
-      .setElasticNetParam(0.0).setMaxIter(25)
+      .setElasticNetParam(0.0).setMaxIter(15)
     new Pipeline().setStages(Array(tok, bigrams, tf1, tf2, idf1, idf2, asm,
       ridge))
   }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.{DedupOps, MetricOps, RelationalOps, SkewOps}
+
+/** ScalaCheck-generated property tests (SURVEY.md §5): structural
+  * invariants the reference relies on but never asserts. Plain ScalaCheck
+  * generators sampled under fixed seeds (scalatest-plus bridge is not in
+  * the offline dependency set).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val rowsGen = Gen.listOfN(40,
+    Gen.zip(Gen.choose(1L, 8L), Gen.choose(0, 3), Gen.choose(-100.0, 100.0)))
+
+  test("property: unpivot preserves count(rows) * |non-null measures|") {
+    samples(rowsGen, 4).foreach { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((k, _, v), i) => (i.toLong, v, -v, k.toDouble) }
+        .toDF("id", "a", "b", "c")
+      val out = RelationalOps.unpivot(df, Seq("id"), Seq("a", "b", "c"))
+      assert(out.count() === rows.length * 3L)
+    }
+  }
+
+  test("property: full-outer metrics join never loses a key") {
+    samples(rowsGen, 4).foreach { rows =>
+      val df = rows.map { case (k, g, v) => (k, g % 2 == 0, v) }
+        .toDF("key", "left_side", "v")
+      val l = df.filter($"left_side").groupBy($"key")
+        .agg(count(lit(1)).as("n_a"))
+      val r = df.filter(!$"left_side").groupBy($"key")
+        .agg(count(lit(1)).as("n_b"))
+      val joined = MetricOps.fullOuterMetricsJoin(l, r, Seq("key"))
+      val allKeys = df.select($"key").distinct().count()
+      assert(joined.count() === allKeys)
+    }
+  }
+
+  test("property: MAPE clamp never divides by < 1e-8") {
+    val gen = Gen.listOfN(20,
+      Gen.zip(Gen.choose(-1e-9, 1e-9), Gen.choose(-5.0, 5.0)))
+    samples(gen, 4).foreach { pairs =>
+      val df = pairs.map { case (a, p) => ("K", a, p) }
+        .toDF("k", "actual", "pred")
+      val out = graft.ops.TimeSeriesOps.errorMetrics(df, "k", "actual",
+        "pred").collect()
+      // actual ~ 0 everywhere: clamped denominator keeps mape finite
+      assert(!out.head.getAs[Double]("mape").isInfinite)
+      assert(!out.head.getAs[Double]("mape").isNaN)
+    }
+  }
+
+  test("property: salted join equals plain join") {
+    samples(rowsGen, 4).foreach { rows =>
+      val big = rows.zipWithIndex
+        .map { case ((k, _, v), i) => (k, i.toLong, v) }
+        .toDF("key", "row_id", "v")
+      val small = (1L to 8L).map(k => (k, s"dim_$k")).toDF("key", "name")
+      val salted = SkewOps.saltedJoin(big, small, "key", 4, Seq("row_id"))
+      val plain = big.join(small, Seq("key"))
+      assert(salted.count() === plain.count())
+      assert(salted.select(sum($"v")).collect().head.getDouble(0) ===
+        plain.select(sum($"v")).collect().head.getDouble(0))
+    }
+  }
+
+  test("property: minhash candidate pairs are ordered and banded") {
+    val gen = Gen.listOfN(6, Gen.oneOf(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight nine",
+      "alpha beta gamma delta epsilon zeta eta iota"))
+    samples(gen, 3).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val pairs = DedupOps.minhashCandidates(df).collect()
+      pairs.foreach { r =>
+        assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+        val b = r.getAs[Long]("n_shared_bands")
+        assert(b >= 1L && b <= 4L)
+      }
+    }
+  }
+}
