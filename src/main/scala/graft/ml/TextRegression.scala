@@ -35,9 +35,11 @@ object TextRegression {
     val idf2 = new IDF().setInputCol("tf2").setOutputCol("idf2").setMinDocFreq(3)
     val asm = new VectorAssembler().setInputCols(Array("idf1", "idf2"))
       .setOutputCol("features")
+    // l-bfgs: gradient passes are O(features); the "normal" solver would
+    // build a features^2 Gram matrix per task (~134 MB at 4096 dims)
     val ridge = new LinearRegression().setLabelCol("label")
       .setFeaturesCol("features").setRegParam(regParam)
-      .setElasticNetParam(0.0).setMaxIter(15)
+      .setElasticNetParam(0.0).setMaxIter(15).setSolver("l-bfgs")
     new Pipeline().setStages(Array(tok, bigrams, tf1, tf2, idf1, idf2, asm,
       ridge))
   }
@@ -48,21 +50,24 @@ object TextRegression {
     */
   def fitEval(docs: DataFrame, labelCol: String, orderCol: String,
               testFraction: Double = 0.25): Trained = {
-    val n = docs.count()
     val cut = docs.stat.approxQuantile(orderCol, Array(1 - testFraction), 0.0)
       .head
     val withLabel = docs.withColumn("label", col(labelCol).cast("double"))
-    val train = withLabel.filter(col(orderCol) <= cut)
-    val test = withLabel.filter(col(orderCol) > cut)
-    val model = pipeline().fit(train)
-    def rmse(df: DataFrame): Double =
-      model.transform(df)
-        .select(sqrt(avg(pow(col("prediction") - col("label"), 2))))
+    // each pipeline stage fit re-evaluates the full upstream lineage
+    // (tokenize + hash + idf per fit) — cache the split once
+    val train = withLabel.filter(col(orderCol) <= cut).cache()
+    val test = withLabel.filter(col(orderCol) > cut).cache()
+    try {
+      val model = pipeline().fit(train)
+      def rmse(df: DataFrame): Double =
+        model.transform(df)
+          .select(sqrt(avg(pow(col("prediction") - col("label"), 2))))
+          .collect().head.getDouble(0)
+      val mean = train.select(avg(col("label"))).collect().head.getDouble(0)
+      val baseline = test
+        .select(sqrt(avg(pow(col("label") - lit(mean), 2))))
         .collect().head.getDouble(0)
-    val mean = train.select(avg(col("label"))).collect().head.getDouble(0)
-    val baseline = test
-      .select(sqrt(avg(pow(col("label") - lit(mean), 2))))
-      .collect().head.getDouble(0)
-    Trained(model, rmse(train), rmse(test), baseline)
+      Trained(model, rmse(train), rmse(test), baseline)
+    } finally { train.unpersist(); test.unpersist() }
   }
 }

@@ -60,7 +60,9 @@ object CryptoPipeline {
       .withColumn("event_time",
         parseEventTime(col("created_at_iso"), col("created_at_raw"),
           col("timestamp_ms")))
-      .filter(col("event_time").isNotNull)
+      // P1 semantics: null-key tweets never reach the window
+      // (stream_join.py:206-214 drops them at parse)
+      .filter(col("event_time").isNotNull && col("crypto_key").isNotNull)
       .groupBy(window(col("event_time"), dur), col("crypto_key").as("symbol"))
       .agg(count(lit(1)).as("tweet_volume"),
         array_sort(collect_list(col("text"))).as("tweet_texts"))

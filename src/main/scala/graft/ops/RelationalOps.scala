@@ -31,7 +31,8 @@ object RelationalOps {
               measureCols: Seq[String]): DataFrame = {
     val kvs = array(measureCols.map(m =>
       struct(lit(m).as("measure"), col(m).cast(DoubleType).as("val"))): _*)
-    df.select(idCols.map(col) :+ explode(kvs).as("kv"): _*)
+    // row-count multiplies by |measures|: spread a single-file input first
+    Rebalance(df).select(idCols.map(col) :+ explode(kvs).as("kv"): _*)
       .select(idCols.map(col) :+ col("kv.measure") :+ col("kv.val"): _*)
       .filter(col("val").isNotNull)
   }
