@@ -36,11 +36,16 @@ object SimilarityOps {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // norms are per-row invariants: compute once per vector before the
+    // |Q|x|C| join (3 array passes per pair -> 1 pass + 2 scalars)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
     val c = Rebalance(corpus)
-      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+        l2Norm(col(vecCol)).as("cn"))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+      .withColumn("cos_sim", dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("corpus_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -74,12 +79,15 @@ object SimilarityOps {
               bits: Int = 4, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"),
       lshBucket(col(vecCol), dim, bits).as("bucket"))
     val c = Rebalance(corpus)
       .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+        l2Norm(col(vecCol)).as("cn"),
         lshBucket(col(vecCol), dim, bits).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
-      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+      .withColumn("cos_sim", dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("corpus_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -96,10 +104,13 @@ object SimilarityOps {
   def cosineNearDupPairs(vecs: DataFrame, threshold: Double,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
-    val a = Rebalance(vecs).select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val a = Rebalance(vecs).select(col(idCol).as("id_a"),
+      col(vecCol).as("va"), l2Norm(col(vecCol)).as("na"))
+    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      l2Norm(col(vecCol)).as("nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .withColumn("cos_sim", dot(col("va"), col("vb")) /
+        (col("na") * col("nb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
