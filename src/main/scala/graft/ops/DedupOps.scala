@@ -36,7 +36,9 @@ object DedupOps {
                     textCol: String = "text"): DataFrame =
     docs.groupBy(col(byCol))
       .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col(textCol)).as("n_distinct"))
+        // distinct over md5, not bodies: the distinct-aggregate expand
+        // shuffles 32-byte keys instead of full documents at scale
+        countDistinct(md5(col(textCol))).as("n_distinct"))
       .withColumn("dup_rate",
         (col("n_docs") - col("n_distinct")).cast("double") / col("n_docs"))
 

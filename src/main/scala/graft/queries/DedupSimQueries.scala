@@ -25,9 +25,9 @@ object DedupSimQueries {
       (s, dir) => DedupOps.duplicateRate(Tables.documents(s, dir), "lang"),
       Some("""
         SELECT lang, count(*) AS n_docs,
-               count(DISTINCT text) AS n_distinct,
-               CAST(count(*) - count(DISTINCT text) AS DOUBLE) / count(*)
-                 AS dup_rate
+               count(DISTINCT md5(text)) AS n_distinct,
+               CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+                 / count(*) AS dup_rate
         FROM documents GROUP BY 1""")),
 
     // MinHash + LSH banding candidate pairs (16 hashes, 4 bands of 4).

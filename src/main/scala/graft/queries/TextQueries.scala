@@ -142,6 +142,20 @@ object TextQueries {
                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
         FROM documents""")),
 
+    // A7 (text flavor): top duplicated/most-frequent texts
+    // (Milestone3 cell 28 value_counts().head) — deterministic tiebreak on
+    // the text itself.
+    "a7_top_texts" -> Entry(
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("text")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("text"))
+        .limit(10)
+        .select(md5(col("text")).as("text_md5"), col("cnt")),
+      Some("""
+        SELECT md5(text) AS text_md5, cnt FROM (
+          SELECT text, count(*) AS cnt FROM documents
+          GROUP BY 1 ORDER BY cnt DESC, text LIMIT 10)""")),
+
     // North-star: winnowing-style MD5 shingle fingerprint (engine-portable
     // rolling-hash surrogate).
     "doc_fingerprint" -> Entry(

@@ -137,6 +137,29 @@ class StreamingSpec extends SparkSpec {
     assert(result.head.getAs[Double]("last_value") === 20.0)
   }
 
+  test("unbounded rate source wires into windowed metrics (S1 stand-in)") {
+    // the rate source is the built-in unbounded generator — proves the
+    // same windowedMetrics plan runs against a genuinely unbounded source
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", 500).load()
+      .select(col("timestamp").as("ts"),
+        (col("value") % 3).cast("string").as("event_type"),
+        col("value").cast("double").as("value"))
+    val agg = StreamingMetrics.windowedMetrics(rate, "1 second", "0 seconds")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("rate_wm").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n == 0 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        n = spark.table("rate_wm").count()
+        if (n == 0) Thread.sleep(500)
+      }
+      assert(n > 0, "rate-source windows never closed")
+    } finally q.stop()
+  }
+
   test("per-element model scoring over a stream (T6/X1)") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
