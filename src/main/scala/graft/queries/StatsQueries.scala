@@ -48,6 +48,18 @@ object StatsQueries {
                  AS DOUBLE) / count(*) AS share_null_type
         FROM part GROUP BY 1""")),
 
+    // Sketch path for A8/A10 at 100 TB (SCALE.md "exact-vs-approx"):
+    // fixed-memory percentile_approx + HLL distinct. Rows-only check —
+    // sketch estimates are engine-specific by construction.
+    "approx_sketch_stats" -> Entry(
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile_approx(l_extendedprice, 0.5, 10000)"), 2)
+            .as("approx_median"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts")),
+      None),
+
     // A15: Pearson correlation per group (Milestone3 cells 44/56/58).
     "a15_corr" -> Entry(
       (s, dir) => StatsOps.corrBy(Tables.lineitem(s, dir),

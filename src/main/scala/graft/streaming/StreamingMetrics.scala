@@ -63,6 +63,20 @@ object StreamingMetrics {
       }
   }
 
+  /** Streaming exact dedup: drop payload duplicates keyed by content hash
+    * with state bounded by the watermark — the streaming leg of the dedup
+    * suite (state is evicted once the watermark passes, so it does not
+    * grow with the stream).
+    */
+  def dedupStream(events: DataFrame, timeCol: String, watermark: String,
+                  contentCols: Seq[String]): DataFrame =
+    events
+      .withColumn("_content_hash",
+        md5(concat_ws("|", contentCols.map(col): _*)))
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark("_content_hash")
+      .drop("_content_hash")
+
   /** T7/S4: incremental file ingestion — the Structured Streaming file
     * source replaces the reference's hand-rolled processed-blob state file
     * (batch_to_mongo.py:22-57: list blobs, skip processed, persist JSON).

@@ -137,6 +137,26 @@ class StreamingSpec extends SparkSpec {
     assert(result.head.getAs[Double]("last_value") === 20.0)
   }
 
+  test("streaming dedup drops in-watermark duplicates, state bounded") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamingMetrics.dedupStream(mem.toDF(), "ts", "10 minutes",
+      Seq("event_type", "value"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup").start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01 00:00:05"), "A", 1.0),
+        Ev(ts("2024-01-01 00:00:06"), "A", 1.0), // dup content
+        Ev(ts("2024-01-01 00:00:07"), "B", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 00:01:00"), "A", 1.0)) // still in wm
+      q.processAllAvailable()
+      val n = spark.table("dedup").count()
+      assert(n === 2L) // one A-1.0 survivor + one B-2.0
+    } finally q.stop()
+  }
+
   test("unbounded rate source wires into windowed metrics (S1 stand-in)") {
     // the rate source is the built-in unbounded generator — proves the
     // same windowedMetrics plan runs against a genuinely unbounded source
