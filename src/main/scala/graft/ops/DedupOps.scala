@@ -151,4 +151,31 @@ object DedupOps {
 
   /** Hamming distance between two simhash longs (for near-dup pairing). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs via band-of-bits LSH: the 64-bit signature is
+    * split into 4 x 16-bit bands; docs sharing any band become candidates
+    * (pigeonhole: every pair at hamming < 4 is guaranteed caught; larger
+    * distances probabilistically). Candidates are verified with the exact
+    * Hamming distance. Same linear-not-quadratic shape as the MinHash
+    * banding — the self-join key is a uniform 16-bit value + band id.
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", shingleWords: Int = 2,
+                      maxHamming: Int = 8): DataFrame = {
+    val sigs = simhash(docs, idCol, textCol, shingleWords)
+    val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
+      shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+        .as("band_val")))
+    val banded = sigs.select(col(idCol), col("simhash"),
+        explode(array(bandCols: _*)).as("kv"))
+      .select(col(idCol), col("simhash"), col("kv.band"), col("kv.band_val"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_val") === col("b.band_val") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(first(hammingDist(col("a.simhash"), col("b.simhash")))
+        .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -75,12 +75,21 @@ object SimilarityOps {
     planes.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** multiProbe: probe the query's own bucket plus all hamming-1 neighbor
+    * buckets (flip each hyperplane sign once) — the standard recall lever:
+    * (bits+1)x the candidates, still a tiny fraction of the corpus.
+    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
-              bits: Int = 4, idCol: String = "vec_id",
+              bits: Int = 4, multiProbe: Boolean = false,
+              idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    val primary = lshBucket(col(vecCol), dim, bits)
+    val probeSet =
+      if (!multiProbe) array(primary)
+      else array(primary +:
+        (0 until bits).map(b => primary.bitwiseXOR(lit(1 << b))): _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      l2Norm(col(vecCol)).as("qn"),
-      lshBucket(col(vecCol), dim, bits).as("bucket"))
+      l2Norm(col(vecCol)).as("qn"), explode(probeSet).as("bucket"))
     val c = Rebalance(corpus)
       .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
         l2Norm(col(vecCol)).as("cn"),

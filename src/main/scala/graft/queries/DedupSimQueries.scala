@@ -151,6 +151,33 @@ object DedupSimQueries {
           e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
           k = 5, dim = 64, bits = 4)
       },
+      None),
+
+    // SimHash near-dup pairs via band-of-bits LSH + exact Hamming verify.
+    "dedup_simhash_pairs" -> Entry(
+      (s, dir) => DedupOps.simhashNearDups(Tables.documents(s, dir),
+        maxHamming = 16),
+      None),
+
+    // Self-evaluation: recall@5 of the IVF path against the brute-force
+    // ground truth — the measurement a production ANN deployment ships
+    // with. One summary row: n_queries, hits, recall.
+    "ann_recall" -> Entry(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") < 10)
+        val c = e.filter(col("vec_id") >= 10)
+        val truth = SimilarityOps.bruteForceTopK(q, c, 5)
+          .select(col("query_id"), col("corpus_id"))
+        val approx = SimilarityOps.ivfTopK(q, c, 5, dim = 64, bits = 4,
+            multiProbe = true)
+          .select(col("query_id"), col("corpus_id"))
+        truth.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .select(col("n_truth"), col("hits"),
+            (col("hits").cast("double") / col("n_truth")).as("recall"))
+      },
       None)
   )
 }

@@ -62,6 +62,36 @@ class DedupSimSpec extends SparkSpec {
     assert(hd > 0)
   }
 
+  test("simhash band-LSH pairs near-identical docs with small hamming") {
+    // near-dup docs need enough shingles that one edit barely moves the
+    // bit votes — the realistic long-document case
+    val base = Seq.tabulate(80)(i => s"token$i").mkString(" ")
+    val df = Seq(
+      (1L, base + " ending day"),
+      (2L, base + " ending night"),
+      (3L, Seq.tabulate(80)(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.simhashNearDups(df, maxHamming = 20).collect()
+    val pairIds = pairs.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairIds.contains((1L, 2L)))
+    pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 20))
+  }
+
+  test("extensions inject dot_product at session build (SQL surface)") {
+    val desc = graft.GraftExtensions.dotProductDescriptor
+    assert(desc._1.funcName === "dot_product")
+    val e = desc._3(Seq(
+      org.apache.spark.sql.graftbridge.Bridge.expression(
+        typedLit(Array(1.0, 2.0))),
+      org.apache.spark.sql.graftbridge.Bridge.expression(
+        typedLit(Array(3.0, 4.0)))))
+    val out = spark.range(1)
+      .select(org.apache.spark.sql.graftbridge.Bridge.column(e).as("d"))
+      .collect().head.getDouble(0)
+    assert(out === 11.0)
+  }
+
   test("cosine: identical vectors 1.0, orthogonal 0.0") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
