@@ -48,6 +48,54 @@ object StatsQueries {
                  AS DOUBLE) / count(*) AS share_null_type
         FROM part GROUP BY 1""")),
 
+    // A8 (text flavor): describe() of text_length per group
+    // (Milestone3 cell 25). Integer lengths sum exactly, so the mean is
+    // bit-identical without rounding.
+    "a8_text_length_stats" -> Entry(
+      (s, dir) => {
+        val n = count(lit(1))
+        Tables.documents(s, dir)
+          .groupBy(col("lang"))
+          .agg(n.as("n_docs"),
+            sum(length(col("text"))).as("sum_len"),
+            (sum(length(col("text"))).cast("double") / n).as("mean_len"),
+            round(stddev_samp(length(col("text"))), 4).as("std_len"),
+            min(length(col("text"))).cast("long").as("min_len"),
+            max(length(col("text"))).cast("long").as("max_len"))
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS sum_len,
+               CAST(sum(length(text)) AS DOUBLE) / count(*) AS mean_len,
+               round(stddev_samp(length(text)), 4) AS std_len,
+               min(length(text)) AS min_len,
+               max(length(text)) AS max_len
+        FROM documents GROUP BY 1""")),
+
+    // P11: spam-bin predicate — keep bins whose share of high-value events
+    // stays under 0.5 (Milestone4 cell 16 share_cta filter).
+    "p11_spam_bin_filter" -> Entry(
+      (s, dir) => {
+        val n = count(lit(1))
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(n.as("n_events"),
+            (sum((col("value") > 100).cast("long")).cast("double") / n)
+              .as("share_gt100"))
+          .select(col("window.start").as("bin_ts"), col("event_type"),
+            col("n_events"), col("share_gt100"))
+          .filter(col("share_gt100") < 0.5)
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP))
+                   AS bin_ts,
+                 event_type, count(*) AS n_events,
+                 CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*) AS share_gt100
+          FROM events GROUP BY 1, 2)
+        WHERE share_gt100 < 0.5""")),
+
     // Sketch path for A8/A10 at 100 TB (SCALE.md "exact-vs-approx"):
     // fixed-memory percentile_approx + HLL distinct. Rows-only check —
     // sketch estimates are engine-specific by construction.
