@@ -109,6 +109,18 @@ object PipelineQueries {
                md5(text) AS payload_md5
         FROM documents""")),
 
+    // North-star multimodal: frame sampling plumbing — n evenly-spaced
+    // byte windows per payload (rows-only; keyframe seeking is the
+    // codec's job, the slicing/explode shape is the engine's).
+    "multimodal_frames" -> Entry(
+      (s, dir) => MultimodalOps.sampleFrames(
+          MultimodalOps.mediaFromDocuments(Tables.documents(s, dir)).toDF(),
+          n = 4)
+        .select(col("media_id"), col("frame_no"),
+          octet_length(col("frame_bytes")).cast("long").as("frame_len"),
+          md5(col("frame_bytes")).as("frame_md5")),
+      None),
+
     // North-star multimodal: per-partition stub decode + resize plan +
     // frame sampling (real Spark plumbing, fake codec — see
     // MultimodalOps.StubDecoder).

@@ -71,6 +71,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: resample+ffill emits a complete grid, filled after first obs") {
+    val gen = Gen.listOfN(15, Gen.zip(Gen.oneOf("A", "B"),
+      Gen.choose(0, 600), Gen.choose(1.0, 9.0)))
+    samples(gen, 3).foreach { rows =>
+      val df = rows.map { case (k, sec, v) =>
+        (k, new java.sql.Timestamp(1704067200000L + sec * 1000L), v)
+      }.toDF("event_type", "ts", "value")
+      val out = graft.ops.TimeSeriesOps
+        .resampleLastFfill(df, "ts", "event_type", "value", 30)
+      val keys = rows.map(_._1).distinct.size
+      val buckets = out.select($"bucket").distinct().count()
+      // complete grid: every key gets every bucket in the global span
+      assert(out.count() === keys * buckets)
+      // per key: once a value is observed, value_ffill is never null again
+      val rowsOut = out.orderBy($"event_type", $"bucket").collect()
+      rowsOut.groupBy(_.getAs[String]("event_type")).foreach {
+        case (_, krows) =>
+          val nulls = krows.map(_.isNullAt(krows.head.fieldIndex("value_ffill")))
+          val firstNonNull = nulls.indexOf(false)
+          if (firstNonNull >= 0)
+            assert(nulls.drop(firstNonNull).forall(!_),
+              "null after first observation")
+      }
+    }
+  }
+
   test("property: minhash candidate pairs are ordered and banded") {
     val gen = Gen.listOfN(6, Gen.oneOf(
       "alpha beta gamma delta epsilon zeta eta theta",

@@ -137,6 +137,33 @@ class StreamingSpec extends SparkSpec {
     assert(result.head.getAs[Double]("last_value") === 20.0)
   }
 
+  test("Trigger.AvailableNow catches up a backlog then stops (T7)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_avnow").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+    (0 until 3).foreach { i =>
+      Files.write(Paths.get(in, s"f$i.json"),
+        (0 until 10).map(j =>
+          s"""{"ts_ms": ${1704067200000L + (i * 10 + j) * 1000}, "v": $j}""")
+          .mkString("\n").getBytes("UTF-8"))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts_ms",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000) // AvailableNow terminates after the backlog
+    assert(!q.isActive, "AvailableNow query should self-terminate")
+    assert(spark.read.parquet(out).count() === 30L)
+  }
+
   test("streaming dedup drops in-watermark duplicates, state bounded") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Ev]
