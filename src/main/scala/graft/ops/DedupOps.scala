@@ -123,22 +123,20 @@ object DedupOps {
   }
 
   /** SimHash (64-bit) from word shingles: per-bit majority vote over
-    * md5-derived 64-bit shingle hashes (two 32-bit hex halves as longs).
-    * Output long signature; near-dups = pairs at small Hamming distance.
-    * Pure bit algebra on built-ins — codegen'd, one shuffle (the groupBy).
+    * 64-bit shingle hashes. Output long signature; near-dups = pairs at
+    * small Hamming distance. Hash is the native codegen'd `xxhash64`
+    * (simhash is a rows-only check, so unlike the MinHash path there is
+    * no need for the engine-portable-but-stringy md5-hex); bit votes are
+    * pure long algebra — fully codegen'd, one shuffle (the groupBy).
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text", shingleWords: Int = 2): DataFrame = {
     val exploded = Rebalance(docs)
       .select(col(idCol),
         explode(wordShingles(textCol, shingleWords)).as("s"))
-      .withColumn("_h1", conv(substring(md5(col("s")), 1, 8), 16, 10)
-        .cast("long"))
-      .withColumn("_h2", conv(substring(md5(col("s")), 9, 8), 16, 10)
-        .cast("long"))
+      .withColumn("_h", xxhash64(col("s")))
     val bitVotes = (0 until 64).map { b =>
-      val half = if (b < 32) col("_h1") else col("_h2")
-      val bit = shiftright(half, b % 32).bitwiseAND(lit(1L))
+      val bit = shiftrightunsigned(col("_h"), b).bitwiseAND(lit(1L))
       sum(bit * 2 - 1).as(s"bit_$b")
     }
     val votes = exploded.groupBy(col(idCol))
