@@ -63,6 +63,30 @@ object StreamingMetrics {
       }
   }
 
+  /** Genuine stream-stream inner join (the J1-inner variant): both streams
+    * watermarked, joined on key + a bounded event-time band. Spark buffers
+    * each side's state until the watermark passes the band — this is the
+    * right tool when BOTH raw streams must pair row-by-row; the full-outer
+    * per-window cogroup stays on the aggregate-then-join path
+    * ([[cogroupedMetricsSink]]) because stream-stream outer joins cannot
+    * emit a row for a window where only one side has data (SURVEY.md §7
+    * risk 1).
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+                       watermark: String, bandSeconds: Int): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key), col("ts").as("l_ts"),
+        col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as(s"r_$key"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+      col("r_ts") >= col("l_ts") - expr(s"interval $bandSeconds seconds") &&
+      col("r_ts") <= col("l_ts") + expr(s"interval $bandSeconds seconds"))
+      .drop(s"r_$key")
+  }
+
   /** Streaming exact dedup: drop payload duplicates keyed by content hash
     * with state bounded by the watermark — the streaming leg of the dedup
     * suite (state is evicted once the watermark passes, so it does not

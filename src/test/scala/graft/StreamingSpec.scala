@@ -137,6 +137,34 @@ class StreamingSpec extends SparkSpec {
     assert(result.head.getAs[Double]("last_value") === 20.0)
   }
 
+  test("stream-stream banded inner join pairs rows across streams (J1-inner)") {
+    implicit val sql = spark.sqlContext
+    val tweets = MemoryStream[Ev]
+    val prices = MemoryStream[Ev]
+    val joined = StreamingMetrics.streamStreamJoin(
+      tweets.toDF(), prices.toDF(), "event_type", "30 seconds",
+      bandSeconds = 15)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    try {
+      tweets.addData(Ev(ts("2024-01-01 00:00:10"), "ETH", 1.0))
+      prices.addData(
+        Ev(ts("2024-01-01 00:00:05"), "ETH", 3000.0),  // within 15s band
+        Ev(ts("2024-01-01 00:00:50"), "ETH", 3010.0),  // outside band
+        Ev(ts("2024-01-01 00:00:05"), "SOL", 150.0))   // other key
+      q.processAllAvailable()
+      // advance both watermarks so pending state flushes
+      tweets.addData(Ev(ts("2024-01-01 00:10:00"), "ETH", 2.0))
+      prices.addData(Ev(ts("2024-01-01 00:10:00"), "ETH", 3020.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj")
+        .filter($"l_value" === 1.0)
+        .select($"event_type", $"r_value").collect()
+      assert(rows.length === 1) // only the in-band ETH price pairs
+      assert(rows.head.getAs[Double]("r_value") === 3000.0)
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow catches up a backlog then stops (T7)") {
     import java.nio.file.{Files, Paths}
     val root = Files.createTempDirectory("graft_avnow").toString
