@@ -22,7 +22,8 @@ object Catalog {
 
   def all: Map[String, Entry] =
     CoreQueries.defs ++ StatsQueries.defs ++ TextQueries.defs ++
-      DedupSimQueries.defs ++ SeriesQueries.defs ++ PipelineQueries.defs
+      DedupSimQueries.defs ++ SeriesQueries.defs ++ PipelineQueries.defs ++
+      CorpusQueries.defs
 
   def queries: Map[String, Q] = all.map { case (k, e) => k -> e.q }
   def oracles: Map[String, String] =

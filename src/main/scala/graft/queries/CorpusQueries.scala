@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.CorpusOps
+import Catalog.Entry
+
+/** Corpus-preparation suite (north-star): packing, splits, normalization. */
+object CorpusQueries {
+
+  def defs: Map[String, Entry] = Map(
+
+    // Token-budget packing: whitespace-token counts, sequential 512-token
+    // chunks per source.
+    "corpus_chunk_pack" -> Entry(
+      (s, dir) => CorpusOps.tokenBudgetChunks(
+          Tables.documents(s, dir), "doc_id", "source",
+          size(split(col("text"), " ")).cast("long"), budget = 512)
+        .select(col("doc_id"), col("source"), col("tokens"),
+          col("chunk_id")),
+      Some("""
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+               CAST(floor((sum(len(string_split(text, ' ')))
+                 OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - len(string_split(text, ' '))) / 512.0) AS BIGINT)
+                 AS chunk_id
+        FROM documents""")),
+
+    // Deterministic content-hash split (membership depends only on text).
+    "corpus_det_split" -> Entry(
+      (s, dir) => CorpusOps.deterministicSplit(Tables.documents(s, dir))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("n_chars")).cast("double"), 2).as("total_chars")),
+      Some("""
+        SELECT CASE WHEN substring(md5(text), 1, 2) < '0a' THEN 'test'
+                    WHEN substring(md5(text), 1, 2) < '14' THEN 'val'
+                    ELSE 'train' END AS split,
+               count(*) AS n_docs,
+               round(CAST(sum(n_chars) AS DOUBLE), 2) AS total_chars
+        FROM documents GROUP BY 1""")),
+
+    // Normalization: engine-portable via the md5 of the normalized text.
+    "corpus_normalize" -> Entry(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(CorpusOps.normalizeText(col("text"))).as("norm_md5"),
+          length(CorpusOps.normalizeText(col("text"))).cast("long")
+            .as("norm_len")),
+      Some("""
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+               length(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_len
+        FROM documents"""))
+  )
+}

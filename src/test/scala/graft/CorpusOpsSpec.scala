@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.CorpusOps
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token-budget packing assigns sequential chunks per group") {
+    val docs = Seq(
+      (1L, "s", 300L), (2L, "s", 300L), (3L, "s", 300L), (4L, "s", 50L),
+      (5L, "t", 600L))
+      .toDF("doc_id", "source", "tok")
+    val out = CorpusOps.tokenBudgetChunks(docs, "doc_id", "source",
+        $"tok", budget = 512)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("chunk_id")).toMap
+    // running-before: doc1=0 -> chunk 0; doc2 starts at 300 -> chunk 0;
+    // doc3 starts at 600 -> chunk 1; doc4 starts at 900 -> chunk 1
+    assert(out(1L) === 0L && out(2L) === 0L)
+    assert(out(3L) === 1L && out(4L) === 1L)
+    assert(out(5L) === 0L) // independent group
+  }
+
+  test("deterministic split is stable and content-only") {
+    val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.deterministicSplit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(out(1L) === out(3L)) // same text -> same split, id-independent
+    assert(Set("train", "val", "test").contains(out(2L)))
+  }
+
+  test("normalizeText lowercases, strips punctuation, collapses spaces") {
+    val out = Seq("Hello,   WORLD!!  123").toDF("t")
+      .select(CorpusOps.normalizeText($"t").as("n"))
+      .collect().head.getString(0)
+    assert(out === "hello world 123")
+  }
+}
