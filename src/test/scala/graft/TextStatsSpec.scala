@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{RelationalOps, StatsOps, TextOps}
+
+/** Unit coverage for ops otherwise exercised only via the oracle catalog. */
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parseJsonProps extracts typed map values, null on garbage (P2/P4)") {
+    val df = Seq((1L, """{"k": 42}"""), (2L, "not json"), (3L, null))
+      .toDF("id", "props")
+    val out = RelationalOps.parseJsonProps(df).collect()
+      .map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Long]("prop_k")).map(_.longValue)).toMap
+    assert(out(1L) === Some(42L))
+    assert(out(2L) === None)
+    assert(out(3L) === None)
+  }
+
+  test("topKByCount is deterministic under count ties (A7/O3)") {
+    val df = (1 to 30).map(i => i % 10).toDF("k") // all counts equal 3
+    val out = RelationalOps.topKByCount(df, "k", 5).collect()
+      .map(_.getAs[Int]("k")).toSeq
+    assert(out === Seq(0, 1, 2, 3, 4)) // tiebreak on key ascending
+  }
+
+  test("languageId scores marker words with lexicographic tiebreak") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"), // en markers
+      (2L, "el gato y la casa de madera"),      // es markers
+      (3L, "xyzzy plugh"))                      // no markers: all-zero tie
+      .toDF("doc_id", "text")
+    val out = TextOps.languageId(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("lang_pred")).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "es")
+    assert(out(3L) === "de") // zero-score tie -> first lexicographic lang
+  }
+
+  test("qualityScore stays in [0,1] and rewards clean prose") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog in the sunny park " +
+        "and then it runs to the river bank for a drink of water"),
+      (2L, "!!! ??? ;;; ..."), // punctuation soup
+      (3L, "x"))               // too short
+      .toDF("doc_id", "text")
+    val out = TextOps.qualityScore(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("quality_score")).toMap
+    out.values.foreach(q => assert(q >= 0.0 && q <= 1.0))
+    assert(out(1L) > out(2L))
+    assert(out(1L) > out(3L))
+  }
+
+  test("tokenCounts: whitespace vs BPE-ish counts (north-star)") {
+    val out = TextOps.tokenCounts(
+      Seq((1L, "hello world, it's 42 degrees")).toDF("doc_id", "text"))
+      .collect().head
+    assert(out.getAs[Int]("ws_tokens") === 5)
+    // hello|world|,|it|'|s|42|degrees = 8 BPE-ish pieces
+    assert(out.getAs[Int]("bpe_ish_tokens") === 8)
+  }
+
+  test("shareOfRows computes exact predicate means (A9/A18)") {
+    val df = Seq(("g", 1), ("g", 2), ("g", 3), ("g", 4)).toDF("k", "v")
+    val out = StatsOps.shareOfRows(df, "k",
+      Seq("share_even" -> (col("v") % 2 === 0))).collect().head
+    assert(out.getAs[Double]("share_even") === 0.5)
+    assert(out.getAs[Long]("n_rows") === 4L)
+  }
+}
