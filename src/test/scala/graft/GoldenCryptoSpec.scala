@@ -12,8 +12,12 @@ import graft.sources.Sources
   */
 class GoldenCryptoSpec extends SparkSpec {
 
+  import spark.implicits._
+
   private def res(name: String): String =
     getClass.getResource(s"/fixtures/$name").getPath
+
+  private def ts(s: String) = Timestamp.valueOf(s)
 
   test("windowed crypto metrics over JSON fixtures match golden rows") {
     val tweets = Sources.jsonArray(spark, Schemas.tweetSchema,
@@ -49,6 +53,39 @@ class GoldenCryptoSpec extends SparkSpec {
     assert(rows((w1, "FTM")) === ((0L, Some(0.5), Some(0.5), None)))
     // the null-crypto_key tweet (P1) is dropped: no null-symbol row
     assert(!rows.keys.exists(_._2 == null))
+  }
+
+  test("CryptoStreamJob runs the speed layer end-to-end on the fixtures") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Files.createTempDirectory("crypto_stream").toString
+    Seq("tweets", "prices").foreach(d =>
+      Files.createDirectories(Paths.get(root, d)))
+    // tweet fixture is a JSON array; the file stream wants JSON lines
+    val tweetRows = Sources.jsonArray(spark, Schemas.tweetSchema,
+      res("tweets.json"))
+    tweetRows.toJSON.collect().zipWithIndex.foreach { case (line, i) =>
+      Files.write(Paths.get(root, "tweets", s"t$i.json"),
+        line.getBytes("UTF-8"))
+    }
+    Files.copy(Paths.get(res("prices_wide.jsonl")),
+      Paths.get(root, "prices", "p0.json"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val q = graft.streaming.CryptoStreamJob.start(spark,
+      s"$root/tweets", s"$root/prices",
+      Seq("ETH", "SOL", "FTM", "SHIB"),
+      s"$root/out", s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.read.parquet(s"$root/out")
+    // all files land in one micro-batch -> same five golden windows
+    assert(out.count() === 5)
+    val eth = out.filter($"symbol" === "ETH" &&
+      $"window_start" === ts("2025-12-29 15:41:00")).collect().head
+    assert(eth.getAs[Long]("tweet_volume") === 2L)
+    assert(eth.getAs[Double]("last_price") === 3010.0)
+    assert(eth.getAs[Timestamp]("event_timestamp") ===
+      ts("2025-12-29 15:41:30")) // speed layer stamps window END (F7)
   }
 
   test("sentiment + forecast surfaces compose on the same fixture (X1/X2)") {
