@@ -42,6 +42,28 @@ object CorpusQueries {
                round(CAST(sum(n_chars) AS DOUBLE), 2) AS total_chars
         FROM documents GROUP BY 1""")),
 
+    // Term document-frequency stats — the inverted-index/IDF surface a
+    // corpus pipeline maintains: distinct (doc, term) explode, per-term
+    // doc counts + total occurrences, top 20 by df with term tiebreak.
+    "corpus_term_df" -> Entry(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val terms = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        val df_ = terms.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("doc_freq"),
+            count(lit(1)).as("total_occurrences"))
+        df_.orderBy(col("doc_freq").desc, col("term")).limit(20)
+      },
+      Some("""
+        SELECT term, doc_freq, total_occurrences FROM (
+          SELECT term, count(DISTINCT doc_id) AS doc_freq,
+                 count(*) AS total_occurrences
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents)
+          GROUP BY 1)
+        ORDER BY doc_freq DESC, term LIMIT 20""")),
+
     // Normalization: engine-portable via the md5 of the normalized text.
     "corpus_normalize" -> Entry(
       (s, dir) => Tables.documents(s, dir)
