@@ -176,6 +176,58 @@ object SeriesQueries {
                  AS value_norm
         FROM events""")),
 
+    // Beyond the reference (SURVEY.md §2.10 notes sliding/session windows
+    // unused there): sliding 10-min windows every 5 min — each event lands
+    // in exactly two epoch-aligned windows.
+    "t2_sliding_window" -> Entry(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value")),
+      Some("""
+        WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+                   FROM events),
+        x AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws,
+                     event_type, value FROM e
+              UNION ALL
+              SELECT time_bucket(INTERVAL '5 minutes', ts)
+                       - INTERVAL '5 minutes', event_type, value FROM e)
+        SELECT ws AS window_start, event_type, count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM x GROUP BY 1, 2""")),
+
+    // Beyond the reference: session windows (5-min inactivity gap per
+    // user) — the gaps-and-islands formulation mirrors Spark's
+    // session_window semantics exactly (session start = first event,
+    // membership = consecutive gaps < gap).
+    "t_session_window" -> Entry(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("session_window.start").as("session_start"),
+          col("user_id"), col("n_events"), col("sum_value")),
+      Some("""
+        WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value
+                   FROM events),
+        flags AS (
+          SELECT ts, user_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sess AS (
+          SELECT ts, user_id, value,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flags)
+        SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM sess GROUP BY user_id, sid""")),
+
     // X2 (batch analog): drift forecast — next value = value + last step
     // (streaming stateful form: graft.streaming.DriftForecaster).
     "x2_drift_forecast" -> Entry(
