@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, Md5MinMaxShingles, MinHashSigs, SimHash64}
+import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions at session build time, so SQL users get them without any
@@ -18,6 +19,9 @@ import graft.functions.DotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
+    ext.injectFunction(GraftExtensions.simhash64Descriptor)
+    ext.injectFunction(GraftExtensions.minhashSigsDescriptor)
+    ext.injectFunction(GraftExtensions.md5MinMaxDescriptor)
   }
 }
 
@@ -29,4 +33,24 @@ object GraftExtensions {
     FunctionIdentifier("dot_product"),
     new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
     (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)))
+
+  private def intArg(e: Expression): Int =
+    e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+
+  val simhash64Descriptor: FunctionDescriptor = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+    (exprs: Seq[Expression]) => SimHash64(exprs(0), intArg(exprs(1))))
+
+  val minhashSigsDescriptor: FunctionDescriptor = (
+    FunctionIdentifier("minhash_sigs"),
+    new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+    (exprs: Seq[Expression]) =>
+      MinHashSigs(exprs(0), intArg(exprs(1)), intArg(exprs(2))))
+
+  val md5MinMaxDescriptor: FunctionDescriptor = (
+    FunctionIdentifier("md5_minmax"),
+    new ExpressionInfo(classOf[Md5MinMaxShingles].getName, "md5_minmax"),
+    (exprs: Seq[Expression]) =>
+      Md5MinMaxShingles(exprs(0), intArg(exprs(1))))
 }

@@ -1,0 +1,280 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass hashing kernels for the text-dedup operators.
+  *
+  * The composable formulations (explode shingles -> md5/xxhash64 -> groupBy
+  * min / bit-vote sums) are correct and fully declarative, but at 100 TB the
+  * explode materializes O(total shingles) rows and the groupBy shuffles one
+  * partial-agg row per (doc, partition). A per-document signature is a pure
+  * scalar function of the text, so the scale-right shape is a narrow
+  * projection: one custom Catalyst `Expression` per signature, with
+  * `doGenCode` emitting a single static-kernel call that stays inside
+  * whole-stage codegen (SURVEY.md §7 preference (b), same rationale as
+  * [[DotProduct]]).
+  *
+  * Parity contracts (each checked by TextHashExprSpec against the
+  * declarative twin, which remains in DedupOps/TextOps as the oracle-shaped
+  * reference implementation):
+  *  - word shingles = Spark `split(text, " ")` + windows of n joined by " ",
+  *    distinct (set semantics; consumers are order-invariant aggregates)
+  *  - simhash bit b set iff sum over distinct shingles of (2*bit_b(xxhash64
+  *    (shingle)) - 1) > 0, seed 42 — byte-exact `XXH64.hashUTF8String`
+  *  - minhash_i = min over shingles of md5-hex("i|" + shingle) — digests
+  *    compared as unsigned bytes (hex encoding is order-preserving)
+  *  - fingerprint = (min, max) md5-hex over all character 8-grams
+  *    (codepoint-windowed, matching `substring`'s UTF-8 semantics)
+  */
+object HashKernels {
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  private def hex32(d: Array[Byte]): UTF8String = {
+    val cs = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      cs(2 * i) = HEX((d(i) >> 4) & 0xF).toByte
+      cs(2 * i + 1) = HEX(d(i) & 0xF).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(cs)
+  }
+
+  /** Unsigned lexicographic byte compare — the same order hex encoding
+    * induces on the digest strings.
+    */
+  private def cmpU(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 16) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    0
+  }
+
+  /** Distinct word n-gram shingles. Split semantics match
+    * `split(text, " ")` (java regex, limit -1); windows match
+    * `concat_ws(" ", slice(words, i+1, n))` for i in 0..max(len-n, 0).
+    */
+  def wordShingleSet(text: UTF8String, n: Int): java.util.ArrayList[String] = {
+    val words = text.toString.split(" ", -1)
+    val set = new java.util.LinkedHashSet[String]
+    val last = math.max(words.length - n, 0)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= last) {
+      sb.setLength(0)
+      val end = math.min(i + n, words.length) - 1
+      var j = i
+      while (j <= end) {
+        sb.append(words(j))
+        if (j < end) sb.append(' ')
+        j += 1
+      }
+      set.add(sb.toString)
+      i += 1
+    }
+    new java.util.ArrayList[String](set)
+  }
+
+  /** 64-bit SimHash over distinct word n-gram shingles, xxhash64 seed 42. */
+  def simhash64(text: UTF8String, shingleWords: Int): Long = {
+    val sh = wordShingleSet(text, shingleWords)
+    val votes = new Array[Int](64)
+    var idx = 0
+    while (idx < sh.size) {
+      val h = XXH64.hashUTF8String(UTF8String.fromString(sh.get(idx)), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      idx += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** k MinHash values: min over shingles of md5-hex("i|" + shingle).
+    * Digest bytes are compared directly (unsigned); hex is emitted once per
+    * doc, not once per hash.
+    */
+  def minhashSigs(text: UTF8String, shingleWords: Int, k: Int): ArrayData = {
+    val sh = wordShingleSet(text, shingleWords)
+    val md = md5Local.get()
+    val prefixes = new Array[Array[Byte]](k)
+    var i = 0
+    while (i < k) {
+      prefixes(i) = (i.toString + "|").getBytes(StandardCharsets.UTF_8)
+      i += 1
+    }
+    val mins = new Array[Array[Byte]](k)
+    val tmp = new Array[Byte](16)
+    var s = 0
+    while (s < sh.size) {
+      val bytes = sh.get(s).getBytes(StandardCharsets.UTF_8)
+      i = 0
+      while (i < k) {
+        md.reset()
+        md.update(prefixes(i))
+        md.update(bytes)
+        md.digest(tmp, 0, 16)
+        if (mins(i) == null) mins(i) = tmp.clone()
+        else if (cmpU(tmp, mins(i)) < 0) System.arraycopy(tmp, 0, mins(i), 0, 16)
+        i += 1
+      }
+      s += 1
+    }
+    val out = new Array[Any](k)
+    i = 0
+    while (i < k) {
+      out(i) = if (mins(i) == null) null else hex32(mins(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** (min, max) md5-hex over every character `len`-gram of the text —
+    * codepoint windows computed from a single UTF-8 offset scan (no
+    * per-window substring walk), hashing byte slices in place.
+    */
+  def md5MinMaxChar(text: UTF8String, len: Int): InternalRow = {
+    val bytes = text.getBytes
+    val nChars = text.numChars()
+    // offsets(c) = byte offset of codepoint c; offsets(nChars) = total bytes
+    val offsets = new Array[Int](nChars + 1)
+    var c = 0
+    var off = 0
+    while (c < nChars) {
+      offsets(c) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      c += 1
+    }
+    offsets(nChars) = bytes.length
+    val count = math.max(nChars - (len - 1), 1)
+    val md = md5Local.get()
+    val minD = new Array[Byte](16)
+    val maxD = new Array[Byte](16)
+    val tmp = new Array[Byte](16)
+    var first = true
+    var i = 0
+    while (i < count) {
+      val start = offsets(i)
+      val end = offsets(math.min(i + len, nChars))
+      md.reset()
+      md.update(bytes, start, end - start)
+      md.digest(tmp, 0, 16)
+      if (first) {
+        System.arraycopy(tmp, 0, minD, 0, 16)
+        System.arraycopy(tmp, 0, maxD, 0, 16)
+        first = false
+      } else {
+        if (cmpU(tmp, minD) < 0) System.arraycopy(tmp, 0, minD, 0, 16)
+        if (cmpU(tmp, maxD) > 0) System.arraycopy(tmp, 0, maxD, 0, 16)
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](hex32(minD), hex32(maxD)))
+  }
+}
+
+private[functions] trait TextHashExpr extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${dt.sql}")
+  }
+}
+
+/** simhash64(text, nWords): 64-bit SimHash signature as a long. */
+case class SimHash64(child: Expression, shingleWords: Int)
+    extends TextHashExpr {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(t: Any): Any =
+    HashKernels.simhash64(t.asInstanceOf[UTF8String], shingleWords)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.simhash64($c, $shingleWords);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** minhash_sigs(text, nWords, k): array of k md5-hex MinHash values. */
+case class MinHashSigs(child: Expression, shingleWords: Int, k: Int)
+    extends TextHashExpr {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "minhash_sigs"
+
+  override def nullSafeEval(t: Any): Any =
+    HashKernels.minhashSigs(t.asInstanceOf[UTF8String], shingleWords, k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.minhashSigs($c, " +
+        s"$shingleWords, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** md5_minmax(text, len): struct(fp_min, fp_max) over character len-grams. */
+case class Md5MinMaxShingles(child: Expression, shingleLen: Int)
+    extends TextHashExpr {
+  override def dataType: DataType = StructType(Seq(
+    StructField("fp_min", StringType, nullable = false),
+    StructField("fp_max", StringType, nullable = false)))
+  override def prettyName: String = "md5_minmax"
+
+  override def nullSafeEval(t: Any): Any =
+    HashKernels.md5MinMaxChar(t.asInstanceOf[UTF8String], shingleLen)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.md5MinMaxChar($c, " +
+        s"$shingleLen);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object TextHashFunctions {
+  def simhash64(text: Column, shingleWords: Int): Column =
+    Bridge.column(SimHash64(Bridge.expression(text), shingleWords))
+
+  def minhash_sigs(text: Column, shingleWords: Int, k: Int): Column =
+    Bridge.column(MinHashSigs(Bridge.expression(text), shingleWords, k))
+
+  def md5_minmax(text: Column, shingleLen: Int): Column =
+    Bridge.column(Md5MinMaxShingles(Bridge.expression(text), shingleLen))
+}

@@ -50,16 +50,30 @@ object DedupOps {
       concat_ws(" ", slice(words, i + 1, lit(n))))))
   }
 
-  /** MinHash signatures via explode + groupBy-min rather than
-    * `array_min(transform(...))`: higher-order-function lambdas are
-    * CodegenFallback (interpreted per element), while the exploded
-    * formulation keeps all k md5 projections and the min aggregate inside
-    * whole-stage codegen. Partial aggregation collapses to one row per
-    * (doc, partition) before the shuffle, so shuffle volume is O(docs),
-    * not O(shingles). Output: idCol, m0..m{k-1}.
+  /** MinHash signatures as a one-pass native kernel
+    * ([[graft.functions.MinHashSigs]]): a per-doc signature is a scalar
+    * function of the text, so the scale-right shape is a narrow projection —
+    * no shingle explode (O(shingles) rows), no groupBy shuffle. The
+    * declarative twin below is the oracle-shaped reference implementation.
+    * Output: idCol, m0..m{k-1}.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleWords: Int, k: Int): DataFrame = {
+    val sig = graft.functions.TextHashFunctions
+      .minhash_sigs(col(textCol), shingleWords, k)
+    val cols = col(idCol) +: (0 until k).map(i => sig.getItem(i).as(s"m$i"))
+    Rebalance(docs).select(cols: _*)
+  }
+
+  /** Declarative MinHash twin (explode + groupBy-min): keeps every md5
+    * projection and the min aggregate in whole-stage codegen with partial
+    * aggregation, at the cost of materializing the shingle explode and one
+    * shuffle. Retained for parity testing and as the form a SQL-only user
+    * would write.
+    */
+  def minhashSignaturesDeclarative(docs: DataFrame, idCol: String,
+                                   textCol: String, shingleWords: Int,
+                                   k: Int): DataFrame = {
     val exploded = Rebalance(docs).select(col(idCol),
       explode(wordShingles(textCol, shingleWords)).as("s"))
     val mins = (0 until k).map(i =>
@@ -123,13 +137,23 @@ object DedupOps {
   }
 
   /** SimHash (64-bit) from word shingles: per-bit majority vote over
-    * 64-bit shingle hashes. Output long signature; near-dups = pairs at
-    * small Hamming distance. Hash is the native codegen'd `xxhash64`
-    * (simhash is a rows-only check, so unlike the MinHash path there is
-    * no need for the engine-portable-but-stringy md5-hex); bit votes are
-    * pure long algebra — fully codegen'd, one shuffle (the groupBy).
+    * 64-bit shingle hashes (xxhash64 seed 42). Computed by the one-pass
+    * native kernel ([[graft.functions.SimHash64]]) — a narrow codegen'd
+    * projection with no explode and no shuffle; at 100 TB the signature
+    * stage is embarrassingly parallel map work. Near-dups = pairs at small
+    * Hamming distance ([[simhashNearDups]]).
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", shingleWords: Int = 2): DataFrame =
+    Rebalance(docs).select(col(idCol),
+      graft.functions.TextHashFunctions
+        .simhash64(col(textCol), shingleWords).as("simhash"))
+
+  /** Declarative SimHash twin (explode + 64 bit-vote sums): pure built-in
+    * long algebra, one shuffle. Retained for parity testing — the native
+    * kernel must reproduce it bit-for-bit.
+    */
+  def simhashDeclarative(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text", shingleWords: Int = 2): DataFrame = {
     val exploded = Rebalance(docs)
       .select(col(idCol),

@@ -146,11 +146,24 @@ object TextOps {
     s"transform(sequence(1, greatest(length($textCol) - ${shingle - 1}, 1))," +
     s" i -> substring($textCol, i, $shingle))")
 
-  /** Explode + groupBy min/max keeps the md5 projection and aggregate in
-    * whole-stage codegen (HOF lambdas are interpreted); shuffle is O(docs)
-    * thanks to partial aggregation. Output: idCol, fp_min, fp_max.
+  /** One-pass native kernel ([[graft.functions.Md5MinMaxShingles]]): the
+    * fingerprint is a scalar of the text, so it runs as a narrow codegen'd
+    * projection — no char-shingle explode (O(text length) rows/doc), no
+    * groupBy shuffle, and digests are compared as bytes with hex emitted
+    * once per doc. Output: idCol, fp_min, fp_max.
     */
   def fingerprint(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", shingle: Int = 8): DataFrame =
+    Rebalance(df)
+      .select(col(idCol), graft.functions.TextHashFunctions
+        .md5_minmax(col(textCol), shingle).as("mm"))
+      .select(col(idCol), col("mm.fp_min"), col("mm.fp_max"))
+
+  /** Declarative fingerprint twin (explode + groupBy min/max over
+    * `md5(shingle)`): retained for parity testing and as the SQL-shaped
+    * reference implementation (identical to the DuckDB oracle).
+    */
+  def fingerprintDeclarative(df: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", shingle: Int = 8): DataFrame =
     Rebalance(df)
       .select(col(idCol), explode(charShingles(textCol, shingle)).as("s"))
