@@ -50,4 +50,33 @@ object CorpusOps {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Deterministic stratified (mix) sampling — the domain-reweighting step
+    * of a pretraining data recipe: each stratum keeps its own fraction of
+    * documents, decided purely by a salted content-key hash. Like
+    * [[deterministicSplit]], membership is a pure function of
+    * (stratum, id), so re-runs and resharding keep the exact same sample;
+    * unlike `df.sample`, there is no RNG and no partition-order
+    * sensitivity, so the op is reproducible on any cluster layout.
+    *
+    * The first 8 md5-hex chars of `salt|stratum|id` are a uniform 32-bit
+    * value; keep the row iff hex < floor(frac * 2^32) rendered as 8-hex.
+    * String comparison on fixed-width lowercase hex == unsigned numeric
+    * compare, identical in any engine.
+    */
+  def mixSample(docs: DataFrame, stratumCol: String, idCol: String,
+                fractions: Map[String, Double],
+                defaultFrac: Double = 0.0): DataFrame = {
+    def thresh(f: Double): String =
+      f"${math.min((f * 4294967296.0).toLong, 4294967295L)}%08x"
+    val h = substring(
+      md5(concat_ws("|", lit("mix"), col(stratumCol),
+        col(idCol).cast("string"))), 1, 8)
+    // CASE stratum WHEN ... THEN threshold chain, deterministic order
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(""))) { case (acc, (s, f)) =>
+        acc.when(col(stratumCol) === s, lit(thresh(f)))
+      }.otherwise(lit(thresh(defaultFrac)))
+    docs.filter(h < threshold)
+  }
 }

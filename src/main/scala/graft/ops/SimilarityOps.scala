@@ -105,6 +105,25 @@ object SimilarityOps {
         round(col("cos_sim"), 6).as("cos_sim"), col("rnk"))
   }
 
+  /** Per-group embedding centroids, emitted long-form as (group, dim, n,
+    * centroid) — the building block for IVF coarse quantizers and cluster
+    * profiling. Elements are quantized to 1e-6 before summation
+    * (`sum(round(v*1e6)::long)`), making the aggregate an exact integer
+    * sum — order-independent, so the result is identical on any partition
+    * layout / engine (float addition is not associative; long addition is).
+    * One shuffle on (group, dim); partial aggregation keeps shuffle rows
+    * at O(groups * dims) regardless of corpus size.
+    */
+  def groupCentroids(vecs: DataFrame, byCol: String,
+                     vecCol: String = "embedding"): DataFrame =
+    Rebalance(vecs)
+      .select(col(byCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col(byCol), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("v").cast("double") * 1e6).cast("long")).as("_q"))
+      .select(col(byCol), col("dim"), col("n_vecs"),
+        (col("_q").cast("double") / 1e6 / col("n_vecs")).as("centroid"))
+
   /** Embedding-cosine near-duplicate pairs above a threshold (the
     * embedding leg of the dedup suite): all-pairs via self-join bounded to
     * id_a < id_b. Use after LSH bucketing at scale; exact form here for

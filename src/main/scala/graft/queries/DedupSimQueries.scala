@@ -10,6 +10,29 @@ import Catalog.Entry
   */
 object DedupSimQueries {
 
+  /** DuckDB literal for lshBucket's hyperplane b (SimilarityOps.lshBucket
+    * derives weights from a fixed integer mix, so the oracle can embed the
+    * exact same doubles as SQL literals — Double.toString round-trips).
+    */
+  private def planeLit(b: Int, dim: Int): String =
+    (0 until dim).map { i =>
+      val x = (1103515245L * (b * dim + i) + 12345L) % 1000003L
+      ((x.toDouble / 1000003.0) * 2.0 - 1.0).toString
+    }.mkString("[", ", ", "]")
+
+  /** SQL for the sign-LSH bucket of vector expression `v` — the literal
+    * twin of SimilarityOps.lshBucket (left-to-right double dot product,
+    * sign threshold, bit-OR of disjoint powers of two).
+    */
+  private def bucketSql(v: String, dim: Int, bits: Int): String =
+    (0 until bits).map(b =>
+      s"(CASE WHEN list_dot_product($v, ${planeLit(b, dim)}) >= 0" +
+        s" THEN ${1 << b} ELSE 0 END)").mkString(" + ")
+
+  private val cosSql =
+    "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) *" +
+      " sqrt(list_dot_product(cv, cv)))"
+
   def defs: Map[String, Entry] = Map(
 
     // Exact dedup via md5-hash groupBy (narrow shuffle keys at scale).
@@ -142,8 +165,9 @@ object DedupSimQueries {
                 (sqrt(list_dot_product(a.e, a.e)) *
                  sqrt(list_dot_product(b.e, b.e))) >= 0.3""")),
 
-    // IVF/LSH-bucketed ANN top-k (approximate scale path; deterministic
-    // but hyperplane literals make the SQL twin impractical — rows-only).
+    // IVF/LSH-bucketed ANN top-k (approximate scale path). The hyperplanes
+    // are deterministic, so the oracle embeds them as generated double
+    // literals and replays the exact bucket-join + rank.
     "ivf_ann_topk" -> Entry(
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
@@ -151,7 +175,27 @@ object DedupSimQueries {
           e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
           k = 5, dim = 64, bits = 4)
       },
-      None),
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id >= 10),
+        qb AS (SELECT query_id, qv, ${bucketSql("qv", 64, 4)} AS bucket
+               FROM q),
+        cb AS (SELECT corpus_id, cv, ${bucketSql("cv", 64, 4)} AS bucket
+               FROM c),
+        scored AS (
+          SELECT query_id, corpus_id, $cosSql AS cos_raw
+          FROM cb JOIN qb USING (bucket)),
+        ranked AS (
+          SELECT query_id, corpus_id, cos_raw,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_raw DESC, corpus_id) AS rnk
+          FROM scored)
+        SELECT query_id, corpus_id, round(cos_raw, 6) AS cos_sim,
+               CAST(rnk AS INTEGER) AS rnk
+        FROM ranked WHERE rnk <= 5""")),
 
     // SimHash near-dup pairs via band-of-bits LSH + exact Hamming verify.
     "dedup_simhash_pairs" -> Entry(
@@ -178,6 +222,39 @@ object DedupSimQueries {
           .select(col("n_truth"), col("hits"),
             (col("hits").cast("double") / col("n_truth")).as("recall"))
       },
-      None)
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id >= 10),
+        truth AS (
+          SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY $cosSql DESC, corpus_id) AS rnk
+            FROM c, q) WHERE rnk <= 5),
+        qb AS (SELECT query_id, qv, ${bucketSql("qv", 64, 4)} AS bucket
+               FROM q),
+        cb AS (SELECT corpus_id, cv, ${bucketSql("cv", 64, 4)} AS bucket
+               FROM c),
+        probes AS (SELECT query_id, qv,
+                          unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                                  xor(bucket, 4), xor(bucket, 8)]) AS bucket
+                   FROM qb),
+        approx AS (
+          SELECT query_id, corpus_id FROM (
+            SELECT p.query_id, cb.corpus_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                     ORDER BY list_dot_product(p.qv, cb.cv) /
+                       (sqrt(list_dot_product(p.qv, p.qv)) *
+                        sqrt(list_dot_product(cb.cv, cb.cv))) DESC,
+                       cb.corpus_id) AS rnk
+            FROM probes p JOIN cb ON p.bucket = cb.bucket) WHERE rnk <= 5),
+        h AS (SELECT count(*) AS hits
+              FROM truth JOIN approx USING (query_id, corpus_id)),
+        nt AS (SELECT count(*) AS n_truth FROM truth)
+        SELECT n_truth, hits, CAST(hits AS DOUBLE) / n_truth AS recall
+        FROM nt, h"""))
   )
 }

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{AsOfJoinOps, CorpusOps, SimilarityOps}
+import Catalog.Entry
+
+/** Round-2 relational/time-series extensions: as-of join, banded range
+  * join, pivot, rollup, per-group vector centroids, and deterministic
+  * stratified mix-sampling. Each is a first-class operator with a plain-SQL
+  * DuckDB twin (no engine-specific keywords like ASOF JOIN, so the oracle
+  * checks semantics, not a builtin).
+  */
+object RelationalExtQueries {
+
+  def defs: Map[String, Entry] = Map(
+
+    // As-of join: each click gets the most recent purchase value by the
+    // same user at or before its timestamp (union + gaps-and-islands fill:
+    // one shuffle, no range join — the kdb/Flink formulation).
+    "j5_asof_join" -> Entry(
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val left = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val right = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        AsOfJoinOps.asofJoin(left, right, "user_id", "ts", "event_id",
+            "value")
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("asof_value"))
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                          value
+                   FROM events WHERE event_type = 'click'),
+        r AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events WHERE event_type = 'purchase'),
+        u AS (SELECT event_id, user_id, ts, value,
+                     CAST(NULL AS DOUBLE) AS r_value, 1 AS is_left FROM l
+              UNION ALL
+              SELECT event_id, user_id, ts, CAST(NULL AS DOUBLE), value, 0
+              FROM r),
+        f AS (SELECT *, count(r_value) OVER (PARTITION BY user_id
+                ORDER BY ts, is_left, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+              FROM u),
+        g AS (SELECT event_id, user_id, value, is_left,
+                     max(r_value) OVER (PARTITION BY user_id, grp)
+                       AS asof_value
+              FROM f)
+        SELECT event_id, user_id, value, asof_value
+        FROM g WHERE is_left = 1""")),
+
+    // Banded range join: purchases by the same user within 30 min after
+    // each click, zero-filled (join key quantized to 30-min bands keeps the
+    // join an equi-join touching <= 2 bands per probe).
+    "j6_range_join" -> Entry(
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val left = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val right = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        AsOfJoinOps.rangeJoinCount(left, right, "user_id", "ts",
+          "event_id", "value", 1800)
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events WHERE event_type = 'purchase')
+        SELECT l.event_id, l.user_id,
+               count(r.ts) AS n_follow,
+               coalesce(round(sum(r.value), 2), 0) AS sum_follow
+        FROM l LEFT JOIN r ON l.user_id = r.user_id
+          AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL '30 minutes'
+        GROUP BY 1, 2""")),
+
+    // Pivot (long -> wide): daily event counts + value sums per type.
+    "e3_pivot_daily" -> Entry(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day_ts"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv")),
+      Some("""
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_ts,
+          count(*) FILTER (WHERE event_type = 'click') AS click_n,
+          round(sum(value) FILTER (WHERE event_type = 'click'), 2)
+            AS click_sv,
+          count(*) FILTER (WHERE event_type = 'error') AS error_n,
+          round(sum(value) FILTER (WHERE event_type = 'error'), 2)
+            AS error_sv,
+          count(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+          round(sum(value) FILTER (WHERE event_type = 'purchase'), 2)
+            AS purchase_sv,
+          count(*) FILTER (WHERE event_type = 'signup') AS signup_n,
+          round(sum(value) FILTER (WHERE event_type = 'signup'), 2)
+            AS signup_sv,
+          count(*) FILTER (WHERE event_type = 'view') AS view_n,
+          round(sum(value) FILTER (WHERE event_type = 'view'), 2)
+            AS view_sv
+        FROM events GROUP BY 1""")),
+
+    // Rollup: customer count + balances by (nation, segment) with
+    // subtotals and grand total (broadcast dim join + rollup grouping sets).
+    "u2_rollup_acctbal" -> Entry(
+      (s, dir) => Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .select(col("n_name"), col("c_mktsegment"), col("n_cust"),
+          col("sum_bal")),
+      Some("""
+        SELECT n_name, c_mktsegment, count(*) AS n_cust,
+               round(sum(c_acctbal), 2) AS sum_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, c_mktsegment)""")),
+
+    // Per-label embedding centroids, long-form; 1e-6 quantized exact
+    // integer sums make the aggregate order-independent (see
+    // SimilarityOps.groupCentroids).
+    "vec_centroid_by_label" -> Entry(
+      (s, dir) => SimilarityOps.groupCentroids(
+        Tables.embeddings(s, dir), "label"),
+      Some("""
+        WITH x AS (
+          SELECT label, CAST(i AS INTEGER) - 1 AS dim,
+                 CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                   * 1000000) AS BIGINT) AS q
+          FROM embeddings,
+               UNNEST(generate_series(1, len(embedding))) AS t(i))
+        SELECT label, dim, count(*) AS n_vecs,
+               CAST(sum(q) AS DOUBLE) / 1000000 / count(*) AS centroid
+        FROM x GROUP BY 1, 2""")),
+
+    // Deterministic stratified mix-sampling (domain reweighting): per-lang
+    // keep-fractions decided by a salted hash of (lang, doc_id) only.
+    "corpus_mix_sample" -> Entry(
+      (s, dir) => CorpusOps.mixSample(Tables.documents(s, dir),
+          "lang", "doc_id",
+          Map("en" -> 0.75, "es" -> 0.5, "fr" -> 0.5, "de" -> 0.25,
+            "zh" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some("""
+        SELECT doc_id, lang, source FROM documents
+        WHERE substr(md5('mix' || '|' || lang || '|'
+                || CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE lang WHEN 'de' THEN '40000000'
+                      WHEN 'en' THEN 'c0000000'
+                      WHEN 'es' THEN '80000000'
+                      WHEN 'fr' THEN '80000000'
+                      WHEN 'zh' THEN '19999999'
+                      ELSE '00000000' END"""))
+  )
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.{AsOfJoinOps, CorpusOps, SimilarityOps}
+
+/** Semantics of the round-2 relational extensions: as-of join (union +
+  * gaps-and-islands), banded range join (band edges included), mix
+  * sampling (deterministic, stratified), group centroids (exact quantized
+  * sums).
+  */
+class AsOfRangeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin picks most recent right value at or before left time") {
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:30"), 5.0),
+      (2L, 7L, ts("2024-01-01 10:02:00"), 6.0),
+      (3L, 8L, ts("2024-01-01 10:00:10"), 7.0) // key 8: no right rows
+    ).toDF("event_id", "user_id", "ts", "value")
+    val right = Seq(
+      (101L, 7L, ts("2024-01-01 10:00:00"), 100.0),
+      (102L, 7L, ts("2024-01-01 10:02:00"), 200.0) // same instant as left 2
+    ).toDF("event_id", "user_id", "ts", "value")
+      .select($"user_id", $"ts", $"event_id", $"value")
+
+    val out = AsOfJoinOps.asofJoin(left, right, "user_id", "ts",
+        "event_id", "value").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("asof_value"))).toMap
+    assert(out(1L) === Some(100.0))
+    assert(out(2L) === Some(200.0)) // "at or before" includes same instant
+    assert(out(3L) === None)
+  }
+
+  test("rangeJoinCount counts right rows in (t, t+range], zero-filled") {
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 11:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-01 10:00:00"), 1.0),  // exactly at t: excluded
+      (7L, ts("2024-01-01 10:10:00"), 2.0),  // in range
+      (7L, ts("2024-01-01 10:30:00"), 4.0),  // exactly t+range: included
+      (7L, ts("2024-01-01 10:31:00"), 8.0)   // past range: excluded
+    ).toDF("user_id", "ts", "value")
+
+    val out = AsOfJoinOps.rangeJoinCount(left, right, "user_id", "ts",
+        "event_id", "value", 1800).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_follow"), r.getAs[Double]("sum_follow"))).toMap
+    assert(out(1L) === ((2L, 6.0)))
+    assert(out(2L) === ((0L, 0.0)))
+  }
+
+  test("mixSample is deterministic, stratified, and roughly proportional") {
+    val docs = (0 until 2000).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "zh")).toDF("doc_id", "lang")
+    val fr = Map("en" -> 0.8, "zh" -> 0.2)
+    val s1 = CorpusOps.mixSample(docs, "lang", "doc_id", fr).collect()
+    val s2 = CorpusOps.mixSample(
+      docs.repartition(7), "lang", "doc_id", fr).collect()
+    assert(s1.map(_.getLong(0)).sorted.toSeq ===
+      s2.map(_.getLong(0)).sorted.toSeq) // layout-independent
+    val byLang = s1.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(math.abs(byLang("en") - 800) < 100)
+    assert(math.abs(byLang("zh") - 200) < 60)
+  }
+
+  test("groupCentroids computes exact quantized per-dim means") {
+    val vecs = Seq(
+      (0, Array(1.0f, -2.0f)),
+      (0, Array(3.0f, 4.0f)),
+      (1, Array(0.5f, 0.25f))
+    ).toDF("label", "embedding")
+    val out = SimilarityOps.groupCentroids(vecs, "label").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("centroid"))).toMap
+    assert(out((0, 0)) === ((2L, 2.0)))
+    assert(out((0, 1)) === ((2L, 1.0)))
+    assert(out((1, 0)) === ((1L, 0.5)))
+    assert(out((1, 1)) === ((1L, 0.25)))
+  }
+
+  test("asofJoin plans a single shuffle (window), no join operator") {
+    val left = Seq((1L, 7L, ts("2024-01-01 10:00:30"), 5.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val right = Seq((101L, 7L, ts("2024-01-01 10:00:00"), 100.0))
+      .toDF("event_id", "user_id", "ts", "value")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val plan = AsOfJoinOps.asofJoin(left, right, "user_id", "ts",
+      "event_id", "value").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected join-free plan:\n$plan")
+  }
+}
