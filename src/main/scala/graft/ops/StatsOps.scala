@@ -31,6 +31,53 @@ object StatsOps {
       round(max(v), 4).as("max_v"))
   }
 
+  /** A8 at scale: the same describe/summary via a sort + rank formulation
+    * instead of `percentile`. The exact `percentile` aggregate buffers
+    * every value of a group inside the (partial) aggregation buffer — at
+    * 100 TB a hot group OOMs an executor. Here the values are sorted once
+    * per group key (one range-partitioned sort shuffle, spillable), each
+    * quantile is picked by rank, and interpolation uses the same
+    * `lo + frac * (hi - lo)` formula as `percentile`/`quantile_cont`, so
+    * results are identical (SummaryStatsParitySpec pins the two paths to
+    * each other and the query keeps the same DuckDB oracle).
+    */
+  def summaryStatsSorted(df: DataFrame, keyCol: String,
+                         valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_v"))
+    val ranked = Rebalance(df)
+      .select(col(keyCol), col(valCol).as("_v"))
+      .filter(col("_v").isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+    def pick(q: Double, nm: String) = {
+      val pos = (col("_n") - 1).cast("double") * q
+      Seq(
+        min(when(col("_rn") === floor(pos).cast("long") + 1, col("_v")))
+          .as(s"_lo_$nm"),
+        min(when(col("_rn") === ceil(pos).cast("long") + 1, col("_v")))
+          .as(s"_hi_$nm"))
+    }
+    val v = col("_v")
+    val aggs = Seq(
+      count(v).as("n"),
+      round(sum(v), 2).as("sum_v"),
+      (round(sum(v), 2) / count(v)).as("mean_v"),
+      round(stddev_samp(v), 4).as("std_v"),
+      round(min(v), 4).as("min_v"),
+      round(max(v), 4).as("max_v")) ++
+      pick(0.25, "q25") ++ pick(0.5, "med") ++ pick(0.75, "q75")
+    val agg = ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    def interp(q: Double, nm: String) = {
+      val pos = (col("n") - 1).cast("double") * q
+      val frac = pos - floor(pos)
+      round(col(s"_lo_$nm") + frac * (col(s"_hi_$nm") - col(s"_lo_$nm")), 4)
+    }
+    agg.select(col(keyCol), col("n"), col("sum_v"), col("mean_v"),
+      col("std_v"), col("min_v"),
+      interp(0.25, "q25").as("q25"), interp(0.5, "med").as("median"),
+      interp(0.75, "q75").as("q75"), col("max_v"))
+  }
+
   /** A9/A18: share-of-rows aggregates — null ratio and predicate means
     * (`isna().mean()`, `(len<10).mean()`). Exact long counts + IEEE division.
     */

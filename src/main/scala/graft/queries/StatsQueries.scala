@@ -15,7 +15,7 @@ object StatsQueries {
     // A8: describe/summary with exact interpolated quartiles
     // (Milestone3 cells 25/36/40).
     "a8_summary_stats" -> Entry(
-      (s, dir) => StatsOps.summaryStats(Tables.lineitem(s, dir),
+      (s, dir) => StatsOps.summaryStatsSorted(Tables.lineitem(s, dir),
         "l_returnflag", "l_extendedprice"),
       Some("""
         SELECT l_returnflag,

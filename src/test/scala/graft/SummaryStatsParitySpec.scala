@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.StatsOps
+
+/** The sort+rank summary (scale path) must reproduce the buffer-based
+  * `percentile` summary exactly — same interpolation formula, same
+  * rounding — across group sizes incl. n=1 and even/odd counts.
+  */
+class SummaryStatsParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("summaryStatsSorted matches summaryStats on mixed group sizes") {
+    val rows = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 10.0), ("a", 4.5), // n=4 (even)
+      ("b", 7.25), ("b", 3.5), ("b", 9.0),             // n=3 (odd)
+      ("c", 42.0)                                      // n=1
+    ) ++ (0 until 97).map(i => ("d", (i * 37 % 101) + 0.25)) // n=97
+    val df = rows.toDF("k", "v")
+    val a = StatsOps.summaryStats(df, "k", "v")
+      .orderBy($"k").collect().map(_.toSeq)
+    val b = StatsOps.summaryStatsSorted(df, "k", "v")
+      .orderBy($"k").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("summaryStatsSorted ignores null values like percentile does") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)))
+      .toDF("k", "v")
+    val out = StatsOps.summaryStatsSorted(df, "k", "v").collect().head
+    assert(out.getAs[Long]("n") === 2L)
+    assert(out.getAs[Double]("median") === 2.0)
+  }
+}
