@@ -252,4 +252,44 @@ class StreamingSpec extends SparkSpec {
       assert(rows(2L) === "sell")
     } finally q.stop()
   }
+
+  test("streaming as-of enrichment carries latest right value across " +
+      "micro-batches with O(keys) state") {
+    import graft.streaming.AsOfEnricher
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[AsOfEnricher.Elem]
+    val out = AsOfEnricher.enrich(mem.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("asof").start()
+    try {
+      // batch 1: price then tweet at same instant, then later tweet
+      mem.addData(
+        AsOfEnricher.Elem("ETH", ts("2024-01-01 00:00:10"), 100.0,
+          isLeft = false),
+        AsOfEnricher.Elem("ETH", ts("2024-01-01 00:00:10"), 1.0,
+          isLeft = true),
+        AsOfEnricher.Elem("ETH", ts("2024-01-01 00:00:20"), 2.0,
+          isLeft = true),
+        AsOfEnricher.Elem("SOL", ts("2024-01-01 00:00:05"), 3.0,
+          isLeft = true))
+      q.processAllAvailable()
+      // batch 2: the remembered 100.0 must survive; then a fresher price
+      mem.addData(
+        AsOfEnricher.Elem("ETH", ts("2024-01-01 00:01:00"), 4.0,
+          isLeft = true),
+        AsOfEnricher.Elem("ETH", ts("2024-01-01 00:01:30"), 150.0,
+          isLeft = false),
+        AsOfEnricher.Elem("ETH", ts("2024-01-01 00:02:00"), 5.0,
+          isLeft = true))
+      q.processAllAvailable()
+      val rows = spark.table("asof").collect()
+        .map(r => r.getAs[Double]("value") ->
+          Option(r.getAs[Any]("asof_value"))).toMap
+      assert(rows(1.0) === Some(100.0)) // same-instant right wins
+      assert(rows(2.0) === Some(100.0))
+      assert(rows(3.0) === None)        // no right row for SOL
+      assert(rows(4.0) === Some(100.0)) // state crossed the batch boundary
+      assert(rows(5.0) === Some(150.0)) // fresher right applied
+    } finally q.stop()
+  }
 }
