@@ -6,7 +6,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -31,8 +31,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference implementation):
   *  - word shingles = Spark `split(text, " ")` + windows of n joined by " ",
   *    distinct (set semantics; consumers are order-invariant aggregates)
-  *  - simhash bit b set iff sum over distinct shingles of (2*bit_b(xxhash64
-  *    (shingle)) - 1) > 0, seed 42 — byte-exact `XXH64.hashUTF8String`
+  *  - simhash bit b set iff sum over distinct shingles of
+  *    (2*bit_b(h) - 1) > 0, where h = first 16 md5-hex chars of the
+  *    shingle read as an unsigned big-endian 64-bit value
   *  - minhash_i = min over shingles of md5-hex("i|" + shingle) — digests
   *    compared as unsigned bytes (hex encoding is order-preserving)
   *  - fingerprint = (min, max) md5-hex over all character 8-grams
@@ -96,13 +97,26 @@ object HashKernels {
     new java.util.ArrayList[String](set)
   }
 
-  /** 64-bit SimHash over distinct word n-gram shingles, xxhash64 seed 42. */
+  /** 64-bit SimHash over distinct word n-gram shingles. The per-shingle
+    * hash is the first 8 md5 digest bytes read big-endian — i.e. the first
+    * 16 md5-hex chars as an unsigned 64-bit value — which any engine can
+    * reproduce from `md5(shingle)`, making the signature oracle-checkable
+    * (an xxhash64 variant would be ~5x faster per shingle but engine-
+    * private; the md5 cost is noise next to the scan).
+    */
   def simhash64(text: UTF8String, shingleWords: Int): Long = {
     val sh = wordShingleSet(text, shingleWords)
+    val md = md5Local.get()
+    val tmp = new Array[Byte](16)
     val votes = new Array[Int](64)
     var idx = 0
     while (idx < sh.size) {
-      val h = XXH64.hashUTF8String(UTF8String.fromString(sh.get(idx)), 42L)
+      md.reset()
+      md.update(sh.get(idx).getBytes(StandardCharsets.UTF_8))
+      md.digest(tmp, 0, 16)
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (tmp(i) & 0xFFL); i += 1 }
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -137,11 +137,12 @@ object DedupOps {
   }
 
   /** SimHash (64-bit) from word shingles: per-bit majority vote over
-    * 64-bit shingle hashes (xxhash64 seed 42). Computed by the one-pass
-    * native kernel ([[graft.functions.SimHash64]]) — a narrow codegen'd
-    * projection with no explode and no shuffle; at 100 TB the signature
-    * stage is embarrassingly parallel map work. Near-dups = pairs at small
-    * Hamming distance ([[simhashNearDups]]).
+    * 64-bit shingle hashes (first 16 md5-hex chars big-endian — engine-
+    * portable, so the signature itself is oracle-checkable). Computed by
+    * the one-pass native kernel ([[graft.functions.SimHash64]]) — a narrow
+    * codegen'd projection with no explode and no shuffle; at 100 TB the
+    * signature stage is embarrassingly parallel map work. Near-dups =
+    * pairs at small Hamming distance ([[simhashNearDups]]).
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text", shingleWords: Int = 2): DataFrame =
@@ -150,15 +151,20 @@ object DedupOps {
         .simhash64(col(textCol), shingleWords).as("simhash"))
 
   /** Declarative SimHash twin (explode + 64 bit-vote sums): pure built-in
-    * long algebra, one shuffle. Retained for parity testing — the native
-    * kernel must reproduce it bit-for-bit.
+    * algebra, one shuffle. The 64-bit hash is assembled from the md5 hex
+    * in two 32-bit halves (`conv` parses each half exactly; a single
+    * 16-char parse would overflow signed long). Retained for parity
+    * testing — the native kernel must reproduce it bit-for-bit.
     */
   def simhashDeclarative(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text", shingleWords: Int = 2): DataFrame = {
+    val hx = md5(col("s"))
+    val hi = conv(substring(hx, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hx, 9, 8), 16, 10).cast("long")
     val exploded = Rebalance(docs)
       .select(col(idCol),
         explode(wordShingles(textCol, shingleWords)).as("s"))
-      .withColumn("_h", xxhash64(col("s")))
+      .withColumn("_h", shiftleft(hi, 32).bitwiseOR(lo))
     val bitVotes = (0 until 64).map { b =>
       val bit = shiftrightunsigned(col("_h"), b).bitwiseAND(lit(1L))
       sum(bit * 2 - 1).as(s"bit_$b")

@@ -33,6 +33,36 @@ object DedupSimQueries {
     "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) *" +
       " sqrt(list_dot_product(cv, cv)))"
 
+  /** CTEs computing the 64-bit SimHash signature per doc in DuckDB — the
+    * twin of HashKernels.simhash64. Bit b of the big-endian 16-hex-char
+    * value lives in hex char (16 - b/4) at nibble bit (b % 4); votes are
+    * sum(2*bit - 1); the signed long is rebuilt with -2^63 for bit 63.
+    */
+  private def simhashSigSql: String = {
+    val votes = (0 until 64).map { b =>
+      val ch = 16 - b / 4
+      val p = 1 << (b % 4)
+      s"sum(2 * (((strpos('0123456789abcdef', substr(md5(s), $ch, 1)) - 1)" +
+        s" // $p) % 2) - 1) AS v$b"
+    }.mkString(",\n               ")
+    val sig = (0 until 64).map { b =>
+      val w = if (b == 63) "-9223372036854775808"
+              else (1L << b).toString
+      s"(CASE WHEN v$b > 0 THEN CAST($w AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            array_to_string(list_slice(ws, CAST(i AS INTEGER),
+              CAST(i AS INTEGER) + 1), ' ') AS s
+          FROM w, UNNEST(generate_series(1, greatest(len(ws) - 1, 1)))
+            AS t(i)),
+        v AS (SELECT doc_id,
+               $votes
+              FROM sh GROUP BY 1),
+        sig AS (SELECT doc_id, $sig AS simhash FROM v)"""
+  }
+
   def defs: Map[String, Entry] = Map(
 
     // Exact dedup via md5-hash groupBy (narrow shuffle keys at scale).
@@ -112,11 +142,13 @@ object DedupSimQueries {
         WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
                 >= 0.05""")),
 
-    // SimHash 64-bit signatures (rows-only check: bit algebra is portable
-    // but base-conversion SQL is not worth the oracle complexity).
+    // SimHash 64-bit signatures — md5-derived hash, so the exact signature
+    // is replayed in SQL (bit votes from hex-nibble parsing).
     "dedup_simhash" -> Entry(
       (s, dir) => DedupOps.simhash(Tables.documents(s, dir)),
-      None),
+      Some(s"""
+        WITH $simhashSigSql
+        SELECT doc_id, simhash FROM sig""")),
 
     // Brute-force cosine top-k (ANN baseline): 10 query vectors vs the
     // rest of the corpus, k=5.
@@ -198,10 +230,25 @@ object DedupSimQueries {
         FROM ranked WHERE rnk <= 5""")),
 
     // SimHash near-dup pairs via band-of-bits LSH + exact Hamming verify.
+    // Arithmetic (simhash >> k) & 65535 equals the unsigned band extract
+    // in both engines (the mask discards the sign-extended bits).
     "dedup_simhash_pairs" -> Entry(
       (s, dir) => DedupOps.simhashNearDups(Tables.documents(s, dir),
         maxHamming = 16),
-      None),
+      Some(s"""
+        WITH $simhashSigSql,
+        banded AS (
+          SELECT doc_id, simhash, CAST(b AS INTEGER) AS band,
+                 (simhash >> (CAST(b AS INTEGER) * 16)) & 65535 AS band_val
+          FROM sig, UNNEST([0, 1, 2, 3]) AS t(b))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(min(bit_count(xor(a.simhash, b.simhash))) AS INTEGER)
+                 AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING min(bit_count(xor(a.simhash, b.simhash))) <= 16""")),
 
     // Self-evaluation: recall@5 of the IVF path against the brute-force
     // ground truth — the measurement a production ANN deployment ships
