@@ -124,6 +124,52 @@ object SimilarityOps {
       .select(col(byCol), col("dim"), col("n_vecs"),
         (col("_q").cast("double") / 1e6 / col("n_vecs")).as("centroid"))
 
+  /** Materialize the IVF index: the corpus written as parquet PARTITIONED
+    * BY the sign-LSH bucket. This is the physical layout that turns probes
+    * into partition-pruned scans — the difference between "filter 100 TB"
+    * and "read 1/2^bits of it".
+    */
+  def writeIvfIndex(corpus: DataFrame, path: String, dim: Int, bits: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit =
+    corpus.withColumn("bucket", lshBucket(col(vecCol), dim, bits))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Probe a written IVF index. The probe set (own bucket + optional
+    * hamming-1 neighbors per query) is computed from the query vectors —
+    * a driver-side literal list, which is exactly what static partition
+    * pruning wants: the scan's PartitionFilters restrict it to the probed
+    * bucket directories (asserted in IvfIndexSpec), so cost scales with
+    * probes/2^bits of the corpus, not the corpus.
+    */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queries: DataFrame, k: Int, dim: Int, bits: Int,
+                   multiProbe: Boolean = false, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val primary = lshBucket(col(vecCol), dim, bits)
+    val probeSet =
+      if (!multiProbe) array(primary)
+      else array(primary +:
+        (0 until bits).map(b => primary.bitwiseXOR(lit(1 << b))): _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"), explode(probeSet).as("bucket"))
+    val probes: Array[Int] = q.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0))
+    val c = spark.read.parquet(path)
+      .filter(col("bucket").isin(probes.map(Integer.valueOf).toSeq: _*))
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+        l2Norm(col(vecCol)).as("cn"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .withColumn("cos_sim", dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cos_sim"), 6).as("cos_sim"), col("rnk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (the
     * embedding leg of the dedup suite): all-pairs via self-join bounded to
     * id_a < id_b. Use after LSH bucketing at scale; exact form here for

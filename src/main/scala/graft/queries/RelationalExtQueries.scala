@@ -120,6 +120,20 @@ object RelationalExtQueries {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY ROLLUP (n_name, c_mktsegment)""")),
 
+    // Cube: all grouping-set combinations of (status, priority) — the
+    // full grouping-sets family next to u2's rollup.
+    "u3_cube_orders" -> Entry(
+      (s, dir) => Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("n_orders"), col("sum_price")),
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
     // Per-label embedding centroids, long-form; 1e-6 quantized exact
     // integer sums make the aggregate order-independent (see
     // SimilarityOps.groupCentroids).

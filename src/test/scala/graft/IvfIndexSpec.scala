@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.SimilarityOps
+
+/** The IVF scale path must be real: the index write partitions the corpus
+  * by LSH bucket, and probing reads ONLY the probed bucket directories
+  * (PartitionFilters in the scan), returning the same top-k as the
+  * unpartitioned bucket-join formulation.
+  */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 4
+  private val bits = 2
+
+  private def vecs(n: Int, seed: Int) = (0 until n).map { i =>
+    val v = Array.tabulate(dim)(d =>
+      (((i * 31 + d * 17 + seed) % 13) - 6).toFloat / 3f)
+    (i.toLong + seed * 1000L, v)
+  }.toDF("vec_id", "embedding")
+
+  test("index write + probe prunes partitions and matches ivfTopK") {
+    val dir = Files.createTempDirectory("ivf_idx").toString
+    val corpus = vecs(60, seed = 1)
+    val queries = vecs(3, seed = 2)
+    SimilarityOps.writeIvfIndex(corpus, dir, dim, bits)
+
+    // written layout is bucket=N directories
+    val buckets = new java.io.File(dir).list().filter(_.startsWith("bucket="))
+    assert(buckets.nonEmpty && buckets.length <= (1 << bits))
+
+    val probed = SimilarityOps.ivfIndexTopK(spark, dir, queries, k = 3,
+      dim = dim, bits = bits)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("bucket"), s"expected pruned scan:\n$plan")
+
+    val reference = SimilarityOps.ivfTopK(queries, corpus, k = 3,
+      dim = dim, bits = bits)
+    val a = probed.collect().map(r => (r.getLong(0), r.getInt(3)) ->
+      r.getLong(1)).toMap
+    val b = reference.collect().map(r => (r.getLong(0), r.getInt(3)) ->
+      r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("multi-probe reads more buckets but stays pruned") {
+    val dir = Files.createTempDirectory("ivf_idx_mp").toString
+    SimilarityOps.writeIvfIndex(vecs(60, seed = 1), dir, dim, bits)
+    val out = SimilarityOps.ivfIndexTopK(spark, dir, vecs(2, seed = 2),
+      k = 3, dim = dim, bits = bits, multiProbe = true)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(out.count() > 0)
+  }
+}
