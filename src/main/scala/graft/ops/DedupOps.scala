@@ -177,6 +177,62 @@ object DedupOps {
     votes.select(col(idCol), sig.as("simhash"))
   }
 
+  /** Decontamination: drop training documents sharing any word n-gram
+    * with the evaluation set (the GPT-3-style 13-gram discipline, n
+    * configurable). The eval side's distinct gram set is small by
+    * definition — Catalyst broadcasts it — so the train side streams
+    * through a broadcast semi-join + anti-join with no big shuffle.
+    */
+  def decontaminate(train: DataFrame, test: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 5): DataFrame = {
+    val testGrams = test
+      .select(explode(wordShingles(textCol, n)).as("g")).distinct()
+    val contaminated = Rebalance(train)
+      .select(col(idCol), explode(wordShingles(textCol, n)).as("g"))
+      .join(broadcast(testGrams), Seq("g"))
+      .select(col(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Dedup clusters: connected components over candidate pairs by
+    * iterative min-label propagation — each vertex repeatedly adopts the
+    * smallest label among itself and its neighbors; converges in
+    * O(log(component diameter)) rounds (this is Pregel/GraphX CC without
+    * the GraphX dependency). The driver only coordinates the loop; all
+    * data stays distributed, per-round cost is one join + one aggregate
+    * on the edge list. Input pairs (doc_a < doc_b); output (doc_id,
+    * cluster_id = min doc id in the component).
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).cache()
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"),
+          col("cluster_id").as("nl")), Seq("dst"))
+        .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("cluster_id"),
+          coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .cache()
+      val changed = next.join(
+          labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Hamming distance between two simhash longs (for near-dup pairing). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -83,6 +83,73 @@ object DedupSimQueries {
                  / count(*) AS dup_rate
         FROM documents GROUP BY 1""")),
 
+    // Decontamination: drop train docs sharing any word 5-gram with the
+    // eval slice (doc_id % 17 == 0) — the GPT-3 n-gram-overlap discipline.
+    "corpus_decontaminate" -> Entry(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        DedupOps.decontaminate(
+            docs.filter(col("doc_id") % 17 =!= 0),
+            docs.filter(col("doc_id") % 17 === 0), n = 5)
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some("""
+        WITH te AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents WHERE doc_id % 17 = 0),
+        tr AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE doc_id % 17 <> 0),
+        teg AS (SELECT DISTINCT array_to_string(list_slice(ws,
+                  CAST(i AS INTEGER), CAST(i AS INTEGER) + 4), ' ') AS g
+                FROM te, UNNEST(generate_series(1, greatest(len(ws) - 4, 1)))
+                  AS t(i)),
+        trg AS (SELECT DISTINCT doc_id, array_to_string(list_slice(ws,
+                  CAST(i AS INTEGER), CAST(i AS INTEGER) + 4), ' ') AS g
+                FROM tr, UNNEST(generate_series(1, greatest(len(ws) - 4, 1)))
+                  AS t(i)),
+        bad AS (SELECT DISTINCT trg.doc_id FROM trg JOIN teg USING (g))
+        SELECT d.doc_id, d.lang, d.source FROM documents d
+        WHERE d.doc_id % 17 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM bad)""")),
+
+    // Dedup clusters: connected components over the MinHash candidate
+    // pairs (min-label propagation in Spark; WITH RECURSIVE reachability
+    // in the oracle).
+    "dedup_clusters" -> Entry(
+      (s, dir) => DedupOps.dupClusters(
+        DedupOps.minhashCandidates(Tables.documents(s, dir))),
+      Some("""
+        WITH RECURSIVE w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            array_to_string(list_slice(ws, CAST(i AS INTEGER),
+              CAST(i AS INTEGER) + 2), ' ') AS s
+          FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 1)))
+            AS t(i)),
+        mh AS (
+          SELECT doc_id, CAST(h AS INTEGER) AS h,
+                 min(md5(CAST(h AS VARCHAR) || '|' || s)) AS minh
+          FROM sh, UNNEST(generate_series(0, 15)) AS ht(h)
+          GROUP BY 1, 2),
+        bands AS (
+          SELECT doc_id, h // 4 AS band,
+                 md5(string_agg(minh, '|' ORDER BY h)) AS band_hash
+          FROM mh GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT src AS id, src AS r FROM edges
+          UNION
+          SELECT reach.id, edges.dst
+          FROM reach JOIN edges ON reach.r = edges.src)
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1""")),
+
     // MinHash + LSH banding candidate pairs (16 hashes, 4 bands of 4).
     // MD5-hex min over seeded shingle hashes = portable min-hash.
     "dedup_minhash_lsh" -> Entry(

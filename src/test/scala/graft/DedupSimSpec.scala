@@ -78,6 +78,29 @@ class DedupSimSpec extends SparkSpec {
     pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 20))
   }
 
+  test("decontaminate drops train docs sharing an n-gram with test") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally unrelated training content here now"),
+      (3L, "prefix words alpha beta gamma delta epsilon suffix")
+    ).toDF("doc_id", "text")
+    val test = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val kept = DedupOps.decontaminate(train, test, n = 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(2L)) // 1 and 3 share the 5-gram with the test doc
+  }
+
+  test("dupClusters labels every component by its min id") {
+    // components: {1,2,3} (chain), {7,8}, pair list never links them
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val labels = DedupOps.dupClusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("extensions inject dot_product at session build (SQL surface)") {
     val desc = graft.GraftExtensions.dotProductDescriptor
     assert(desc._1.funcName === "dot_product")
