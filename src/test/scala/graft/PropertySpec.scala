@@ -113,4 +113,30 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: dupClusters equals brute-force connected components") {
+    val edgeGen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+      .map(_.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct)
+      .suchThat(_.nonEmpty)
+    samples(edgeGen, 5).foreach { edges =>
+      val got = DedupOps.dupClusters(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute-force: iterate adjacency min-propagation to fixpoint
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lbl = verts.map(v => v -> v).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        verts.foreach { v =>
+          val m = (lbl(v) +: adj.getOrElse(v, Nil).map(lbl)).min
+          if (m < lbl(v)) { lbl += v -> m; changed = true }
+        }
+      }
+      assert(got === lbl)
+    }
+  }
 }
