@@ -135,6 +135,26 @@ object TextOps {
         regexp_count(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")))
   }
 
+  // --- North-star: PII scrubbing -----------------------------------------
+
+  /** C4-style PII redaction: emails, phone-like sequences, and long digit
+    * runs replaced by typed placeholder tokens, with per-category counts
+    * kept for audit. Pure codegen'd regexp algebra — narrow, shuffle-free,
+    * O(bytes) at any scale.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+  val longNumRe = "[0-9]{6,}"
+
+  def piiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(emailRe)))
+      .withColumn("n_phones", regexp_count(t, lit(phoneRe)))
+      .withColumn("text_scrubbed",
+        regexp_replace(regexp_replace(regexp_replace(t,
+          emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), longNumRe, "<NUM>"))
+  }
+
   // --- North-star: document fingerprinting -------------------------------
 
   /** Winnowing-style fingerprint: min/max MD5 over character shingles.

@@ -130,6 +130,26 @@ object TextQueries {
         FROM f""")),
 
     // North-star: whitespace + BPE-ish token counting.
+    // North-star: C4-style PII redaction with audit counts. DuckDB's
+    // regexp_replace needs the 'g' flag to match Spark's replace-all.
+    "corpus_pii_scrub" -> Entry(
+      (s, dir) => TextOps.piiScrub(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("text_scrubbed")),
+      Some(s"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '${TextOps.emailRe}'))
+                 AS n_emails,
+               len(regexp_extract_all(text, '${TextOps.phoneRe}'))
+                 AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '${TextOps.emailRe}', '<EMAIL>', 'g'),
+                 '${TextOps.phoneRe}', '<PHONE>', 'g'),
+                 '${TextOps.longNumRe}', '<NUM>', 'g') AS text_scrubbed
+        FROM documents""")),
+
     "token_counts" -> Entry(
       (s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))
         .select(col("doc_id"),
