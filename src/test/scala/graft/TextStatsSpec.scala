@@ -63,6 +63,25 @@ class TextStatsSpec extends SparkSpec {
     assert(out.getAs[Int]("bpe_ish_tokens") === 8)
   }
 
+  test("piiScrub redacts emails/phones/numbers and counts them") {
+    val df = Seq(
+      (1L, "mail me at a.user+x@example.co.uk or call +1 (555) 123-4567"),
+      (2L, "ticket 123456 is open"), // 6 digits: <NUM>; 9+ digit runs
+                                     // match the phone pattern instead
+      (3L, "clean text only")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.piiScrub(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_emails"), r.getAs[Int]("n_phones"),
+          r.getAs[String]("text_scrubbed"))).toMap
+    assert(out(1L)._1 === 1)
+    assert(out(1L)._2 === 1)
+    assert(out(1L)._3.contains("<EMAIL>") && out(1L)._3.contains("<PHONE>"))
+    assert(!out(1L)._3.contains("example.co.uk"))
+    assert(out(2L)._3 === "ticket <NUM> is open")
+    assert(out(3L)._3 === "clean text only")
+  }
+
   test("shareOfRows computes exact predicate means (A9/A18)") {
     val df = Seq(("g", 1), ("g", 2), ("g", 3), ("g", 4)).toDF("k", "v")
     val out = StatsOps.shareOfRows(df, "k",
