@@ -119,7 +119,22 @@ object PipelineQueries {
         .select(col("media_id"), col("frame_no"),
           octet_length(col("frame_bytes")).cast("long").as("frame_len"),
           md5(col("frame_bytes")).as("frame_md5")),
-      None),
+      // Oracle relies on documents.text being pure ASCII (verified at all
+      // three sfs: octet_length == length for every row), so VARCHAR
+      // substring reproduces the byte slicing and md5(VARCHAR) hashes the
+      // same bytes. trunc() mirrors Spark's truncating double->int cast
+      // (DuckDB's plain CAST rounds).
+      Some("""
+        WITH m AS (SELECT doc_id AS media_id, text, length(text) AS len
+                   FROM documents),
+        f AS (SELECT media_id, CAST(i AS INTEGER) AS frame_no,
+                     substring(text, CAST(trunc(CAST(i AS INTEGER) *
+                       greatest((len - 64) / 4.0, 1.0) + 1) AS INTEGER),
+                       64) AS fr
+              FROM m, UNNEST(generate_series(0, 3)) AS t(i))
+        SELECT media_id, frame_no, CAST(length(fr) AS BIGINT) AS frame_len,
+               md5(fr) AS frame_md5
+        FROM f WHERE length(fr) > 0""")),
 
     // North-star multimodal: per-partition stub decode + resize plan +
     // frame sampling (real Spark plumbing, fake codec — see
@@ -135,6 +150,41 @@ object PipelineQueries {
             round(col("mean_intensity"), 4).as("mean_intensity"),
             col("out_width"), col("out_height"))
       },
-      None)
+      // The stub decode is deterministic byte arithmetic, and the payload
+      // is the UTF-8 of ASCII-only text — so every feature is replayable
+      // in SQL: head/last byte via ascii(), byte sum via per-char list
+      // sum (exact integer sums), resize via the same ceil/least algebra.
+      Some("""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'image'
+                      WHEN doc_id % 3 = 1 THEN 'audio'
+                      ELSE 'video' END AS kind,
+                 text, length(text) AS len
+          FROM documents),
+        feat AS (
+          SELECT media_id, kind, CAST(len AS BIGINT) AS byte_len,
+                 CASE WHEN len = 0 THEN 0 ELSE CAST(16 +
+                   (ascii(substring(text, 1, 1)) % 64) AS INTEGER) END
+                   AS width,
+                 CASE WHEN len = 0 THEN 0 ELSE CAST(16 +
+                   (ascii(substring(text, len, 1)) % 64) AS INTEGER) END
+                   AS height,
+                 CASE WHEN len = 0 THEN 0
+                      ELSE CAST(1 + len % 8 AS INTEGER) END AS n_frames,
+                 CASE WHEN len = 0 THEN 0.0
+                      ELSE round(list_sum(list_transform(
+                        string_split(text, ''), c -> ascii(c)))
+                        / CAST(len AS DOUBLE), 4) END AS mean_intensity
+          FROM m)
+        SELECT media_id, kind, byte_len, width, height, n_frames,
+               mean_intensity,
+               CAST(ceil(width * least(1.0,
+                 32 / CAST(greatest(greatest(width, height), 1) AS DOUBLE)))
+                 AS INTEGER) AS out_width,
+               CAST(ceil(height * least(1.0,
+                 32 / CAST(greatest(greatest(width, height), 1) AS DOUBLE)))
+                 AS INTEGER) AS out_height
+        FROM feat"""))
   )
 }
