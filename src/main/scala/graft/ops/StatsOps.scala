@@ -90,6 +90,25 @@ object StatsOps {
     df.groupBy(col(keyCol)).agg(n.as("n_rows"), aggs: _*)
   }
 
+  /** Column profiling — the EDA sweep a pipeline runs on every new table:
+    * per column, row count, null count, distinct count, min/max (rendered
+    * as strings so one long-form result covers heterogeneous types; the
+    * caller chooses string-stable columns/casts for oracle parity). One
+    * scan per column; at scale the aggregates partial-combine so each is
+    * a single narrow pass + 1-row shuffle, and the union is plan-level
+    * (no data movement).
+    */
+  def profileColumns(df: DataFrame, cols: Seq[(String, Column)]): DataFrame =
+    cols.map { case (name, c) =>
+      df.groupBy().agg(
+        lit(name).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        sum(c.isNull.cast("long")).as("n_nulls"),
+        countDistinct(c).as("n_distinct"),
+        min(c).cast("string").as("min_str"),
+        max(c).cast("string").as("max_str"))
+    }.reduce(_ unionByName _)
+
   /** A15: Pearson correlation per group, rounded for hash stability. */
   def corrBy(df: DataFrame, keyCol: String, x: String, y: String): DataFrame =
     df.groupBy(col(keyCol))

@@ -33,6 +33,32 @@ object StatsQueries {
 
     // A9/A18: null-ratio and predicate-share means (isna().mean(),
     // (len<10).mean() — Milestone3 cells 27/37, Milestone4 cell 9).
+    // Column profiling sweep over `part` (strings, ints, and a
+    // decimal-cast double — types whose string rendering is engine-
+    // identical).
+    "a19_profile_columns" -> Entry(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        StatsOps.profileColumns(Tables.part(s, dir), Seq(
+          "p_partkey" -> col("p_partkey"),
+          "p_name" -> col("p_name"),
+          "p_brand" -> col("p_brand"),
+          "p_type" -> col("p_type"),
+          "p_size" -> col("p_size"),
+          "p_retailprice" -> col("p_retailprice").cast("decimal(12,2)")))
+      },
+      Some(Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+          "p_retailprice").map { c =>
+        val e = if (c == "p_retailprice") "CAST(p_retailprice AS DECIMAL(12,2))"
+                else c
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+               count(*) - count($e) AS n_nulls,
+               count(DISTINCT $e) AS n_distinct,
+               CAST(min($e) AS VARCHAR) AS min_str,
+               CAST(max($e) AS VARCHAR) AS max_str
+            FROM part"""
+      }.mkString("\n        UNION ALL\n        "))),
+
     "a9a18_share_of_rows" -> Entry(
       (s, dir) => StatsOps.shareOfRows(Tables.part(s, dir), "p_brand", Seq(
         "share_large" -> (col("p_size") >= 25),
