@@ -29,15 +29,21 @@ object AsOfJoinOps {
     * row). Right rows at the exact left timestamp win ("at or before");
     * among equal-time right rows the tie-break column decides (last wins).
     *
-    * Output: all `left` columns + `asofCol`.
+    * The carried value keeps `right(valueCol)`'s native type (string,
+    * decimal, struct, ... — anything a column can hold): each island
+    * contains at most one right row, so `first(ignoreNulls)` over the
+    * island is deterministic and needs no ordering or comparability.
+    *
+    * Output: all `left` columns + `asofCol` (typed as `right(valueCol)`).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                timeCol: String, tieCol: String, valueCol: String,
                asofCol: String = "asof_value"): DataFrame = {
+    val vType = right.schema(valueCol).dataType
     val l = left.withColumn("_is_left", lit(1))
-      .withColumn("_r_value", lit(null).cast("double"))
+      .withColumn("_r_value", lit(null).cast(vType))
     val r = right.select(col(keyCol), col(timeCol), col(tieCol),
-        col(valueCol).cast("double").as("_r_value"))
+        col(valueCol).cast(vType).as("_r_value"))
       .withColumn("_is_left", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
     // right rows order before left rows at the same instant => "at or
@@ -46,9 +52,10 @@ object AsOfJoinOps {
       .orderBy(col(timeCol), col("_is_left"), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // gaps-and-islands forward fill: island id = count of right rows so
-    // far; each island holds exactly one right value
+    // far; each island holds exactly one right value, so first(ignoreNulls)
+    // is deterministic and type-agnostic (no max/ordering needed)
     val filled = u.withColumn("_grp", count(col("_r_value")).over(ord))
-      .withColumn(asofCol, max(col("_r_value"))
+      .withColumn(asofCol, first(col("_r_value"), ignoreNulls = true)
         .over(Window.partitionBy(col(keyCol), col("_grp"))))
     filled.filter(col("_is_left") === 1)
       .drop("_is_left", "_r_value", "_grp")

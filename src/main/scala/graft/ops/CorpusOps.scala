@@ -62,21 +62,24 @@ object CorpusOps {
     * The first 8 md5-hex chars of `salt|stratum|id` are a uniform 32-bit
     * value; keep the row iff hex < floor(frac * 2^32) rendered as 8-hex.
     * String comparison on fixed-width lowercase hex == unsigned numeric
-    * compare, identical in any engine.
+    * compare, identical in any engine. A fraction >= 1.0 keeps the whole
+    * stratum unconditionally (no 8-hex threshold can exceed "ffffffff",
+    * so that case short-circuits to `true` instead of comparing).
     */
   def mixSample(docs: DataFrame, stratumCol: String, idCol: String,
                 fractions: Map[String, Double],
                 defaultFrac: Double = 0.0): DataFrame = {
-    def thresh(f: Double): String =
-      f"${math.min((f * 4294967296.0).toLong, 4294967295L)}%08x"
     val h = substring(
       md5(concat_ws("|", lit("mix"), col(stratumCol),
         col(idCol).cast("string"))), 1, 8)
-    // CASE stratum WHEN ... THEN threshold chain, deterministic order
-    val threshold = fractions.toSeq.sortBy(_._1)
-      .foldLeft(when(lit(false), lit(""))) { case (acc, (s, f)) =>
-        acc.when(col(stratumCol) === s, lit(thresh(f)))
-      }.otherwise(lit(thresh(defaultFrac)))
-    docs.filter(h < threshold)
+    def keep(f: Double): Column =
+      if (f >= 1.0) lit(true)
+      else h < f"${math.max((f * 4294967296.0).toLong, 0L)}%08x"
+    // CASE stratum WHEN ... THEN keep-predicate chain, deterministic order
+    val keepRow = fractions.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(false))) { case (acc, (s, f)) =>
+        acc.when(col(stratumCol) === s, keep(f))
+      }.otherwise(keep(defaultFrac))
+    docs.filter(keepRow)
   }
 }

@@ -196,20 +196,35 @@ object DedupOps {
   }
 
   /** Dedup clusters: connected components over candidate pairs by
-    * iterative min-label propagation — each vertex repeatedly adopts the
-    * smallest label among itself and its neighbors; converges in
-    * O(log(component diameter)) rounds (this is Pregel/GraphX CC without
-    * the GraphX dependency). The driver only coordinates the loop; all
-    * data stays distributed, per-round cost is one join + one aggregate
-    * on the edge list. Input pairs (doc_a < doc_b); output (doc_id,
-    * cluster_id = min doc id in the component).
+    * min-label propagation with pointer doubling — each round every
+    * vertex (1) adopts the smallest label among itself and its neighbors,
+    * then (2) shortcuts through its label's own label
+    * (`label(v) := label(label(v))`, the path-halving step of
+    * Hash-to-Min / GraphX-style CC). Labels are doc ids and only ever
+    * decrease, so the shortcut is always valid and stays inside the
+    * component; with it the propagation distance doubles per round and
+    * the loop converges in O(log(component diameter)) rounds — a
+    * million-hop duplicate chain resolves in ~20. The driver only
+    * coordinates the loop; all data stays distributed, per-round cost is
+    * two joins + one aggregate on the edge list. Input pairs
+    * (doc_a < doc_b); output (doc_id, cluster_id = min doc id in the
+    * component). Throws `IllegalStateException` if `maxIter` rounds pass
+    * without convergence rather than returning a wrong clustering.
+    *
+    * Each round's result is eagerly `localCheckpoint`ed: iterative plans
+    * otherwise nest the previous round's plan (twice, with the doubling
+    * join), so the logical plan — and Catalyst's analysis cost — grows
+    * exponentially with rounds. Checkpointing keeps every round's plan
+    * O(1). On a real cluster, set `spark.sparkContext.setCheckpointDir`
+    * and swap to reliable `checkpoint()` for executor-loss tolerance.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).cache()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(eager = true)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -217,19 +232,30 @@ object DedupOps {
         .join(labels.select(col("doc_id").as("dst"),
           col("cluster_id").as("nl")), Seq("dst"))
         .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("nmin"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+      val prop = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), least(col("cluster_id"),
           coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
-        .cache()
+      // pointer doubling: follow the label one more hop. cluster_id is
+      // itself a doc_id present in `prop`, and labels are min-monotone,
+      // so label(label(v)) <= label(v) and is in the same component.
+      val next = prop.as("l")
+        .join(prop.select(col("doc_id").as("cluster_id"),
+          col("cluster_id").as("_ll")).as("p"), Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"),
+            coalesce(col("_ll"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(eager = true)
       val changed = next.join(
           labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
         .filter(col("cluster_id") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters: not converged after $maxIter rounds " +
+        "(component diameter > 2^maxIter is implausible; raise maxIter)")
     labels
   }
 

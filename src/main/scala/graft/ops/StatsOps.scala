@@ -43,12 +43,15 @@ object StatsOps {
     */
   def summaryStatsSorted(df: DataFrame, keyCol: String,
                          valCol: String): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("_v"))
+    // nulls sort last (not filtered) so groups whose values are ALL null
+    // still surface — with n=0 and null stats, exactly like the
+    // percentile-based summaryStats. Non-null rows keep ranks 1.._n.
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_v").asc_nulls_last)
     val ranked = Rebalance(df)
       .select(col(keyCol), col(valCol).as("_v"))
-      .filter(col("_v").isNotNull)
       .withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .withColumn("_n",
+        count(col("_v")).over(Window.partitionBy(col(keyCol))))
     def pick(q: Double, nm: String) = {
       val pos = (col("_n") - 1).cast("double") * q
       Seq(

@@ -69,6 +69,38 @@ class AsOfRangeSpec extends SparkSpec {
     assert(math.abs(byLang("zh") - 200) < 60)
   }
 
+  test("mixSample keeps a whole stratum at frac >= 1.0") {
+    val docs = (0 until 500).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "zh")).toDF("doc_id", "lang")
+    val out = CorpusOps.mixSample(docs, "lang", "doc_id",
+      Map("en" -> 1.0), defaultFrac = 0.0).collect()
+    assert(out.length === 250, "frac=1.0 must keep every row, " +
+      "including ids whose hash prefix is ffffffff")
+    assert(out.forall(_.getString(1) === "en"))
+    // and defaultFrac = 1.0 keeps everything
+    assert(CorpusOps.mixSample(docs, "lang", "doc_id",
+      Map.empty, defaultFrac = 1.0).count() === 500L)
+  }
+
+  test("asofJoin carries non-numeric values in their native type") {
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:30")),
+      (2L, 8L, ts("2024-01-01 10:00:10"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 7L, ts("2024-01-01 10:00:00"), "hello")
+    ).toDF("event_id", "user_id", "ts", "label")
+      .select($"user_id", $"ts", $"event_id", $"label")
+    val out = AsOfJoinOps.asofJoin(left, right, "user_id", "ts",
+      "event_id", "label")
+    assert(out.schema("asof_value").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val m = out.collect().map(r => r.getAs[Long]("event_id") ->
+      Option(r.getAs[String]("asof_value"))).toMap
+    assert(m(1L) === Some("hello"))
+    assert(m(2L) === None)
+  }
+
   test("groupCentroids computes exact quantized per-dim means") {
     val vecs = Seq(
       (0, Array(1.0f, -2.0f)),

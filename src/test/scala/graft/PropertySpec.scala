@@ -139,4 +139,16 @@ class PropertySpec extends SparkSpec {
       assert(got === lbl)
     }
   }
+
+  test("dupClusters resolves a 200-hop duplicate chain within 20 rounds") {
+    // a path graph 0-1-2-...-199 has component diameter 199: plain
+    // min-label propagation needs 199 rounds, pointer doubling O(log n).
+    // maxIter=20 passing proves the doubling works (and that hitting the
+    // cap now throws instead of silently returning a wrong clustering).
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    val got = DedupOps.dupClusters(chain.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 200)
+    assert(got.values.forall(_ === 0L))
+  }
 }

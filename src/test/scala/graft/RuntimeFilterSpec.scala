@@ -39,6 +39,14 @@ class RuntimeFilterSpec extends SparkSpec {
       // and the join still returns the right rows
       assert(joined.count() === 2000L)
     } finally {
+      // SparkSpec shares one session via getOrCreate — restore EVERY conf
+      // this test touched or later suites' plan assertions become
+      // suite-order dependent
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }

@@ -31,4 +31,19 @@ class SummaryStatsParitySpec extends SparkSpec {
     assert(out.getAs[Long]("n") === 2L)
     assert(out.getAs[Double]("median") === 2.0)
   }
+
+  test("all-null group surfaces with n=0 in BOTH paths identically") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)),
+      ("z", None), ("z", None)).toDF("k", "v")
+    val a = StatsOps.summaryStats(df, "k", "v")
+      .orderBy($"k").collect().map(_.toSeq)
+    val b = StatsOps.summaryStatsSorted(df, "k", "v")
+      .orderBy($"k").collect().map(_.toSeq)
+    assert(a.length === 2, "all-null group must not be dropped")
+    assert(a.toSeq === b.toSeq)
+    val z = StatsOps.summaryStatsSorted(df, "k", "v")
+      .filter($"k" === "z").collect().head
+    assert(z.getAs[Long]("n") === 0L)
+    assert(z.isNullAt(z.fieldIndex("median")))
+  }
 }
