@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhash64Descriptor)
     ext.injectFunction(GraftExtensions.minhashSigsDescriptor)
     ext.injectFunction(GraftExtensions.md5MinMaxDescriptor)
+    // whole-operator extension: plans graft.plans.TopKPerGroup as
+    // partial-heap -> shuffle -> final-heap (see TopKOps.topKPerGroup,
+    // which also self-registers on sessions built without extensions)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
 

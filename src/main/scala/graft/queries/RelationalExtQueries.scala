@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoinOps, CorpusOps, SimilarityOps}
+import graft.ops.{AsOfJoinOps, CorpusOps, SimilarityOps, TopKOps}
 import Catalog.Entry
 
 /** Round-2 relational/time-series extensions: as-of join, banded range
@@ -51,6 +51,24 @@ object RelationalExtQueries {
               FROM f)
         SELECT event_id, user_id, value, asof_value
         FROM g WHERE is_left = 1""")),
+
+    // O2/O3 at scale: per-group top-k through the custom TopKPerGroup
+    // plan node (map-side bounded heaps, shuffle only survivors) instead
+    // of the window row_number spelling that sorts every discarded row.
+    // The oracle IS the window spelling — same rows, different plan.
+    "o2_topk_per_group" -> Entry(
+      (s, dir) => TopKOps.topKPerGroup(
+          Tables.events(s, dir).filter(col("value").isNotNull)
+            .select(col("event_type"), col("event_id"), col("value")),
+          Seq("event_type"), "value", descending = true, "event_id", 10)
+        .select(col("event_type"), col("event_id"), col("value")),
+      Some("""
+        SELECT event_type, event_id, value FROM (
+          SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY value DESC, event_id) AS rn
+          FROM events WHERE value IS NOT NULL)
+        WHERE rn <= 10""")),
 
     // Banded range join: purchases by the same user within 30 min after
     // each click, zero-filled (join key quantized to 30-min bands keeps the

@@ -1,8 +1,10 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.SparkStrategy
 
 /** Column <-> catalyst Expression bridge. Spark 4 made these converters
   * `private[sql]` (Column now wraps a ColumnNode), so the supported way
@@ -18,4 +20,20 @@ object Bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Wrap a custom LogicalPlan back into the public DataFrame API
+    * (`Dataset.ofRows` went `private[sql]` in Spark 4). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to a live session — the runtime
+    * analog of `SparkSessionExtensions.injectPlannerStrategy` for sessions
+    * the caller didn't build (the driver hands us its own session). */
+  def ensureStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(strategy))
+      cs.experimental.extraStrategies =
+        cs.experimental.extraStrategies :+ strategy
+  }
 }
