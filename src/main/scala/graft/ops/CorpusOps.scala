@@ -82,4 +82,31 @@ object CorpusOps {
       }.otherwise(keep(defaultFrac))
     docs.filter(keepRow)
   }
+
+  /** Deterministic weighted sampling without replacement, k per stratum —
+    * the Efraimidis-Spirtes A-ES scheme with the RNG replaced by a salted
+    * content-key hash: each row gets u = (hash32 + 0.5) / 2^32 in (0,1)
+    * and survives iff its key u^(1/w) is among the stratum's k largest
+    * (ties broken by id). Higher weight => key closer to 1 => more likely
+    * kept; like [[mixSample]], membership is a pure function of
+    * (stratum, id, weight), so re-runs and resharding reproduce the exact
+    * sample on any cluster layout.
+    *
+    * Selection runs through [[TopKOps.topKPerGroup]] — the bounded-heap
+    * plan node — so at 100 TB the shuffle carries only
+    * `partitions x strata x k` candidate rows, not the corpus. Rows with
+    * weight <= 0 (or null) are excluded (A-ES is undefined there).
+    */
+  def weightedSample(docs: DataFrame, stratumCol: String, idCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    val u32 = conv(substring(
+      md5(concat_ws("|", lit("wsample"), col(stratumCol),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val u = (u32.cast("double") + 0.5) / 4294967296.0
+    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    TopKOps.topKPerGroup(
+        docs.filter(col(weightCol) > 0).withColumn("_es_key", key),
+        Seq(stratumCol), "_es_key", descending = true, idCol, k)
+      .drop("_es_key")
+  }
 }

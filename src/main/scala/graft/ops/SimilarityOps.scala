@@ -124,6 +124,25 @@ object SimilarityOps {
       .select(col(byCol), col("dim"), col("n_vecs"),
         (col("_q").cast("double") / 1e6 / col("n_vecs")).as("centroid"))
 
+  /** Symmetric int8 embedding quantization (per-vector scale =
+    * max|v|/127) — the 4x storage/bandwidth compression step before
+    * shipping embeddings to an ANN index or training shard. Emitted as
+    * (id, scale, q_csv) with the int8 codes comma-joined (string-exact in
+    * any engine; reconstruct v ~ q * scale). All-zero vectors quantize to
+    * all-zero codes with scale 0 rather than dividing by zero (Spark
+    * would give IEEE Infinity, DuckDB NULL — both wrong). Pure codegen'd
+    * Column algebra: a narrow one-pass projection, no shuffle.
+    */
+  def quantizeInt8(vecs: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val scale =
+      array_max(transform(col(vecCol), v => abs(v))).cast("double") / 127.0
+    vecs.select(col(idCol), scale.as("scale"),
+      concat_ws(",", transform(col(vecCol), v =>
+        when(scale > 0, round(v.cast("double") / scale).cast("int"))
+          .otherwise(lit(0)).cast("string"))).as("q_csv"))
+  }
+
   /** Materialize the IVF index: the corpus written as parquet PARTITIONED
     * BY the sign-LSH bucket. This is the physical layout that turns probes
     * into partition-pruned scans — the difference between "filter 100 TB"

@@ -70,6 +70,47 @@ object RelationalExtQueries {
           FROM events WHERE value IS NOT NULL)
         WHERE rn <= 10""")),
 
+    // Deterministic weighted sampling (A-ES with hashed randomness):
+    // k docs per lang, selection probability proportional to n_chars,
+    // reproducible on any layout. Runs through the TopKPerGroup heap
+    // plan; the oracle replays u = (hash32+0.5)/2^32 and the u^(1/w)
+    // ranking in SQL.
+    "corpus_weighted_sample" -> Entry(
+      (s, dir) => CorpusOps.weightedSample(Tables.documents(s, dir),
+          "lang", "doc_id", "n_chars", 20)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      Some("""
+        WITH u AS (
+          SELECT doc_id, lang, n_chars,
+                 (('0x' || substr(md5('wsample' || '|' || lang || '|'
+                     || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+                   / 4294967296.0 AS u
+          FROM documents WHERE n_chars > 0)
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT doc_id, lang, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id) AS rn
+          FROM u)
+        WHERE rn <= 20""")),
+
+    // Symmetric int8 embedding quantization: per-vector scale, codes as
+    // a comma-joined string (int-exact across engines). Exact IEEE
+    // float->double, division and round on both sides.
+    "vec_quantize_int8" -> Entry(
+      (s, dir) => SimilarityOps.quantizeInt8(Tables.embeddings(s, dir)),
+      Some("""
+        WITH m AS (
+          SELECT vec_id, embedding,
+                 CAST(list_max(list_transform(embedding, x -> abs(x)))
+                   AS DOUBLE) / 127.0 AS scale
+          FROM embeddings)
+        SELECT vec_id, scale,
+               array_to_string(list_transform(embedding, x ->
+                 CAST(CAST(CASE WHEN scale > 0
+                   THEN round(CAST(x AS DOUBLE) / scale)
+                   ELSE 0 END AS INTEGER) AS VARCHAR)), ',') AS q_csv
+        FROM m""")),
+
     // Banded range join: purchases by the same user within 30 min after
     // each click, zero-filled (join key quantized to 30-min bands keeps the
     // join an equi-join touching <= 2 bands per probe).

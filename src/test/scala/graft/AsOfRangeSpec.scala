@@ -101,6 +101,40 @@ class AsOfRangeSpec extends SparkSpec {
     assert(m(2L) === None)
   }
 
+  test("weightedSample: k per stratum, layout-independent, skips w<=0") {
+    val docs = (0 until 600).map(i => (i.toLong,
+      if (i % 2 == 0) "en" else "zh",
+      if (i == 17) 0L else (i % 50) + 1L)).toDF("doc_id", "lang", "w")
+    val s1 = CorpusOps.weightedSample(docs, "lang", "doc_id", "w", 25)
+      .collect()
+    val s2 = CorpusOps.weightedSample(docs.repartition(7), "lang",
+      "doc_id", "w", 25).collect()
+    assert(s1.map(_.getLong(0)).sorted.toSeq ===
+      s2.map(_.getLong(0)).sorted.toSeq)
+    val byLang = s1.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byLang === Map("en" -> 25, "zh" -> 25))
+    assert(!s1.map(_.getLong(0)).contains(17L), "w=0 row must be excluded")
+    // weight bias: a stratum where one doc has overwhelming weight
+    val biased = (0 until 200).map(i =>
+      (i.toLong, "x", if (i == 7) 1000000L else 1L)).toDF(
+      "doc_id", "lang", "w")
+    val picked = CorpusOps.weightedSample(biased, "lang", "doc_id", "w", 5)
+      .collect().map(_.getLong(0))
+    assert(picked.contains(7L), "heavyweight doc should be sampled")
+  }
+
+  test("quantizeInt8 emits per-vector scale + int8 codes, 0-safe") {
+    val vecs = Seq(
+      (1L, Array(127.0f, -64.0f, 1.0f)),
+      (2L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.quantizeInt8(vecs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getString(2))).toMap
+    assert(out(1L) === ((1.0, "127,-64,1")))
+    assert(out(2L) === ((0.0, "0,0")))
+  }
+
   test("groupCentroids computes exact quantized per-dim means") {
     val vecs = Seq(
       (0, Array(1.0f, -2.0f)),
