@@ -1,36 +1,41 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.sources.Sources
 
-/** Batch source/sink surfaces (SURVEY.md §2.1 S5/S8/K2). */
+/** S8 CSV scan (the reference's BQ-export -> pandas path): header +
+  * schema inference roundtrip, and the scan only reads the projected
+  * columns (column pruning reaches the CSV reader like it does parquet).
+  */
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
 
-  test("csv source with header + inferSchema (S8)") {
-    val dir = Files.createTempDirectory("csv").toString
-    Files.write(Paths.get(dir, "data.csv"),
-      "symbol,price,ts_ms\nETH,3000.5,1704067200000\nSOL,150.25,1704067215000\n"
-        .getBytes("UTF-8"))
-    val df = Sources.csv(spark, dir)
-    assert(df.columns.toSeq === Seq("symbol", "price", "ts_ms"))
-    val eth = df.filter($"symbol" === "ETH").collect().head
-    assert(eth.getAs[Double]("price") === 3000.5)
-    assert(eth.getAs[Long]("ts_ms") === 1704067200000L)
+  test("csv with header roundtrips rows and inferred types") {
+    val dir = Files.createTempDirectory("csvsrc").toString
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -0.25), (3L, "g,amma", 2.0))
+      .toDF("id", "name", "score")
+    df.write.option("header", true).mode("overwrite").csv(s"$dir/t")
+
+    val back = Sources.csv(spark, s"$dir/t")
+    assert(back.schema("id").dataType.typeName === "integer" ||
+      back.schema("id").dataType.typeName === "long")
+    assert(back.schema("score").dataType.typeName === "double")
+    assert(back.count() === 3)
+    // quoted comma survives the roundtrip
+    assert(back.filter($"id" === 3).select("name").as[String].head ===
+      "g,amma")
   }
 
-  test("partitioned parquet sink round-trips with layout (K2)") {
-    val dir = Files.createTempDirectory("sink").toString
-    val df = Seq(("ETH", 1, 10.0), ("ETH", 2, 11.0), ("SOL", 1, 5.0))
-      .toDF("symbol", "seq", "price")
-    Sources.writeParquet(df, s"$dir/out", partitionBy = Seq("symbol"))
-    // physical layout: one directory per key
-    assert(Files.exists(Paths.get(s"$dir/out/symbol=ETH")))
-    assert(Files.exists(Paths.get(s"$dir/out/symbol=SOL")))
-    val back = Sources.parquet(spark, s"$dir/out")
-    assert(back.count() === 3)
-    assert(back.filter($"symbol" === "ETH").agg(sum($"price"))
-      .collect().head.getDouble(0) === 21.0)
+  test("csv scan prunes to the projected columns") {
+    val dir = Files.createTempDirectory("csvprune").toString
+    (1 to 100).map(i => (i, s"n$i", i * 1.0, s"x$i"))
+      .toDF("id", "name", "score", "extra")
+      .write.option("header", true).mode("overwrite").csv(s"$dir/t")
+    val plan = Sources.csv(spark, s"$dir/t").select("id", "score")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.substring(plan.indexOf("ReadSchema")).contains("extra"),
+      s"scan should not read unprojected columns:\n$plan")
   }
 }
