@@ -1,12 +1,12 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import graft.sources.Sources
 
-/** S8 CSV scan (the reference's BQ-export -> pandas path): header +
-  * schema inference roundtrip, and the scan only reads the projected
-  * columns (column pruning reaches the CSV reader like it does parquet).
+/** Batch source/sink surfaces (SURVEY.md §2.1 S8/K2): CSV header +
+  * schema-inference roundtrip, CSV column pruning, and the partitioned
+  * parquet sink's physical layout.
   */
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
@@ -37,5 +37,19 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("ReadSchema"), plan)
     assert(!plan.substring(plan.indexOf("ReadSchema")).contains("extra"),
       s"scan should not read unprojected columns:\n$plan")
+  }
+
+  test("partitioned parquet sink round-trips with layout (K2)") {
+    val dir = Files.createTempDirectory("sink").toString
+    val df = Seq(("ETH", 1, 10.0), ("ETH", 2, 11.0), ("SOL", 1, 5.0))
+      .toDF("symbol", "seq", "price")
+    Sources.writeParquet(df, s"$dir/out", partitionBy = Seq("symbol"))
+    // physical layout: one directory per key
+    assert(Files.exists(Paths.get(s"$dir/out/symbol=ETH")))
+    assert(Files.exists(Paths.get(s"$dir/out/symbol=SOL")))
+    val back = Sources.parquet(spark, s"$dir/out")
+    assert(back.count() === 3)
+    assert(back.filter($"symbol" === "ETH").agg(sum($"price"))
+      .collect().head.getDouble(0) === 21.0)
   }
 }
