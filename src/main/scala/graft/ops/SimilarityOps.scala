@@ -137,10 +137,16 @@ object SimilarityOps {
                    vecCol: String = "embedding"): DataFrame = {
     val scale =
       array_max(transform(col(vecCol), v => abs(v))).cast("double") / 127.0
-    vecs.select(col(idCol), scale.as("scale"),
-      concat_ws(",", transform(col(vecCol), v =>
-        when(scale > 0, round(v.cast("double") / scale).cast("int"))
-          .otherwise(lit(0)).cast("string"))).as("q_csv"))
+    // stage the scale as its own attribute first: referencing the
+    // array_max expression from inside the per-element lambda would
+    // re-evaluate it for every element (O(d^2) per vector — codegen CSE
+    // does not cross lambda boundaries)
+    vecs.select(col(idCol), scale.as("scale"), col(vecCol))
+      .select(col(idCol), col("scale"),
+        concat_ws(",", transform(col(vecCol), v =>
+          when(col("scale") > 0,
+            round(v.cast("double") / col("scale")).cast("int"))
+            .otherwise(lit(0)).cast("string"))).as("q_csv"))
   }
 
   /** Materialize the IVF index: the corpus written as parquet PARTITIONED
