@@ -292,4 +292,36 @@ class StreamingSpec extends SparkSpec {
       assert(rows(5.0) === Some(150.0)) // fresher right applied
     } finally q.stop()
   }
+
+  test("streaming top-k leaderboard evolves across micro-batches") {
+    import graft.streaming.StreamingTopK
+    import graft.streaming.StreamingTopK.Scored
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Scored]
+    val q = StreamingTopK.topK(mem.toDS(), k = 2)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("lb").start()
+    try {
+      mem.addData(Scored("A", 1L, 10.0), Scored("A", 2L, 30.0),
+        Scored("A", 3L, 20.0), Scored("B", 9L, 1.0))
+      q.processAllAvailable()
+      val b1 = spark.table("lb").collect()
+        .map(r => (r.getString(0), r.getInt(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(b1(("A", 1)) === ((2L, 30.0)))
+      assert(b1(("A", 2)) === ((3L, 20.0))) // id 1 (10.0) fell off, k=2
+      assert(b1(("B", 1)) === ((9L, 1.0)))
+
+      // batch 2: a new high for A; B unchanged => no new B rows
+      mem.addData(Scored("A", 4L, 99.0))
+      q.processAllAvailable()
+      val all = spark.table("lb").collect()
+      val b2 = all.drop(b1.size)
+        .map(r => (r.getString(0), r.getInt(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(b2(("A", 1)) === ((4L, 99.0))) // cross-batch state merged
+      assert(b2(("A", 2)) === ((2L, 30.0)))
+      assert(!b2.keySet.exists(_._1 == "B"), "B had no batch-2 data")
+    } finally q.stop()
+  }
 }
