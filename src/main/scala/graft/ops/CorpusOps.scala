@@ -83,6 +83,27 @@ object CorpusOps {
     docs.filter(keepRow)
   }
 
+  /** Sliding-window chunking with overlap — the sequence-length/stride
+    * splitter for long documents (each window starts at 0, stride,
+    * 2*stride, ... while the start is inside the text; the tail window may
+    * be shorter than `size`). Stride < size gives overlapping context the
+    * way pretraining tokenizer pipelines do; stride = size is disjoint
+    * chunking. Pure explode + substring Column algebra: codegen'd, no
+    * shuffle, output rows ~ total_chars/stride. Empty/null docs emit no
+    * chunks.
+    */
+  def windowChunks(docs: DataFrame, idCol: String, textCol: String,
+                   size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0, s"size=$size stride=$stride")
+    docs.filter(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0), length(col(textCol)) - 1, lit(stride)))
+          .as("_cs"))
+      .select(col(idCol),
+        (col("_cs") / stride).cast("long").as("chunk_id"),
+        col(textCol).substr(col("_cs") + 1, lit(size)).as("chunk"))
+  }
+
   /** Deterministic weighted sampling without replacement, k per stratum —
     * the Efraimidis-Spirtes A-ES scheme with the RNG replaced by a salted
     * content-key hash: each row gets u = (hash32 + 0.5) / 2^32 in (0,1)

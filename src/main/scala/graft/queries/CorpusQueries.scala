@@ -28,6 +28,18 @@ object CorpusQueries {
                  AS chunk_id
         FROM documents""")),
 
+    // Sliding-window chunking with overlap (seq-len 256, stride 128):
+    // the long-document splitter; tail windows may be short.
+    "corpus_window_chunks" -> Entry(
+      (s, dir) => CorpusOps.windowChunks(Tables.documents(s, dir),
+        "doc_id", "text", size = 256, stride = 128),
+      Some("""
+        SELECT doc_id, CAST(s / 128 AS BIGINT) AS chunk_id,
+               substr(text, CAST(s AS INTEGER) + 1, 256) AS chunk
+        FROM documents,
+             UNNEST(generate_series(0, length(text) - 1, 128)) AS t(s)
+        WHERE length(text) > 0""")),
+
     // Deterministic content-hash split (membership depends only on text).
     "corpus_det_split" -> Entry(
       (s, dir) => CorpusOps.deterministicSplit(Tables.documents(s, dir))

@@ -37,4 +37,22 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().head.getString(0)
     assert(out === "hello world 123")
   }
+
+  test("windowChunks slides with overlap, short tail, skips empty docs") {
+    val docs = Seq((1L, "abcdefghij"), (2L, ""), (3L, "xy"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.windowChunks(docs, "doc_id", "text",
+        size = 5, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // doc 1 (n=10): starts 0,3,6,9 -> 4 windows, last two short-tailed
+    assert(out((1L, 0L)) === "abcde")
+    assert(out((1L, 1L)) === "defgh")
+    assert(out((1L, 2L)) === "ghij")
+    assert(out((1L, 3L)) === "j")
+    assert(out((3L, 0L)) === "xy")
+    assert(out.size === 5, "empty doc must emit no chunks")
+    // overlap reconstruction: stride-aligned prefixes re-concatenate
+    val rebuilt = (0L to 3L).map(i => out((1L, i)).take(3)).mkString
+    assert(rebuilt === "abcdefghij")
+  }
 }
