@@ -124,6 +124,72 @@ object SimilarityOps {
       .select(col(byCol), col("dim"), col("n_vecs"),
         (col("_q").cast("double") / 1e6 / col("n_vecs")).as("centroid"))
 
+  /** Lloyd's k-means over embeddings, the trained coarse quantizer for a
+    * real IVF index (vs [[lshBucket]]'s data-independent hyperplanes).
+    * Declarative per iteration: assignment is a broadcast cross join of
+    * the corpus against the k centroids + an exact integer argmin;
+    * the update is the same quantized-long mean as [[groupCentroids]].
+    * Only the k x dim centroid table ever reaches the driver (exactly
+    * what MLlib's KMeans collects per iteration), so the loop scales to
+    * any corpus size; per-iteration cost is one broadcast join + one
+    * (cid, dim) shuffle of k x dim partial sums.
+    *
+    * EVERYTHING is computed in 1e-6-quantized longs — vectors, distances
+    * (sum of squared quantized diffs, exact in 64 bits for unit-scale
+    * embeddings), and centroid updates (round(sum/n)) — so assignment
+    * ties, iteration trajectories, and results are bit-identical on any
+    * partition layout or engine: the DuckDB oracle replays the full
+    * trajectory with unrolled CTEs and hash-matches. Deterministic init:
+    * the k lowest-id vectors. Empty clusters keep their previous
+    * centroid. Output long-form: (cid, dim, n_vecs, centroid) from the
+    * final assignment.
+    */
+  def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && iters > 0, s"k=$k iters=$iters")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val qvec = transform(col(vecCol),
+      v => round(v.cast("double") * 1e6).cast("long"))
+    val base = Rebalance(vecs)
+      .select(col(idCol).as("_vid"), qvec.as("_qv")).cache()
+
+    var cents: Seq[(Int, Seq[Long])] = base.orderBy(col("_vid")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1)) }.toSeq
+
+    def assigned(c: Seq[(Int, Seq[Long])]) = {
+      val cdf = broadcast(c.toDF("_cid", "_qc"))
+      val dist = aggregate(
+        zip_with(col("_qv"), col("_qc"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      base.crossJoin(cdf)
+        .groupBy(col("_vid"))
+        .agg(min(struct(dist.as("d"), col("_cid").as("c"))).as("_m"),
+          first(col("_qv")).as("_qv"))
+        .select(col("_m.c").as("_cid"), col("_qv"))
+    }
+    def update(c: Seq[(Int, Seq[Long])]) =
+      assigned(c)
+        .select(col("_cid"), posexplode(col("_qv")).as(Seq("_dim", "_q")))
+        .groupBy(col("_cid"), col("_dim"))
+        .agg(count(lit(1)).as("_n"), sum(col("_q")).as("_s"))
+        .withColumn("_qc",
+          round(col("_s").cast("double") / col("_n")).cast("long"))
+
+    (1 until iters).foreach { _ =>
+      val m = update(cents).select("_cid", "_dim", "_qc").collect()
+        .groupBy(_.getInt(0)).map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }
+      cents = cents.map { case (cid, old) => (cid, m.getOrElse(cid, old)) }
+    }
+    update(cents).select(col("_cid").as("cid"), col("_dim").as("dim"),
+      col("_n").as("n_vecs"),
+      (col("_qc").cast("double") / 1e6).as("centroid"))
+  }
+
   /** Symmetric int8 embedding quantization (per-vector scale =
     * max|v|/127) — the 4x storage/bandwidth compression step before
     * shipping embeddings to an ANN index or training shard. Emitted as

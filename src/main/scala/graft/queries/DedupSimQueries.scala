@@ -219,6 +219,65 @@ object DedupSimQueries {
 
     // Brute-force cosine top-k (ANN baseline): 10 query vectors vs the
     // rest of the corpus, k=5.
+    // Trained IVF coarse quantizer: 2 Lloyd iterations, k=8, lowest-id
+    // init. All arithmetic in 1e-6-quantized longs (vectors, squared
+    // distances, centroid updates), so the full trajectory — including
+    // argmin ties — is exact and the oracle replays it with unrolled
+    // CTEs.
+    "ivf_kmeans_centroids" -> Entry(
+      (s, dir) => SimilarityOps.kmeansCentroids(
+        Tables.embeddings(s, dir), k = 8, iters = 2),
+      Some("""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+          FROM embeddings),
+        c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1
+                   AS cid, qv AS qc
+          FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)),
+        a1 AS (
+          SELECT vec_id, qv, cid FROM (
+            SELECT q.vec_id, q.qv, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     list_sum(list_transform(
+                       generate_series(1, len(q.qv)), i ->
+                         (q.qv[CAST(i AS INTEGER)] - c.qc[CAST(i AS INTEGER)])
+                       * (q.qv[CAST(i AS INTEGER)] - c.qc[CAST(i AS INTEGER)]))),
+                     c.cid) AS rn
+            FROM q CROSS JOIN c0 c) WHERE rn = 1),
+        u1 AS (
+          SELECT cid, CAST(i AS INTEGER) - 1 AS dim, count(*) AS n,
+                 CAST(round(CAST(sum(qv[CAST(i AS INTEGER)]) AS DOUBLE)
+                   / count(*)) AS BIGINT) AS qc
+          FROM a1, UNNEST(generate_series(1, len(qv))) AS t(i)
+          GROUP BY 1, 2),
+        c1 AS (
+          SELECT c0.cid, COALESCE(l.qc, c0.qc) AS qc
+          FROM c0 LEFT JOIN (SELECT cid, list(qc ORDER BY dim) AS qc
+                             FROM u1 GROUP BY cid) l
+            ON c0.cid = l.cid),
+        a2 AS (
+          SELECT vec_id, qv, cid FROM (
+            SELECT q.vec_id, q.qv, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     list_sum(list_transform(
+                       generate_series(1, len(q.qv)), i ->
+                         (q.qv[CAST(i AS INTEGER)] - c.qc[CAST(i AS INTEGER)])
+                       * (q.qv[CAST(i AS INTEGER)] - c.qc[CAST(i AS INTEGER)]))),
+                     c.cid) AS rn
+            FROM q CROSS JOIN c1 c) WHERE rn = 1),
+        u2 AS (
+          SELECT cid, CAST(i AS INTEGER) - 1 AS dim, count(*) AS n,
+                 CAST(round(CAST(sum(qv[CAST(i AS INTEGER)]) AS DOUBLE)
+                   / count(*)) AS BIGINT) AS qc
+          FROM a2, UNNEST(generate_series(1, len(qv))) AS t(i)
+          GROUP BY 1, 2)
+        SELECT cid, dim, n AS n_vecs,
+               CAST(qc AS DOUBLE) / 1000000 AS centroid
+        FROM u2""")),
+
     "knn_cosine_topk" -> Entry(
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
