@@ -185,9 +185,14 @@ object SimilarityOps {
         }
       cents = cents.map { case (cid, old) => (cid, m.getOrElse(cid, old)) }
     }
-    update(cents).select(col("_cid").as("cid"), col("_dim").as("dim"),
-      col("_n").as("n_vecs"),
+    // materialize the k x dim result eagerly so the corpus cache can be
+    // released before returning (a lazy return would pin it forever)
+    val result = update(cents).select(col("_cid").as("cid"),
+      col("_dim").as("dim"), col("_n").as("n_vecs"),
       (col("_qc").cast("double") / 1e6).as("centroid"))
+      .localCheckpoint(eager = true)
+    base.unpersist()
+    result
   }
 
   /** Symmetric int8 embedding quantization (per-vector scale =
