@@ -195,6 +195,59 @@ object SimilarityOps {
     result
   }
 
+  /** ANN search through the trained quantizer: corpus and queries are
+    * assigned to their nearest [[kmeansCentroids]] centroid with the SAME
+    * exact quantized argmin used in training, then cosine top-k runs only
+    * inside the query's cell — candidates shrink to ~1/nClusters of the
+    * corpus, and because assignment is exact integer math the cells (and
+    * so the results) are bit-identical across engines and layouts. At
+    * scale the corpus is written partitioned by the (small-int) cell id,
+    * turning probes into partition-pruned scans exactly like
+    * [[writeIvfIndex]] does for LSH buckets.
+    */
+  def kmeansIvfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                    nClusters: Int, iters: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // recover the exact quantized centroid arrays (centroid = qc/1e6
+    // round-trips: qc is integral and far below 2^52)
+    val cents: Seq[(Int, Seq[Long])] =
+      kmeansCentroids(corpus, nClusters, iters, idCol, vecCol)
+        .collect().groupBy(_.getInt(0)).map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1))
+            .map(r => math.round(r.getDouble(3) * 1e6)).toSeq
+        }.toSeq
+    val cdf = broadcast(cents.toDF("_cid", "_qc"))
+    val qvecExpr = transform(col(vecCol),
+      v => round(v.cast("double") * 1e6).cast("long"))
+    def withCell(df: DataFrame, id: String, p: String) = {
+      val dist = aggregate(
+        zip_with(col("_qv"), col("_qc"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      df.select(col(idCol).as(id), col(vecCol).as(p + "v"),
+          l2Norm(col(vecCol)).as(p + "n"), qvecExpr.as("_qv"))
+        .crossJoin(cdf)
+        .groupBy(col(id))
+        .agg(min(struct(dist.as("d"), col("_cid").as("c"))).as("_m"),
+          first(col(p + "v")).as(p + "v"), first(col(p + "n")).as(p + "n"))
+        .select(col(id), col(p + "v"), col(p + "n"),
+          col("_m.c").as("bucket"))
+    }
+    val q = withCell(queries, "query_id", "q")
+    val c = withCell(Rebalance(corpus), "corpus_id", "c")
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .withColumn("cos_sim", dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cos_sim"), 6).as("cos_sim"), col("rnk"))
+  }
+
   /** Symmetric int8 embedding quantization (per-vector scale =
     * max|v|/127) — the 4x storage/bandwidth compression step before
     * shipping embeddings to an ANN index or training shard. Emitted as

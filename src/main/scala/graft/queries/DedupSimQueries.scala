@@ -33,6 +33,32 @@ object DedupSimQueries {
     "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) *" +
       " sqrt(list_dot_product(cv, cv)))"
 
+  /** Quantized k-means SQL building blocks (twin of
+    * SimilarityOps.kmeansCentroids arithmetic — everything in 1e-6 longs
+    * so argmin ties are exact).
+    */
+  private val qzSql = "list_transform(embedding, x -> " +
+    "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+  private def kmDistSql(qv: String, qc: String): String =
+    s"list_sum(list_transform(generate_series(1, len($qv)), i -> " +
+      s"($qv[CAST(i AS INTEGER)] - $qc[CAST(i AS INTEGER)]) * " +
+      s"($qv[CAST(i AS INTEGER)] - $qc[CAST(i AS INTEGER)])))"
+  /** Assign each row of `src` (vec_id, ev, qv) to its nearest centroid in
+    * `cent` (cid, qc): exact integer argmin, ties to the lower cid. */
+  private def kmAssignSql(src: String, cent: String): String =
+    s"""SELECT vec_id, ev, qv, cid FROM (
+          SELECT s.vec_id, s.ev, s.qv, c.cid,
+                 row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                   ${kmDistSql("s.qv", "c.qc")}, c.cid) AS rn
+          FROM $src s CROSS JOIN $cent c) WHERE rn = 1"""
+  /** Per-(cid, dim) count + quantized mean over an assignment CTE. */
+  private def kmMeanSql(assign: String): String =
+    s"""SELECT cid, CAST(i AS INTEGER) - 1 AS dim, count(*) AS n,
+               CAST(round(CAST(sum(qv[CAST(i AS INTEGER)]) AS DOUBLE)
+                 / count(*)) AS BIGINT) AS qc
+        FROM $assign, UNNEST(generate_series(1, len(qv))) AS t(i)
+        GROUP BY 1, 2"""
+
   /** CTEs computing the 64-bit SimHash signature per doc in DuckDB — the
     * twin of HashKernels.simhash64. Bit b of the big-endian 16-hex-char
     * value lives in hex char (16 - b/4) at nibble bit (b % 4); votes are
@@ -346,6 +372,53 @@ object DedupSimQueries {
         scored AS (
           SELECT query_id, corpus_id, $cosSql AS cos_raw
           FROM cb JOIN qb USING (bucket)),
+        ranked AS (
+          SELECT query_id, corpus_id, cos_raw,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_raw DESC, corpus_id) AS rnk
+          FROM scored)
+        SELECT query_id, corpus_id, round(cos_raw, 6) AS cos_sim,
+               CAST(rnk AS INTEGER) AS rnk
+        FROM ranked WHERE rnk <= 5""")),
+
+    // Trained-quantizer ANN: assign corpus + queries to the k-means cell
+    // (exact quantized argmin, same trajectory as ivf_kmeans_centroids)
+    // and cosine-rank only inside the query's cell.
+    "ivf_kmeans_topk" -> Entry(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilarityOps.kmeansIvfTopK(
+          e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+          k = 5, nClusters = 8, iters = 2)
+      },
+      Some(s"""
+        WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+                             $qzSql AS qv
+                      FROM embeddings WHERE vec_id >= 10),
+        qry AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+                       $qzSql AS qv
+                FROM embeddings WHERE vec_id < 10),
+        c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
+                        - 1 AS cid, qv AS qc
+               FROM (SELECT vec_id, qv FROM corp ORDER BY vec_id LIMIT 8)),
+        a1 AS (${kmAssignSql("corp", "c0")}),
+        u1 AS (${kmMeanSql("a1")}),
+        c1 AS (SELECT c0.cid, COALESCE(l.qc, c0.qc) AS qc
+               FROM c0 LEFT JOIN (SELECT cid, list(qc ORDER BY dim) AS qc
+                                  FROM u1 GROUP BY cid) l
+                 ON c0.cid = l.cid),
+        a2 AS (${kmAssignSql("corp", "c1")}),
+        u2 AS (${kmMeanSql("a2")}),
+        c2 AS (SELECT cid, list(qc ORDER BY dim) AS qc
+               FROM u2 GROUP BY cid),
+        ac AS (${kmAssignSql("corp", "c2")}),
+        aq AS (${kmAssignSql("qry", "c2")}),
+        scored AS (
+          SELECT aq.vec_id AS query_id, ac.vec_id AS corpus_id,
+                 list_dot_product(aq.ev, ac.ev) /
+                   (sqrt(list_dot_product(aq.ev, aq.ev)) *
+                    sqrt(list_dot_product(ac.ev, ac.ev))) AS cos_raw
+          FROM ac JOIN aq ON ac.cid = aq.cid),
         ranked AS (
           SELECT query_id, corpus_id, cos_raw,
                  row_number() OVER (PARTITION BY query_id
