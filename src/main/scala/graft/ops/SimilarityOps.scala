@@ -195,6 +195,23 @@ object SimilarityOps {
     result
   }
 
+  /** L2 (unit-norm) embedding normalization, emitted long-form
+    * (id, dim, unit_v) so values stay typed doubles end-to-end — after
+    * this, cosine similarity is a plain dot product, which is what every
+    * ANN index wants as input. The norm is staged as an attribute before
+    * the explode so it's computed once per vector; all-zero vectors map
+    * to all-zero output instead of dividing by zero. Values are rounded
+    * to 6 digits (engine-stable like the cosine outputs).
+    */
+  def l2Normalize(vecs: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    vecs.select(col(idCol), l2Norm(col(vecCol)).as("_n"),
+        posexplode(col(vecCol)).as(Seq("dim", "_v")))
+      .select(col(idCol), col("dim"),
+        when(col("_n") > 0,
+          round(col("_v").cast("double") / col("_n"), 6))
+          .otherwise(lit(0.0)).as("unit_v"))
+
   /** ANN search through the trained quantizer: corpus and queries are
     * assigned to their nearest [[kmeansCentroids]] centroid with the SAME
     * exact quantized argmin used in training, then cosine top-k runs only

@@ -381,6 +381,23 @@ object DedupSimQueries {
                CAST(rnk AS INTEGER) AS rnk
         FROM ranked WHERE rnk <= 5""")),
 
+    // Unit-norm embedding normalization (cosine becomes plain dot after
+    // this), long-form so doubles stay typed end-to-end.
+    "vec_l2_normalize" -> Entry(
+      (s, dir) => SimilarityOps.l2Normalize(Tables.embeddings(s, dir)),
+      Some("""
+        WITH n AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nm
+          FROM embeddings)
+        SELECT vec_id, CAST(i AS INTEGER) - 1 AS dim,
+               CASE WHEN nm > 0
+                 THEN round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                   / nm, 6)
+                 ELSE 0.0 END AS unit_v
+        FROM n, UNNEST(generate_series(1, len(embedding))) AS t(i)""")),
+
     // Trained-quantizer ANN: assign corpus + queries to the k-means cell
     // (exact quantized argmin, same trajectory as ivf_kmeans_centroids)
     // and cosine-rank only inside the query's cell.
