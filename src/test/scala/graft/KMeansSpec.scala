@@ -27,6 +27,25 @@ class KMeansSpec extends SparkSpec {
     assert(out((1, 1)) === ((2L, 10.0)))
   }
 
+  test("kmeansIvfTopK searches only the query's cell, ranked by cosine") {
+    // two well-separated blobs; the quantizer puts them in different
+    // cells, so a query near blob A must rank only blob-A members
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.9f, 0.1f)),
+      (12L, Array(1.0f, 0.1f)),
+      (20L, Array(-1.0f, 0.0f)), (21L, Array(-0.9f, -0.1f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.kmeansIvfTopK(queries, corpus, k = 3,
+        nClusters = 2, iters = 2)
+      .collect().map(r =>
+        r.getAs[Long]("corpus_id") -> r.getAs[Int]("rnk")).toMap
+    assert(out.keySet === Set(10L, 11L, 12L),
+      s"must stay inside the query's cell, got ${out.keySet}")
+    // rank 1 = highest cosine to (1.0, 0.05): vec 12 (1.0, 0.1) wins
+    assert(out.filter(_._2 == 1).keySet === Set(12L))
+  }
+
   test("k larger than distinct points keeps empty clusters out of output") {
     val vecs = Seq(
       (1L, Array(0.0f)), (2L, Array(0.0f)), (3L, Array(5.0f))
