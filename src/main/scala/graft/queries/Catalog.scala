@@ -23,7 +23,8 @@ object Catalog {
   def all: Map[String, Entry] =
     CoreQueries.defs ++ StatsQueries.defs ++ TextQueries.defs ++
       DedupSimQueries.defs ++ SeriesQueries.defs ++ PipelineQueries.defs ++
-      CorpusQueries.defs ++ RelationalExtQueries.defs
+      CorpusQueries.defs ++ RelationalExtQueries.defs ++
+      RetrievalQueries.defs
 
   def queries: Map[String, Q] = all.map { case (k, e) => k -> e.q }
   def oracles: Map[String, String] =
