@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.ZOrderFunctions
+
+/** Data-layout optimization: multi-dimensional clustering of a parquet
+  * lake on a space-filling curve.
+  *
+  * A lake range-partitioned on one column prunes scans filtered on that
+  * column only; z-order clustering spreads locality across TWO filter
+  * dimensions, so parquet footer min/max stats (and partition-level
+  * pruning) cut row groups for predicates on either — the standard
+  * Delta/Iceberg OPTIMIZE ZORDER discipline, here as a plain DataFrame op.
+  *
+  * At 100 TB this is the difference between "fast queries on the
+  * partition column, full scans on everything else" and "bounded reads on
+  * both": re-cluster once (one shuffle), every subsequent scan pays less.
+  */
+object LayoutOps {
+
+  /** Morton key over two bucketized coordinates (see
+    * [[graft.functions.InterleaveBits]]). Callers normalize raw values
+    * into [0, 2^bits) buckets first — e.g. `pmod(col, lit(1 << bits))`
+    * for dense integer keys, or a range-bucketizer for continuous values.
+    */
+  def zorderKey(x: Column, y: Column, bits: Int): Column =
+    ZOrderFunctions.zorder_key(x, y, bits)
+
+  /** Re-cluster `df` on the z-order of (xCol, yCol) into `numFiles`
+    * output slices: range-partition by key (equal-frequency slices via
+    * sampling) and sort within each, so each output file owns a compact
+    * z-range == a compact 2-D tile, and BOTH columns' footer min/max are
+    * narrow. The key column is dropped before handing back — it is layout
+    * state, not data.
+    */
+  def zorderCluster(df: DataFrame, xCol: Column, yCol: Column,
+                    bits: Int, numFiles: Int): DataFrame = {
+    val keyed = df.withColumn("__zkey", zorderKey(xCol, yCol, bits))
+    keyed.repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+  }
+
+  /** zorderCluster + parquet write: one file per z-range slice. */
+  def writeZOrdered(df: DataFrame, xCol: Column, yCol: Column,
+                    bits: Int, numFiles: Int, path: String): Unit =
+    zorderCluster(df, xCol, yCol, bits, numFiles)
+      .write.mode("overwrite").parquet(path)
+}

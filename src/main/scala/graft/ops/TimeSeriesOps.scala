@@ -82,4 +82,32 @@ object TimeSeriesOps {
           col(valCol) + (col(valCol) - col("prev"))))
       .drop("prev")
   }
+
+  /** Exponentially weighted moving average, final value per key:
+    * s_1 = x_1, s_i = α·x_i + (1−α)·s_{i-1} over the series ordered by
+    * (tsCol, value) — pandas `ewm(alpha, adjust=False).mean().iloc[-1]`,
+    * the smoothing the reference's notebooks apply to price series.
+    *
+    * The recursion is non-associative, so it cannot be a window sum; the
+    * scalable form is the same collect-then-fold fan-in as the AR trainer
+    * (A5/X5: one shuffle, per-key series must fit an executor — holds for
+    * per-symbol price history; 2M points ≈ 32 MB). The fold runs inside
+    * `functions.aggregate`, left-to-right in double, so results are
+    * bit-comparable across engines (DuckDB `list_reduce` replays it).
+    * For per-row smoothed output use [[WindowOps]] patterns or the
+    * streaming `DriftForecaster`-style stateful op instead.
+    */
+  def ewmaLast(df: DataFrame, keyCol: String, tsCol: String,
+               valCol: String, alpha: Double): DataFrame = {
+    val collected = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_points"),
+      array_sort(collect_list(struct(col(tsCol).as("t"),
+        col(valCol).cast("double").as("v")))).as("series"))
+    collected.select(col(keyCol), col("n_points"),
+      round(aggregate(
+        slice(col("series"), lit(2), size(col("series")) - 1),
+        element_at(col("series"), 1).getField("v"),
+        (acc, x) => lit(alpha) * x.getField("v") + lit(1 - alpha) * acc),
+        6).as("ewma_last"))
+  }
 }

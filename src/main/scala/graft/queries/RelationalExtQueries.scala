@@ -227,6 +227,30 @@ object RelationalExtQueries {
                       WHEN 'es' THEN '80000000'
                       WHEN 'fr' THEN '80000000'
                       WHEN 'zh' THEN '19999999'
-                      ELSE '00000000' END"""))
+                      ELSE '00000000' END""")),
+
+    // North-star layout op: Morton (z-order) clustering key over two
+    // bucketized dimensions (graft.functions.InterleaveBits, the
+    // Delta/Iceberg OPTIMIZE ZORDER discipline — see ops.LayoutOps for
+    // the re-clustering writer). Oracle replays the interleave bit by
+    // bit; the engine runs the codegen'd magic-number spread.
+    "layout_zorder" -> Entry(
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.ops.LayoutOps.zorderKey(
+            pmod(col("l_partkey"), lit(1024)),
+            pmod(col("l_suppkey"), lit(1024)), 10).as("zkey")),
+      Some {
+        val terms = (0 until 10).flatMap(i => Seq(
+          s"(((x >> $i) & 1) << ${2 * i})",
+          s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString("\n             + ")
+        s"""
+        WITH c AS (SELECT l_orderkey, l_linenumber,
+                          l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+                   FROM lineitem)
+        SELECT l_orderkey, l_linenumber,
+               $terms AS zkey
+        FROM c"""
+      })
   )
 }

@@ -242,6 +242,22 @@ object SeriesQueries {
                  AS forecast_next
         FROM events
         WINDOW w AS (PARTITION BY event_type
-                     ORDER BY CAST(ts AS TIMESTAMP), event_id)"""))
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)""")),
+
+    // North-star smoothing: final EWMA per key (s_i = α·x_i + (1−α)·s_{i-1},
+    // init = first observation). Non-associative recursion → collect+fold
+    // fan-in (TimeSeriesOps.ewmaLast scaladoc); both engines fold
+    // left-to-right in double, so the result hash-matches at 6 digits.
+    "ts_ewma" -> Entry(
+      (s, dir) => graft.ops.TimeSeriesOps.ewmaLast(
+        Tables.events(s, dir), "event_type", "ts", "value", 0.2),
+      Some(s"""
+        SELECT event_type, count(*) AS n_points,
+               round(list_reduce(
+                 list(CAST(value AS DOUBLE)
+                      ORDER BY CAST(ts AS TIMESTAMP), value),
+                 (acc, x) -> ${0.2} * x + ${1 - 0.2} * acc), 6)
+                 AS ewma_last
+        FROM events GROUP BY 1"""))
   )
 }
