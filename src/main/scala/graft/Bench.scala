@@ -20,12 +20,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 benches a subset
+    // (unset in the driver's run -> full catalog)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // JIT/codegen warmup: run the whole catalog once at the smallest sf so
     // measured times reflect steady-state execution, not first-call JVM and
     // codegen compilation (observed 5-10x first-run inflation locally).
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
@@ -33,7 +39,7 @@ object Bench {
     // pauses and background JIT (observed 10x+ outliers on single runs);
     // the min is the steady-state cost the query actually has.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val results = selected.map {
       case (name, fn) =>
         val times = (1 to passes).map { _ =>
           val t0 = System.nanoTime()

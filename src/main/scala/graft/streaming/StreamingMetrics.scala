@@ -101,6 +101,25 @@ object StreamingMetrics {
       .dropDuplicatesWithinWatermark("_content_hash")
       .drop("_content_hash")
 
+  /** Session windows over the stream: activity bursts separated by more
+    * than `gap` close as independent sessions (the batch analog is the
+    * t_session_window query). Spark merges open-session state across
+    * micro-batches until the watermark passes a session's end, then emits
+    * it once in append mode — state per key is O(open sessions), bounded
+    * by the watermark exactly like the tumbling-window case.
+    */
+  def sessionMetrics(events: DataFrame, gap: String, watermark: String,
+                     timeCol: String = "ts", keyCol: String = "event_type",
+                     valCol: String = "value"): DataFrame =
+    events
+      .withWatermark(timeCol, watermark)
+      .groupBy(session_window(col(timeCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(valCol)), 2).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col(keyCol),
+        col("n_events"), col("sum_value"))
+
   /** T7/S4: incremental file ingestion — the Structured Streaming file
     * source replaces the reference's hand-rolled processed-blob state file
     * (batch_to_mongo.py:22-57: list blobs, skip processed, persist JSON).

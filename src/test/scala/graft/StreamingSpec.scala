@@ -212,6 +212,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows merge within gap, split across it") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamingMetrics.sessionMetrics(mem.toDF(), "30 seconds",
+      "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess").start()
+    try {
+      // burst 1: two events 10s apart (same session); burst 2 at :01:30
+      // (gap > 30s -> new session), delivered across separate batches to
+      // prove open-session state merges across micro-batches
+      mem.addData(Ev(ts("2024-01-01 00:00:00"), "A", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 00:00:10"), "A", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 00:01:30"), "A", 4.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 00:30:00"), "A", 0.0)) // advance wm
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+        .map(r => (r.getAs[Timestamp]("session_start"),
+          r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value"))).sortBy(_._1.getTime)
+      assert(rows.length >= 2)
+      // session 1: [00:00:00, 00:00:40) — second event extended it
+      assert(rows(0)._1 === ts("2024-01-01 00:00:00"))
+      assert(rows(0)._2 === ts("2024-01-01 00:00:40"))
+      assert(rows(0)._3 === 2L && rows(0)._4 === 3.0)
+      // session 2: singleton burst [00:01:30, 00:02:00)
+      assert(rows(1)._1 === ts("2024-01-01 00:01:30"))
+      assert(rows(1)._2 === ts("2024-01-01 00:02:00"))
+      assert(rows(1)._3 === 1L && rows(1)._4 === 4.0)
+    } finally q.stop()
+  }
+
   test("unbounded rate source wires into windowed metrics (S1 stand-in)") {
     // the rate source is the built-in unbounded generator — proves the
     // same windowedMetrics plan runs against a genuinely unbounded source
