@@ -336,6 +336,107 @@ object SimilarityOps {
         round(col("cos_sim"), 6).as("cos_sim"), col("rnk"))
   }
 
+  /** Product quantization + asymmetric-distance (ADC) top-k — the
+    * memory-side of the ANN stack (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI'11): vectors compress to m
+    * sub-codebook ids (m bytes at k<=256 vs 4·dim bytes raw), and query
+    * scans touch only the codes plus an m×k distance table per query.
+    * Composes with [[kmeansIvfTopK]] (coarse cells) as IVF-PQ.
+    *
+    * All m sub-codebooks train in ONE Lloyd pass over the corpus: the
+    * (id, vector) rows explode to (id, sub, subvector) and the
+    * assignment/update aggregate by (sub, cluster) — m separate k-means
+    * for the cost (scans, shuffles) of one. Codebooks are O(m·k·dim/m)
+    * driver/broadcast state. The ADC join streams the codes against a
+    * broadcast distance table and map-side-aggregates the m partial
+    * distances per (query, vector) — no corpus shuffle.
+    *
+    * Same exact-arithmetic discipline as [[kmeansCentroids]]: subvectors
+    * quantize to 1e-6-grid longs, distances/updates are integer math with
+    * id-tiebroken argmins, so training, codes, and rankings are
+    * bit-identical across engines — the DuckDB oracle replays everything.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+             m: Int, codebookK: Int, iters: Int,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    require(codebookK > 0 && iters >= 1)
+    val subLen = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val qvecExpr = transform(col(vecCol),
+      v => round(v.cast("double") * 1e6).cast("long"))
+    val slices = array((0 until m).map(j =>
+      slice(col("_qv"), j * subLen + 1, subLen)): _*)
+    def subForm(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), qvecExpr.as("_qv"))
+        .select(col(id), posexplode(slices).as(Seq("_sub", "_qs")))
+
+    val csub = subForm(Rebalance(corpus), "_vid").cache()
+    try {
+      // deterministic init: sub-codebook c = subvectors of the codebookK
+      // lowest-id corpus rows (rank by id = cluster id, per subspace)
+      var cents: Map[(Int, Int), Seq[Long]] = {
+        val ids = corpus.select(col(idCol).cast("long")).orderBy(col(idCol))
+          .limit(codebookK).collect().map(_.getLong(0))
+        val rank = ids.sorted.zipWithIndex.toMap
+        csub.filter(col("_vid").isin(ids: _*)).collect().map { r =>
+          ((r.getInt(1), rank(r.getLong(0))), r.getSeq[Long](2))
+        }.toMap
+      }
+      def centsDF(c: Map[(Int, Int), Seq[Long]]) = broadcast(
+        c.toSeq.map { case ((s, cid), qc) => (s, cid, qc) }
+          .toDF("_sub", "_cid", "_qc"))
+      val dist = aggregate(
+        zip_with(col("_qs"), col("_qc"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      def assign(df: DataFrame, id: String,
+                 c: Map[(Int, Int), Seq[Long]]): DataFrame =
+        df.join(centsDF(c), Seq("_sub"))
+          .groupBy(col(id), col("_sub"))
+          .agg(min(struct(dist.as("d"), col("_cid").as("c"))).as("_m"),
+            first(col("_qs")).as("_qs"))
+      def update(c: Map[(Int, Int), Seq[Long]]): Map[(Int, Int), Seq[Long]] =
+        assign(csub, "_vid", c)
+          .select(col("_sub"), col("_m.c").as("_cid"),
+            posexplode(col("_qs")).as(Seq("_dim", "_q")))
+          .groupBy(col("_sub"), col("_cid"), col("_dim"))
+          .agg(sum(col("_q")).as("_s"), count(lit(1)).as("_n"))
+          .withColumn("_qc",
+            round(col("_s").cast("double") / col("_n")).cast("long"))
+          .select("_sub", "_cid", "_dim", "_qc").collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case (key, rows) =>
+            key -> rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
+          }
+      (1 to iters).foreach { _ =>
+        val u = update(cents)
+        // empty clusters keep their previous centroid (same as the coarse
+        // quantizer's convention)
+        cents = cents.map { case (key, old) => key -> u.getOrElse(key, old) }
+      }
+      // encode the corpus under the trained codebooks; queries get a
+      // per-(query, subspace, cluster) distance table instead
+      val codes = assign(csub, "_vid", cents)
+        .select(col("_vid"), col("_sub"), col("_m.c").as("_cid"))
+      val qdist = subForm(queries, "_qid").join(centsDF(cents), Seq("_sub"))
+        .select(col("_qid"), col("_sub"), col("_cid"), dist.as("_d"))
+      val adc = codes.join(broadcast(qdist), Seq("_sub", "_cid"))
+        .groupBy(col("_qid"), col("_vid"))
+        .agg(sum(col("_d")).as("_dist"))
+      val w = Window.partitionBy(col("_qid"))
+        .orderBy(col("_dist"), col("_vid"))
+      adc.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("_qid").as("query_id"), col("_vid").as("corpus_id"),
+          round(col("_dist").cast("double") / 1e12, 6).as("approx_dist"),
+          col("rnk"))
+        .localCheckpoint(eager = true)
+    } finally csub.unpersist()
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (the
     * embedding leg of the dedup suite): all-pairs via self-join bounded to
     * id_a < id_b. Use after LSH bucketing at scale; exact form here for

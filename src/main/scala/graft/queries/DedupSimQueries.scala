@@ -304,6 +304,78 @@ object DedupSimQueries {
                CAST(qc AS DOUBLE) / 1000000 AS centroid
         FROM u2""")),
 
+    // North-star ANN compression: product quantization + ADC top-k
+    // (SimilarityOps.pqTopK). The oracle replays the whole pipeline —
+    // subspace split, one Lloyd round per sub-codebook, encode, ADC —
+    // in exact 1e-6-long arithmetic, so ranks hash-match.
+    "pq_adc_topk" -> Entry(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilarityOps.pqTopK(
+          e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+          k = 5, dim = 64, m = 4, codebookK = 8, iters = 1)
+      },
+      Some {
+        val m = 4; val subLen = 16; val cbK = 8
+        def pqDist(a: String, b: String) =
+          s"list_sum(list_transform(generate_series(1, $subLen), i -> " +
+            s"($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]) * " +
+            s"($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)])))"
+        def pqAssign(src: String, cent: String, keep: String) =
+          s"""SELECT $keep, sub, cid FROM (
+                SELECT s.*, c.cid,
+                       row_number() OVER (PARTITION BY s.vec_id, s.sub
+                         ORDER BY ${pqDist("s.qs", "c.qc")}, c.cid) AS rn
+                FROM $src s JOIN $cent c ON s.sub = c.sub) WHERE rn = 1"""
+        s"""
+        WITH cq AS (SELECT vec_id, $qzSql AS qv
+                    FROM embeddings WHERE vec_id >= 10),
+        qq AS (SELECT vec_id, $qzSql AS qv
+               FROM embeddings WHERE vec_id < 10),
+        cs AS (SELECT vec_id, CAST(t.sub AS INTEGER) AS sub,
+                      qv[CAST(t.sub * $subLen + 1 AS INTEGER) :
+                         CAST(t.sub * $subLen + $subLen AS INTEGER)] AS qs
+               FROM cq, UNNEST(generate_series(0, ${m - 1})) AS t(sub)),
+        qsub AS (SELECT vec_id, CAST(t.sub AS INTEGER) AS sub,
+                        qv[CAST(t.sub * $subLen + 1 AS INTEGER) :
+                           CAST(t.sub * $subLen + $subLen AS INTEGER)] AS qs
+                 FROM qq, UNNEST(generate_series(0, ${m - 1})) AS t(sub)),
+        init AS (SELECT vec_id,
+                        CAST(row_number() OVER (ORDER BY vec_id)
+                          AS INTEGER) - 1 AS cid
+                 FROM (SELECT vec_id FROM cq ORDER BY vec_id LIMIT $cbK)),
+        c0 AS (SELECT cs.sub, init.cid, cs.qs AS qc
+               FROM cs JOIN init USING (vec_id)),
+        a1 AS (${pqAssign("cs", "c0", "vec_id, qs")}),
+        u1 AS (SELECT sub, cid, CAST(i AS INTEGER) - 1 AS dim,
+                      CAST(round(CAST(sum(qs[CAST(i AS INTEGER)])
+                        AS DOUBLE) / count(*)) AS BIGINT) AS qc
+               FROM a1, UNNEST(generate_series(1, $subLen)) AS t(i)
+               GROUP BY 1, 2, 3),
+        c1 AS (SELECT c0.sub, c0.cid, COALESCE(l.qc, c0.qc) AS qc
+               FROM c0 LEFT JOIN (SELECT sub, cid,
+                                         list(qc ORDER BY dim) AS qc
+                                  FROM u1 GROUP BY 1, 2) l
+                 ON c0.sub = l.sub AND c0.cid = l.cid),
+        enc AS (${pqAssign("cs", "c1", "vec_id")}),
+        qd AS (SELECT s.vec_id AS query_id, s.sub, c.cid,
+                      ${pqDist("s.qs", "c.qc")} AS d
+               FROM qsub s JOIN c1 c ON s.sub = c.sub),
+        adc AS (SELECT qd.query_id, enc.vec_id AS corpus_id,
+                       sum(qd.d) AS dist
+                FROM enc JOIN qd ON enc.sub = qd.sub AND enc.cid = qd.cid
+                GROUP BY 1, 2),
+        ranked AS (SELECT query_id, corpus_id, dist,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, corpus_id) AS rnk
+                   FROM adc)
+        SELECT query_id, corpus_id,
+               round(CAST(dist AS DOUBLE) / 1000000000000, 6)
+                 AS approx_dist,
+               CAST(rnk AS INTEGER) AS rnk
+        FROM ranked WHERE rnk <= 5"""
+      }),
+
     "knn_cosine_topk" -> Entry(
       (s, dir) => {
         val e = Tables.embeddings(s, dir)

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SimilarityOps
+
+/** Product-quantization ADC semantics. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  test("degenerate PQ (every vector its own centroid) is exact L2 search") {
+    // codebookK = |corpus| with distinct vectors: after one Lloyd round
+    // each vector sits alone in its own cluster, so the ADC distance IS
+    // the exact (quantized) squared L2 distance and PQ == brute force.
+    val corpus = Seq(
+      (10L, vec(0, 0, 1, 1)), (11L, vec(2, 2, 2, 2)),
+      (12L, vec(5, 5, 5, 5)), (13L, vec(-1, 0, 0, 1)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, vec(0, 0, 1, 2)), (1L, vec(4, 5, 5, 5)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.pqTopK(queries, corpus, k = 4, dim = 4,
+      m = 2, codebookK = 4, iters = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // query 0 nearest: 10 (d=1), then 13 (d=1+1+1=3... compute): distances
+    // q0=(0,0,1,2): d(10)=0+0+0+1=1; d(13)=1+0+1+1=3; d(11)=4+4+1+0=9;
+    // d(12)=25+25+16+9=75
+    assert(got((0L, 1)) === ((10L, 1.0)))
+    assert(got((0L, 2)) === ((13L, 3.0)))
+    assert(got((0L, 3)) === ((11L, 9.0)))
+    assert(got((0L, 4)) === ((12L, 75.0)))
+    // q1=(4,5,5,5): d(12)=1+0+0+0=1; d(11)=4+9+9+9=31
+    assert(got((1L, 1)) === ((12L, 1.0)))
+    assert(got((1L, 2)) === ((11L, 31.0)))
+  }
+
+  test("ADC distance decomposes over subspaces (m=2 equals m=1)") {
+    // with per-vector codebooks (degenerate case) the subspace split must
+    // not change distances: sum over 2 halves == full-vector distance
+    val corpus = Seq(
+      (10L, vec(1, 2, 3, 4)), (11L, vec(4, 3, 2, 1)), (12L, vec(0, 0, 0, 9)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, vec(1, 1, 1, 1))).toDF("vec_id", "embedding")
+    def run(m: Int) = SimilarityOps.pqTopK(queries, corpus, k = 3, dim = 4,
+      m = m, codebookK = 3, iters = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(run(1) === run(2))
+  }
+
+  test("quantization compresses: shared codewords rank by codebook cell") {
+    // two tight clusters, codebookK=2: all members of a cluster share a
+    // code, so ADC distance is to the cluster centroid — within-cluster
+    // members tie and rank by id
+    val corpus = Seq(
+      (10L, vec(0, 0)), (11L, vec(0.02, 0.02)),
+      (12L, vec(10, 10)), (13L, vec(10.02, 10.02)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, vec(0.5, 0.5))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.pqTopK(queries, corpus, k = 4, dim = 2,
+      m = 1, codebookK = 2, iters = 1).collect()
+      .sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2)))
+    // near cluster first (ids 10,11 tie on the shared centroid), far next
+    assert(got.map(_._1).toSeq === Seq(10L, 11L, 12L, 13L))
+    assert(got(0)._2 === got(1)._2)
+    assert(got(2)._2 === got(3)._2)
+    assert(got(0)._2 < got(2)._2)
+  }
+}
