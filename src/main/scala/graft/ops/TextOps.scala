@@ -155,6 +155,56 @@ object TextOps {
           emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), longNumRe, "<NUM>"))
   }
 
+  // --- North-star: unigram LM scoring ------------------------------------
+
+  /** Unigram language-model log-probability per document — the
+    * perplexity-style quality signal pretraining pipelines filter on
+    * (cheap stand-in for "score every doc with a small LM").
+    *
+    * Model: Laplace-smoothed unigram over the corpus's own top-`topV`
+    * tokens, everything else one shared OOV bucket:
+    * p(t) = (cnt_t + 1) / (total_tokens + topV_actual + 1).
+    *
+    * Scale shape: the vocabulary build is one token-explode + groupBy
+    * (map-side partial counts), truncated to topV with a deterministic
+    * (count desc, token) cut and collected — O(topV) driver/broadcast
+    * state. Scoring then runs as a NARROW single scan: the vocab rides a
+    * map literal into the plan and each doc folds its own token array —
+    * no second shuffle, no per-token rows.
+    *
+    * Determinism: per-token log-probs are quantized to 1e-6 longs
+    * (round(ln(p)*1e6)) before summation, so the per-doc sum is exact
+    * integer math — engine- and order-independent (the same trick that
+    * makes the k-means trajectory replayable).
+    * Output: idCol, n_tokens, avg_logprob (round 6).
+    */
+  def unigramLogProb(df: DataFrame, topV: Int = 20,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val toks = df.select(explode(split(lower(col(textCol)), " ")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(topV)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total = toks.count()
+    val vActual = counts.length
+    val denom = (total + vActual + 1).toDouble
+    def qlp(cnt: Long): Long =
+      math.round(math.log((cnt + 1).toDouble / denom) * 1e6)
+    val vocabQlp: Column = map(
+      counts.flatMap { case (t, c) => Seq(lit(t), lit(qlp(c))) }.toSeq: _*)
+    val oovQlp = lit(qlp(0L))
+    val scored = df.select(col(idCol),
+      split(lower(col(textCol)), " ").as("_toks"), vocabQlp.as("_v"))
+    scored.select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        aggregate(col("_toks"), lit(0L),
+          (acc, t) => acc + coalesce(element_at(col("_v"), t), oovQlp))
+          .as("_qsum"))
+      .select(col(idCol), col("n_tokens"),
+        round((col("_qsum").cast("double") / 1e6) / col("n_tokens"), 6)
+          .as("avg_logprob"))
+  }
+
   // --- North-star: document fingerprinting -------------------------------
 
   /** Winnowing-style fingerprint: min/max MD5 over character shingles.

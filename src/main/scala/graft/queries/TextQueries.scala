@@ -162,6 +162,37 @@ object TextQueries {
                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
         FROM documents""")),
 
+    // North-star: unigram LM log-prob scoring (perplexity-style quality
+    // signal). Per-token log-probs quantize to 1e-6 longs BEFORE the
+    // per-doc sum, so summation order cannot perturb the result and the
+    // oracle's join-based scoring matches the engine's map-literal fold.
+    "lm_logprob" -> Entry(
+      (s, dir) => TextOps.unigramLogProb(Tables.documents(s, dir), 20),
+      Some("""
+        WITH toks AS (SELECT doc_id,
+                             unnest(string_split(lower(text), ' ')) AS tok
+                      FROM documents),
+        counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1
+                   ORDER BY cnt DESC, tok LIMIT 20),
+        stats AS (SELECT (SELECT count(*) FROM toks) AS total,
+                         (SELECT count(*) FROM counts) AS v),
+        qv AS (SELECT tok,
+                      CAST(round(ln(CAST(cnt + 1 AS DOUBLE) /
+                        CAST(total + v + 1 AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS qlp
+               FROM counts, stats),
+        oov AS (SELECT CAST(round(ln(CAST(1 AS DOUBLE) /
+                         CAST(total + v + 1 AS DOUBLE)) * 1000000)
+                         AS BIGINT) AS qlp
+                FROM stats),
+        scored AS (SELECT t.doc_id,
+                          COALESCE(q.qlp, (SELECT qlp FROM oov)) AS qlp
+                   FROM toks t LEFT JOIN qv q USING (tok))
+        SELECT doc_id, count(*) AS n_tokens,
+               round((CAST(sum(qlp) AS DOUBLE) / 1000000) / count(*), 6)
+                 AS avg_logprob
+        FROM scored GROUP BY 1""")),
+
     // A7 (text flavor): top duplicated/most-frequent texts
     // (Milestone3 cell 28 value_counts().head) — deterministic tiebreak on
     // the text itself.

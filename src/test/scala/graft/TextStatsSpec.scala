@@ -89,4 +89,26 @@ class TextStatsSpec extends SparkSpec {
     assert(out.getAs[Double]("share_even") === 0.5)
     assert(out.getAs[Long]("n_rows") === 4L)
   }
+
+  test("unigramLogProb: common-token docs outscore rare/OOV docs") {
+    val df = Seq(
+      (1L, "a a b"),   // top-vocab tokens only
+      (2L, "c"),       // OOV under topV=2 (a:2, b:1 win the cut)
+      (3L, "a a a"))   // most probable content
+      .toDF("doc_id", "text")
+    val out = TextOps.unigramLogProb(df, topV = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out(1L)._1 === 3L && out(2L)._1 === 1L)
+    // hand check doc 1: corpus tokens a,a,b,c,a,a,a -> counts a:5 b:1
+    // c:1; top-2 vocab = a, b; total=7, v=2, denom=10
+    // qlp(a)=round(ln(6/10)*1e6)=-510826, qlp(b)=round(ln(2/10)*1e6)
+    // =-1609438, OOV=round(ln(1/10)*1e6)=-2302585
+    val d1 = (2.0 * -510826 + -1609438) / 1e6 / 3
+    assert(math.abs(out(1L)._2 -
+      BigDecimal(d1).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9)
+    assert(out(3L)._2 > out(1L)._2)   // pure-a beats a,a,b
+    assert(out(1L)._2 > out(2L)._2)   // vocab beats OOV
+  }
 }
