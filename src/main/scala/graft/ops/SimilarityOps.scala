@@ -359,7 +359,52 @@ object SimilarityOps {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
              m: Int, codebookK: Int, iters: Int,
              idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
+             vecCol: String = "embedding"): DataFrame =
+    pqAdc(queries, corpus, k, dim, m, codebookK, iters, idCol, vecCol, None)
+
+  /** IVF-PQ: the coarse trained quantizer ([[kmeansCentroids]] cells)
+    * composed with PQ codes — candidates shrink to ~1/nCells of the
+    * corpus AND each candidate costs m code-table lookups instead of a
+    * dim-wide scan. This is the standard billion-scale ANN layout
+    * (FAISS IVFADC): cells prune I/O, codes prune bytes. Cell assignment
+    * and PQ training both use the exact quantized-long argmin, so the
+    * whole index build and search replay in the oracle.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+                nCells: Int, cellIters: Int, m: Int, codebookK: Int,
+                pqIters: Int, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cellCents: Seq[(Int, Seq[Long])] =
+      kmeansCentroids(corpus, nCells, cellIters, idCol, vecCol)
+        .collect().groupBy(_.getInt(0)).map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1))
+            .map(r => math.round(r.getDouble(3) * 1e6)).toSeq
+        }.toSeq
+    val cdf = broadcast(cellCents.toDF("_ccid", "_cqc"))
+    val qvecExpr = transform(col(vecCol),
+      v => round(v.cast("double") * 1e6).cast("long"))
+    val cellDist = aggregate(
+      zip_with(col("_qv"), col("_cqc"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    def cellOf(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), qvecExpr.as("_qv"))
+        .crossJoin(cdf)
+        .groupBy(col(id))
+        .agg(min(struct(cellDist.as("d"), col("_ccid").as("c"))).as("_m"))
+        .select(col(id), col("_m.c").as("_cell"))
+    pqAdc(queries, corpus, k, dim, m, codebookK, pqIters, idCol, vecCol,
+      Some((cellOf(corpus, "_vid"), cellOf(queries, "_qid"))))
+  }
+
+  /** Shared PQ train/encode/ADC core; `cells` (corpus-cell, query-cell)
+    * restricts candidate pairs to the same coarse cell (IVF-PQ).
+    */
+  private def pqAdc(queries: DataFrame, corpus: DataFrame, k: Int,
+                    dim: Int, m: Int, codebookK: Int, iters: Int,
+                    idCol: String, vecCol: String,
+                    cells: Option[(DataFrame, DataFrame)]): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     require(codebookK > 0 && iters >= 1)
     val subLen = dim / m
@@ -419,11 +464,20 @@ object SimilarityOps {
       }
       // encode the corpus under the trained codebooks; queries get a
       // per-(query, subspace, cluster) distance table instead
-      val codes = assign(csub, "_vid", cents)
+      val codes0 = assign(csub, "_vid", cents)
         .select(col("_vid"), col("_sub"), col("_m.c").as("_cid"))
-      val qdist = subForm(queries, "_qid").join(centsDF(cents), Seq("_sub"))
+      val qdist0 = subForm(queries, "_qid").join(centsDF(cents), Seq("_sub"))
         .select(col("_qid"), col("_sub"), col("_cid"), dist.as("_d"))
-      val adc = codes.join(broadcast(qdist), Seq("_sub", "_cid"))
+      // IVF restriction: tag codes and distance-table rows with their
+      // coarse cell and make the cell part of the ADC join key
+      val (codes, qdist, joinKeys) = cells match {
+        case Some((cCell, qCell)) =>
+          (codes0.join(cCell, Seq("_vid")),
+            qdist0.join(broadcast(qCell), Seq("_qid")),
+            Seq("_sub", "_cid", "_cell"))
+        case None => (codes0, qdist0, Seq("_sub", "_cid"))
+      }
+      val adc = codes.join(broadcast(qdist), joinKeys)
         .groupBy(col("_qid"), col("_vid"))
         .agg(sum(col("_d")).as("_dist"))
       val w = Window.partitionBy(col("_qid"))

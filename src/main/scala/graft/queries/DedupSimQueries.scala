@@ -59,6 +59,57 @@ object DedupSimQueries {
         FROM $assign, UNNEST(generate_series(1, len(qv))) AS t(i)
         GROUP BY 1, 2"""
 
+  /** PQ pipeline CTE chain (twin of SimilarityOps.pqAdc arithmetic:
+    * m=4 subspaces of 16 dims, 8-entry sub-codebooks, 1 Lloyd round).
+    * Expects `cq` (corpus: vec_id, qv) and `qq` (queries: vec_id, qv)
+    * to be defined; emits `enc` (corpus codes: vec_id, sub, cid) and
+    * `qd` (query distance table: query_id, sub, cid, d).
+    */
+  private def pqDistSql(a: String, b: String, subLen: Int): String =
+    s"list_sum(list_transform(generate_series(1, $subLen), i -> " +
+      s"($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]) * " +
+      s"($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)])))"
+  private def pqAssignSql(src: String, cent: String, keep: String,
+                          subLen: Int): String =
+    s"""SELECT $keep, sub, cid FROM (
+          SELECT s.*, c.cid,
+                 row_number() OVER (PARTITION BY s.vec_id, s.sub
+                   ORDER BY ${pqDistSql("s.qs", "c.qc", subLen)}, c.cid)
+                   AS rn
+          FROM $src s JOIN $cent c ON s.sub = c.sub) WHERE rn = 1"""
+  private def pqPipelineSql: String = {
+    val m = 4; val subLen = 16; val cbK = 8
+    s"""cs AS (SELECT vec_id, CAST(t.sub AS INTEGER) AS sub,
+                      qv[CAST(t.sub * $subLen + 1 AS INTEGER) :
+                         CAST(t.sub * $subLen + $subLen AS INTEGER)] AS qs
+               FROM cq, UNNEST(generate_series(0, ${m - 1})) AS t(sub)),
+        qsub AS (SELECT vec_id, CAST(t.sub AS INTEGER) AS sub,
+                        qv[CAST(t.sub * $subLen + 1 AS INTEGER) :
+                           CAST(t.sub * $subLen + $subLen AS INTEGER)] AS qs
+                 FROM qq, UNNEST(generate_series(0, ${m - 1})) AS t(sub)),
+        init AS (SELECT vec_id,
+                        CAST(row_number() OVER (ORDER BY vec_id)
+                          AS INTEGER) - 1 AS cid
+                 FROM (SELECT vec_id FROM cq ORDER BY vec_id LIMIT $cbK)),
+        c0 AS (SELECT cs.sub, init.cid, cs.qs AS qc
+               FROM cs JOIN init USING (vec_id)),
+        a1 AS (${pqAssignSql("cs", "c0", "vec_id, qs", subLen)}),
+        u1 AS (SELECT sub, cid, CAST(i AS INTEGER) - 1 AS dim,
+                      CAST(round(CAST(sum(qs[CAST(i AS INTEGER)])
+                        AS DOUBLE) / count(*)) AS BIGINT) AS qc
+               FROM a1, UNNEST(generate_series(1, $subLen)) AS t(i)
+               GROUP BY 1, 2, 3),
+        c1 AS (SELECT c0.sub, c0.cid, COALESCE(l.qc, c0.qc) AS qc
+               FROM c0 LEFT JOIN (SELECT sub, cid,
+                                         list(qc ORDER BY dim) AS qc
+                                  FROM u1 GROUP BY 1, 2) l
+                 ON c0.sub = l.sub AND c0.cid = l.cid),
+        enc AS (${pqAssignSql("cs", "c1", "vec_id", subLen)}),
+        qd AS (SELECT s.vec_id AS query_id, s.sub, c.cid,
+                      ${pqDistSql("s.qs", "c.qc", subLen)} AS d
+               FROM qsub s JOIN c1 c ON s.sub = c.sub)"""
+  }
+
   /** CTEs computing the 64-bit SimHash signature per doc in DuckDB — the
     * twin of HashKernels.simhash64. Bit b of the big-endian 16-hex-char
     * value lives in hex char (16 - b/4) at nibble bit (b % 4); votes are
@@ -315,52 +366,12 @@ object DedupSimQueries {
           e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
           k = 5, dim = 64, m = 4, codebookK = 8, iters = 1)
       },
-      Some {
-        val m = 4; val subLen = 16; val cbK = 8
-        def pqDist(a: String, b: String) =
-          s"list_sum(list_transform(generate_series(1, $subLen), i -> " +
-            s"($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]) * " +
-            s"($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)])))"
-        def pqAssign(src: String, cent: String, keep: String) =
-          s"""SELECT $keep, sub, cid FROM (
-                SELECT s.*, c.cid,
-                       row_number() OVER (PARTITION BY s.vec_id, s.sub
-                         ORDER BY ${pqDist("s.qs", "c.qc")}, c.cid) AS rn
-                FROM $src s JOIN $cent c ON s.sub = c.sub) WHERE rn = 1"""
-        s"""
+      Some(s"""
         WITH cq AS (SELECT vec_id, $qzSql AS qv
                     FROM embeddings WHERE vec_id >= 10),
         qq AS (SELECT vec_id, $qzSql AS qv
                FROM embeddings WHERE vec_id < 10),
-        cs AS (SELECT vec_id, CAST(t.sub AS INTEGER) AS sub,
-                      qv[CAST(t.sub * $subLen + 1 AS INTEGER) :
-                         CAST(t.sub * $subLen + $subLen AS INTEGER)] AS qs
-               FROM cq, UNNEST(generate_series(0, ${m - 1})) AS t(sub)),
-        qsub AS (SELECT vec_id, CAST(t.sub AS INTEGER) AS sub,
-                        qv[CAST(t.sub * $subLen + 1 AS INTEGER) :
-                           CAST(t.sub * $subLen + $subLen AS INTEGER)] AS qs
-                 FROM qq, UNNEST(generate_series(0, ${m - 1})) AS t(sub)),
-        init AS (SELECT vec_id,
-                        CAST(row_number() OVER (ORDER BY vec_id)
-                          AS INTEGER) - 1 AS cid
-                 FROM (SELECT vec_id FROM cq ORDER BY vec_id LIMIT $cbK)),
-        c0 AS (SELECT cs.sub, init.cid, cs.qs AS qc
-               FROM cs JOIN init USING (vec_id)),
-        a1 AS (${pqAssign("cs", "c0", "vec_id, qs")}),
-        u1 AS (SELECT sub, cid, CAST(i AS INTEGER) - 1 AS dim,
-                      CAST(round(CAST(sum(qs[CAST(i AS INTEGER)])
-                        AS DOUBLE) / count(*)) AS BIGINT) AS qc
-               FROM a1, UNNEST(generate_series(1, $subLen)) AS t(i)
-               GROUP BY 1, 2, 3),
-        c1 AS (SELECT c0.sub, c0.cid, COALESCE(l.qc, c0.qc) AS qc
-               FROM c0 LEFT JOIN (SELECT sub, cid,
-                                         list(qc ORDER BY dim) AS qc
-                                  FROM u1 GROUP BY 1, 2) l
-                 ON c0.sub = l.sub AND c0.cid = l.cid),
-        enc AS (${pqAssign("cs", "c1", "vec_id")}),
-        qd AS (SELECT s.vec_id AS query_id, s.sub, c.cid,
-                      ${pqDist("s.qs", "c.qc")} AS d
-               FROM qsub s JOIN c1 c ON s.sub = c.sub),
+        $pqPipelineSql,
         adc AS (SELECT qd.query_id, enc.vec_id AS corpus_id,
                        sum(qd.d) AS dist
                 FROM enc JOIN qd ON enc.sub = qd.sub AND enc.cid = qd.cid
@@ -373,8 +384,57 @@ object DedupSimQueries {
                round(CAST(dist AS DOUBLE) / 1000000000000, 6)
                  AS approx_dist,
                CAST(rnk AS INTEGER) AS rnk
-        FROM ranked WHERE rnk <= 5"""
-      }),
+        FROM ranked WHERE rnk <= 5""")),
+
+    // North-star billion-scale ANN layout: IVF-PQ — trained coarse cells
+    // (1 Lloyd round, 4 cells) restrict candidates, PQ codes carry the
+    // distances (SimilarityOps.ivfPqTopK). Oracle = the coarse-quantizer
+    // replay composed with the PQ replay, joined on cell equality.
+    "ivfpq_topk" -> Entry(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilarityOps.ivfPqTopK(
+          e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+          k = 5, dim = 64, nCells = 4, cellIters = 1, m = 4,
+          codebookK = 8, pqIters = 1)
+      },
+      Some(s"""
+        WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+                             $qzSql AS qv
+                      FROM embeddings WHERE vec_id >= 10),
+        qry AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+                       $qzSql AS qv
+                FROM embeddings WHERE vec_id < 10),
+        cc0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
+                         - 1 AS cid, qv AS qc
+                FROM (SELECT vec_id, qv FROM corp ORDER BY vec_id LIMIT 4)),
+        ca1 AS (${kmAssignSql("corp", "cc0")}),
+        cu1 AS (${kmMeanSql("ca1")}),
+        cc1 AS (SELECT cid, list(qc ORDER BY dim) AS qc
+                FROM cu1 GROUP BY cid),
+        cellc AS (SELECT vec_id, cid AS cell
+                  FROM (${kmAssignSql("corp", "cc1")})),
+        cellq AS (SELECT vec_id, cid AS cell
+                  FROM (${kmAssignSql("qry", "cc1")})),
+        cq AS (SELECT vec_id, qv FROM corp),
+        qq AS (SELECT vec_id, qv FROM qry),
+        $pqPipelineSql,
+        adc AS (SELECT qd.query_id, enc.vec_id AS corpus_id,
+                       sum(qd.d) AS dist
+                FROM enc JOIN qd ON enc.sub = qd.sub AND enc.cid = qd.cid
+                JOIN cellc ON cellc.vec_id = enc.vec_id
+                JOIN cellq ON cellq.vec_id = qd.query_id
+                          AND cellq.cell = cellc.cell
+                GROUP BY 1, 2),
+        ranked AS (SELECT query_id, corpus_id, dist,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, corpus_id) AS rnk
+                   FROM adc)
+        SELECT query_id, corpus_id,
+               round(CAST(dist AS DOUBLE) / 1000000000000, 6)
+                 AS approx_dist,
+               CAST(rnk AS INTEGER) AS rnk
+        FROM ranked WHERE rnk <= 5""")),
 
     "knn_cosine_topk" -> Entry(
       (s, dir) => {

@@ -67,4 +67,36 @@ class PqSpec extends SparkSpec {
     assert(got(2)._2 === got(3)._2)
     assert(got(0)._2 < got(2)._2)
   }
+
+  test("IVF-PQ with one cell equals plain PQ") {
+    val corpus = Seq(
+      (10L, vec(1, 2, 3, 4)), (11L, vec(4, 3, 2, 1)),
+      (12L, vec(0, 0, 0, 9)), (13L, vec(2, 2, 2, 2)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, vec(1, 1, 1, 1))).toDF("vec_id", "embedding")
+    val plain = SimilarityOps.pqTopK(queries, corpus, k = 4, dim = 4,
+      m = 2, codebookK = 2, iters = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val ivf = SimilarityOps.ivfPqTopK(queries, corpus, k = 4, dim = 4,
+      nCells = 1, cellIters = 1, m = 2, codebookK = 2, pqIters = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(ivf === plain)
+  }
+
+  test("IVF-PQ restricts candidates to the query's coarse cell") {
+    // two well-separated clusters; with nCells=2 the query lands in the
+    // near cluster's cell and far-cluster vectors never appear
+    val corpus = Seq(
+      (10L, vec(0, 0, 0, 0)), (11L, vec(0.1, 0, 0, 0.1)),
+      (12L, vec(0, 0.1, 0.1, 0)),
+      (20L, vec(50, 50, 50, 50)), (21L, vec(50.1, 50, 50, 50.1)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, vec(0.05, 0.05, 0, 0))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.ivfPqTopK(queries, corpus, k = 5, dim = 4,
+      nCells = 2, cellIters = 2, m = 2, codebookK = 3, pqIters = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(got.nonEmpty)
+    assert(got.subsetOf(Set(10L, 11L, 12L)),
+      s"far-cluster ids leaked into the probe: $got")
+  }
 }
