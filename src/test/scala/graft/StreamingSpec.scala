@@ -212,6 +212,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches without streaming state") {
+    // dimension enrichment is stateless: each micro-batch joins against
+    // the static side (re-resolved per batch), no watermark needed
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dims = Seq(("A", "alpha"), ("B", "beta")).toDF("event_type", "label")
+    val out = mem.toDF().join(broadcast(dims), Seq("event_type"), "left")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dimjoin").start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 00:00:01"), "A", 1.0),
+        Ev(ts("2024-01-01 00:00:02"), "C", 3.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 00:00:03"), "B", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("dimjoin").collect()
+        .map(r => r.getAs[String]("event_type") ->
+          Option(r.getAs[String]("label"))).toMap
+      assert(rows("A") === Some("alpha"))
+      assert(rows("B") === Some("beta"))
+      assert(rows("C") === None) // unmatched dim -> null, row kept
+    } finally q.stop()
+  }
+
   test("streaming session windows merge within gap, split across it") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Ev]
