@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, Md5MinMaxShingles, MinHashSigs, SimHash64}
+import graft.functions.{DotProduct, InterleaveBits, Md5MinMaxShingles,
+  MinHashSigs, SimHash64}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -22,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhash64Descriptor)
     ext.injectFunction(GraftExtensions.minhashSigsDescriptor)
     ext.injectFunction(GraftExtensions.md5MinMaxDescriptor)
+    ext.injectFunction(GraftExtensions.interleaveBitsDescriptor)
     // whole-operator extension: plans graft.plans.TopKPerGroup as
     // partial-heap -> shuffle -> final-heap (see TopKOps.topKPerGroup,
     // which also self-registers on sessions built without extensions)
@@ -57,4 +59,10 @@ object GraftExtensions {
     new ExpressionInfo(classOf[Md5MinMaxShingles].getName, "md5_minmax"),
     (exprs: Seq[Expression]) =>
       Md5MinMaxShingles(exprs(0), intArg(exprs(1))))
+
+  val interleaveBitsDescriptor: FunctionDescriptor = (
+    FunctionIdentifier("interleave_bits"),
+    new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
+    (exprs: Seq[Expression]) =>
+      InterleaveBits(exprs(0), exprs(1), intArg(exprs(2))))
 }

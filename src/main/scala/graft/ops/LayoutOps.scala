@@ -47,4 +47,28 @@ object LayoutOps {
                     bits: Int, numFiles: Int, path: String): Unit =
     zorderCluster(df, xCol, yCol, bits, numFiles)
       .write.mode("overwrite").parquet(path)
+
+  /** Compact a parquet directory's small files into ~targetFileBytes
+    * outputs (the OPTIMIZE/bin-packing half of lake maintenance; the
+    * clustering half is [[writeZOrdered]]). Streaming sinks and
+    * fine-grained ingestion leave thousands of KB-sized files per
+    * partition; at 100 TB that turns every scan into an open/seek storm
+    * and floods the driver's file index. One round-robin repartition to
+    * `ceil(input bytes / target)` fixes it, paying one shuffle of the
+    * data being compacted. Returns the chosen output-file count.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+                     inPath: String, outPath: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1, math.ceil(
+      totalBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inPath).repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    n
+  }
 }

@@ -115,6 +115,20 @@ class DedupSimSpec extends SparkSpec {
     assert(out === 11.0)
   }
 
+  test("extensions inject interleave_bits (SQL surface)") {
+    val desc = graft.GraftExtensions.interleaveBitsDescriptor
+    assert(desc._1.funcName === "interleave_bits")
+    // the bits arg arrives as a parser-built Literal in real SQL use
+    val e = desc._3(Seq(
+      org.apache.spark.sql.graftbridge.Bridge.expression(lit(3L)),
+      org.apache.spark.sql.graftbridge.Bridge.expression(lit(0L)),
+      org.apache.spark.sql.catalyst.expressions.Literal(2)))
+    val out = spark.range(1)
+      .select(org.apache.spark.sql.graftbridge.Bridge.column(e).as("z"))
+      .collect().head.getLong(0)
+    assert(out === 5L) // 0b0101: x bits on even positions
+  }
+
   test("cosine: identical vectors 1.0, orthogonal 0.0") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),

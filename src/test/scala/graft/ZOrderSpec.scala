@@ -80,4 +80,27 @@ class ZOrderSpec extends SparkSpec {
     assert(meanX < 140, s"mean x-span $meanX not narrow")
     assert(meanY < 140, s"mean y-span $meanY not narrow")
   }
+
+  test("compactParquet bin-packs small files to the byte target") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("cin").toString
+    val outDir = java.nio.file.Files.createTempDirectory("cout").toString
+    (1 to 5000).map(i => (i.toLong, s"row $i")).toDF("id", "s")
+      .repartition(64).write.mode("overwrite").parquet(inDir)
+    val inFiles = new java.io.File(inDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(inFiles === 64)
+    val n = graft.ops.LayoutOps.compactParquet(spark, inDir,
+      outDir + "/c", targetFileBytes = 1L * 1024 * 1024)
+    val outFiles = new java.io.File(outDir + "/c").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(n < 8 && outFiles === n,
+      s"expected $n compacted files, found $outFiles")
+    // data survives byte-for-byte (as a set)
+    val a = spark.read.parquet(inDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = spark.read.parquet(outDir + "/c").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b && a.size === 5000)
+  }
 }
