@@ -229,6 +229,47 @@ object RelationalExtQueries {
                       WHEN 'zh' THEN '19999999'
                       ELSE '00000000' END""")),
 
+    // North-star lake versioning: snapshot diff — classify every key as
+    // added/removed/changed/unchanged between two snapshots via content
+    // hashes (RelationalOps.snapshotDiff). Price goes through
+    // decimal(12,2) so the hashed string form is engine-portable.
+    "snapshot_diff" -> Entry(
+      (s, dir) => {
+        val base = Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_custkey"),
+          col("o_totalprice").cast("decimal(12,2)").as("price"))
+        val before = base.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        val after = base.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+          .withColumn("price",
+            when(pmod(col("o_orderkey"), lit(3)) === 0,
+              (col("price") * 2).cast("decimal(12,2)"))
+              .otherwise(col("price")))
+        graft.ops.RelationalOps.snapshotDiff(before, after, "o_orderkey",
+          Seq("o_custkey", "price"))
+      },
+      Some("""
+        WITH base AS (SELECT o_orderkey, o_custkey,
+                             CAST(o_totalprice AS DECIMAL(12,2)) AS price
+                      FROM orders),
+        b AS (SELECT o_orderkey,
+                     md5(coalesce(CAST(o_custkey AS VARCHAR), ' ') || '|'
+                         || coalesce(CAST(price AS VARCHAR), ' ')) AS hb
+              FROM base WHERE o_orderkey % 7 <> 0),
+        a AS (SELECT o_orderkey,
+                     md5(coalesce(CAST(o_custkey AS VARCHAR), ' ') || '|'
+                         || coalesce(CAST(price AS VARCHAR), ' ')) AS ha
+              FROM (SELECT o_orderkey, o_custkey,
+                           CASE WHEN o_orderkey % 3 = 0
+                                THEN CAST(price * 2 AS DECIMAL(12,2))
+                                ELSE price END AS price
+                    FROM base WHERE o_orderkey % 5 <> 0) t)
+        SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+               CASE WHEN hb IS NULL THEN 'added'
+                    WHEN ha IS NULL THEN 'removed'
+                    WHEN hb = ha THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey""")),
+
     // North-star layout op: Morton (z-order) clustering key over two
     // bucketized dimensions (graft.functions.InterleaveBits, the
     // Delta/Iceberg OPTIMIZE ZORDER discipline — see ops.LayoutOps for

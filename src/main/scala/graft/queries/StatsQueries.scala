@@ -135,6 +135,24 @@ object StatsQueries {
       None),
 
     // A15: Pearson correlation per group (Milestone3 cells 44/56/58).
+    // North-star feature engineering: equi-depth binning — per-key value
+    // deciles via ntile (SQL-standard floor distribution), deterministic
+    // under ties with the (value, event_id) order.
+    "w_ntile_bins" -> Entry(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"),
+            ntile(10).over(w).as("decile"))
+      },
+      Some("""
+        SELECT event_id, event_type, value,
+               ntile(10) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS decile
+        FROM events""")),
+
     "a15_corr" -> Entry(
       (s, dir) => StatsOps.corrBy(Tables.lineitem(s, dir),
         "l_returnflag", "l_quantity", "l_extendedprice"),

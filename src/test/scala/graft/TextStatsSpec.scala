@@ -111,4 +111,15 @@ class TextStatsSpec extends SparkSpec {
     assert(out(3L)._2 > out(1L)._2)   // pure-a beats a,a,b
     assert(out(1L)._2 > out(2L)._2)   // vocab beats OOV
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val before = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null))
+      .toDF("k", "v")
+    val after = Seq((2L, "b"), (3L, "C"), (4L, null), (5L, "e"))
+      .toDF("k", "v")
+    val m = RelationalOps.snapshotDiff(before, after, "k", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "unchanged", 5L -> "added"))
+  }
 }
