@@ -427,7 +427,7 @@ object SimilarityOps {
         val ids = corpus.select(col(idCol).cast("long")).orderBy(col(idCol))
           .limit(codebookK).collect().map(_.getLong(0))
         val rank = ids.sorted.zipWithIndex.toMap
-        csub.filter(col("_vid").isin(ids: _*)).collect().map { r =>
+        csub.filter(col("_vid").isin(ids.toIndexedSeq: _*)).collect().map { r =>
           ((r.getInt(1), rank(r.getLong(0))), r.getSeq[Long](2))
         }.toMap
       }
