@@ -398,53 +398,69 @@ object SimilarityOps {
       Some((cellOf(corpus, "_vid"), cellOf(queries, "_qid"))))
   }
 
-  /** Shared PQ train/encode/ADC core; `cells` (corpus-cell, query-cell)
-    * restricts candidate pairs to the same coarse cell (IVF-PQ).
+  // --- PQ internals shared by pqTopK / ivfPqTopK / pqCodebooks /
+  // pqEncodeCodes -----------------------------------------------------
+
+  /** 1e-6 grid quantization (same as kmeansCentroids). */
+  private def pqQuant(vecCol: String): Column =
+    transform(col(vecCol), v => round(v.cast("double") * 1e6).cast("long"))
+
+  /** Long-form quantized subvectors: (id, _sub, _qs). */
+  private def pqSubForm(df: DataFrame, id: String, idCol: String,
+                        vecCol: String, m: Int, subLen: Int): DataFrame = {
+    val slices = array((0 until m).map(j =>
+      slice(col("_qv"), j * subLen + 1, subLen)): _*)
+    df.select(col(idCol).as(id), pqQuant(vecCol).as("_qv"))
+      .select(col(id), posexplode(slices).as(Seq("_sub", "_qs")))
+  }
+
+  private def pqCentsDF(spark: org.apache.spark.sql.SparkSession,
+                        c: Map[(Int, Int), Seq[Long]]): DataFrame = {
+    import spark.implicits._
+    broadcast(c.toSeq.map { case ((s, cid), qc) => (s, cid, qc) }
+      .toDF("_sub", "_cid", "_qc"))
+  }
+
+  /** Exact integer squared distance between _qs and _qc. */
+  private def pqSubDist: Column = aggregate(
+    zip_with(col("_qs"), col("_qc"), (a, b) => (a - b) * (a - b)),
+    lit(0L), (acc, x) => acc + x)
+
+  /** Argmin cluster per (id, _sub): exact integer math, lower cid wins
+    * ties (min over struct(d, cid)).
     */
-  private def pqAdc(queries: DataFrame, corpus: DataFrame, k: Int,
-                    dim: Int, m: Int, codebookK: Int, iters: Int,
-                    idCol: String, vecCol: String,
-                    cells: Option[(DataFrame, DataFrame)]): DataFrame = {
+  private def pqAssign(df: DataFrame, id: String,
+                       c: Map[(Int, Int), Seq[Long]]): DataFrame =
+    df.join(pqCentsDF(df.sparkSession, c), Seq("_sub"))
+      .groupBy(col(id), col("_sub"))
+      .agg(min(struct(pqSubDist.as("d"), col("_cid").as("c"))).as("_m"),
+        first(col("_qs")).as("_qs"))
+
+  /** Lloyd training of all m sub-codebooks in one pass per round.
+    * Deterministic init: subvectors of the codebookK lowest-id corpus
+    * rows (rank by id = cluster id, per subspace); empty clusters keep
+    * their previous centroid.
+    */
+  private def pqTrainCents(corpus: DataFrame, dim: Int, m: Int,
+                           codebookK: Int, iters: Int, idCol: String,
+                           vecCol: String): Map[(Int, Int), Seq[Long]] = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     require(codebookK > 0 && iters >= 1)
     val subLen = dim / m
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
-    val qvecExpr = transform(col(vecCol),
-      v => round(v.cast("double") * 1e6).cast("long"))
-    val slices = array((0 until m).map(j =>
-      slice(col("_qv"), j * subLen + 1, subLen)): _*)
-    def subForm(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), qvecExpr.as("_qv"))
-        .select(col(id), posexplode(slices).as(Seq("_sub", "_qs")))
-
-    val csub = subForm(Rebalance(corpus), "_vid").cache()
+    val csub = pqSubForm(Rebalance(corpus), "_vid", idCol, vecCol, m,
+      subLen).cache()
     try {
-      // deterministic init: sub-codebook c = subvectors of the codebookK
-      // lowest-id corpus rows (rank by id = cluster id, per subspace)
       var cents: Map[(Int, Int), Seq[Long]] = {
         val ids = corpus.select(col(idCol).cast("long")).orderBy(col(idCol))
           .limit(codebookK).collect().map(_.getLong(0))
         val rank = ids.sorted.zipWithIndex.toMap
-        csub.filter(col("_vid").isin(ids.toIndexedSeq: _*)).collect().map { r =>
-          ((r.getInt(1), rank(r.getLong(0))), r.getSeq[Long](2))
-        }.toMap
+        csub.filter(col("_vid").isin(ids.toIndexedSeq: _*)).collect()
+          .map { r =>
+            ((r.getInt(1), rank(r.getLong(0))), r.getSeq[Long](2))
+          }.toMap
       }
-      def centsDF(c: Map[(Int, Int), Seq[Long]]) = broadcast(
-        c.toSeq.map { case ((s, cid), qc) => (s, cid, qc) }
-          .toDF("_sub", "_cid", "_qc"))
-      val dist = aggregate(
-        zip_with(col("_qs"), col("_qc"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-      def assign(df: DataFrame, id: String,
-                 c: Map[(Int, Int), Seq[Long]]): DataFrame =
-        df.join(centsDF(c), Seq("_sub"))
-          .groupBy(col(id), col("_sub"))
-          .agg(min(struct(dist.as("d"), col("_cid").as("c"))).as("_m"),
-            first(col("_qs")).as("_qs"))
       def update(c: Map[(Int, Int), Seq[Long]]): Map[(Int, Int), Seq[Long]] =
-        assign(csub, "_vid", c)
+        pqAssign(csub, "_vid", c)
           .select(col("_sub"), col("_m.c").as("_cid"),
             posexplode(col("_qs")).as(Seq("_dim", "_q")))
           .groupBy(col("_sub"), col("_cid"), col("_dim"))
@@ -458,16 +474,84 @@ object SimilarityOps {
           }
       (1 to iters).foreach { _ =>
         val u = update(cents)
-        // empty clusters keep their previous centroid (same as the coarse
-        // quantizer's convention)
         cents = cents.map { case (key, old) => key -> u.getOrElse(key, old) }
       }
+      cents
+    } finally csub.unpersist()
+  }
+
+  /** Train the m PQ sub-codebooks — the index-BUILD half of the PQ API
+    * (pqTopK/ivfPqTopK run it internally; persist this plus
+    * [[pqEncodeCodes]] output to materialize a PQ index). Long-form
+    * output like [[kmeansCentroids]]: (sub, cid, dim, centroid).
+    */
+  def pqCodebooks(corpus: DataFrame, dim: Int, m: Int, codebookK: Int,
+                  iters: Int, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    pqTrainCents(corpus, dim, m, codebookK, iters, idCol, vecCol).toSeq
+      .flatMap { case ((s, cid), qc) =>
+        qc.zipWithIndex.map { case (q, d) => (s, cid, d, q / 1e6) }
+      }.toDF("sub", "cid", "dim", "centroid")
+  }
+
+  /** Encode rows to their m PQ codes as a NARROW projection — no
+    * explode, no shuffle, streaming-safe (each row folds its subvectors
+    * against codebook literals; argmin = min over struct(d, cid), the
+    * same tie rule as training). `codebooks` is [[pqCodebooks]] output.
+    * This is the shape a 100 TB encode pass (or a streaming ingest leg)
+    * wants: one scan, map-side only.
+    */
+  def pqEncodeCodes(df: DataFrame, codebooks: DataFrame, dim: Int, m: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val subLen = dim / m
+    val cents: Map[(Int, Int), Seq[Long]] = codebooks.collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case (key, rows) =>
+        key -> rows.sortBy(_.getInt(2))
+          .map(r => math.round(r.getDouble(3) * 1e6)).toSeq
+      }
+    val staged = df.select(col(idCol) +: col(vecCol) +:
+      (0 until m).map(j =>
+        slice(pqQuant(vecCol), j * subLen + 1, subLen).as(s"_s$j")): _*)
+    def code(j: Int): Column = {
+      val entries = cents.collect { case ((s, cid), qc) if s == j =>
+        (cid, qc) }.toSeq.sortBy(_._1)
+      val candidates = entries.map { case (cid, qc) =>
+        val d = aggregate(
+          zip_with(col(s"_s$j"), typedlit(qc), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        struct(d.as("d"), lit(cid).as("c"))
+      }
+      array_min(array(candidates: _*)).getField("c")
+    }
+    staged.select(col(idCol),
+      array((0 until m).map(code): _*).as("codes"))
+  }
+
+  /** Shared PQ train/encode/ADC core; `cells` (corpus-cell, query-cell)
+    * restricts candidate pairs to the same coarse cell (IVF-PQ).
+    */
+  private def pqAdc(queries: DataFrame, corpus: DataFrame, k: Int,
+                    dim: Int, m: Int, codebookK: Int, iters: Int,
+                    idCol: String, vecCol: String,
+                    cells: Option[(DataFrame, DataFrame)]): DataFrame = {
+    val subLen = dim / m
+    val spark = corpus.sparkSession
+    val cents = pqTrainCents(corpus, dim, m, codebookK, iters, idCol,
+      vecCol)
+    val csub = pqSubForm(Rebalance(corpus), "_vid", idCol, vecCol, m,
+      subLen).cache()
+    try {
       // encode the corpus under the trained codebooks; queries get a
       // per-(query, subspace, cluster) distance table instead
-      val codes0 = assign(csub, "_vid", cents)
+      val codes0 = pqAssign(csub, "_vid", cents)
         .select(col("_vid"), col("_sub"), col("_m.c").as("_cid"))
-      val qdist0 = subForm(queries, "_qid").join(centsDF(cents), Seq("_sub"))
-        .select(col("_qid"), col("_sub"), col("_cid"), dist.as("_d"))
+      val qdist0 = pqSubForm(queries, "_qid", idCol, vecCol, m, subLen)
+        .join(pqCentsDF(spark, cents), Seq("_sub"))
+        .select(col("_qid"), col("_sub"), col("_cid"), pqSubDist.as("_d"))
       // IVF restriction: tag codes and distance-table rows with their
       // coarse cell and make the cell part of the ADC join key
       val (codes, qdist, joinKeys) = cells match {

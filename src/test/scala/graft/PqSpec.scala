@@ -99,4 +99,66 @@ class PqSpec extends SparkSpec {
     assert(got.subsetOf(Set(10L, 11L, 12L)),
       s"far-cluster ids leaked into the probe: $got")
   }
+
+  test("pqCodebooks + pqEncodeCodes: degenerate codes are identity ranks") {
+    val corpus = Seq(
+      (10L, vec(1, 2, 3, 4)), (11L, vec(4, 3, 2, 1)), (12L, vec(0, 0, 0, 9)))
+      .toDF("vec_id", "embedding")
+    val cb = SimilarityOps.pqCodebooks(corpus, dim = 4, m = 2,
+      codebookK = 3, iters = 1)
+    // degenerate training: each vector is its own centroid per subspace
+    assert(cb.count() === 2 * 3 * 2) // m subs x k cids x subLen dims
+    val codes = SimilarityOps.pqEncodeCodes(corpus, cb, dim = 4, m = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(10L) === Seq(0, 0))
+    assert(codes(11L) === Seq(1, 1))
+    assert(codes(12L) === Seq(2, 2))
+  }
+
+  test("narrow encoder matches the training-side argmin on shared cells") {
+    // two tight clusters, codebookK=2: both members of a cluster get the
+    // same code from the narrow projection encoder
+    val corpus = Seq(
+      (10L, vec(0, 0)), (11L, vec(0.02, 0.02)),
+      (12L, vec(10, 10)), (13L, vec(10.02, 10.02)))
+      .toDF("vec_id", "embedding")
+    val cb = SimilarityOps.pqCodebooks(corpus, dim = 2, m = 1,
+      codebookK = 2, iters = 1)
+    val codes = SimilarityOps.pqEncodeCodes(corpus, cb, dim = 2, m = 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).head).toMap
+    assert(codes(10L) === codes(11L))
+    assert(codes(12L) === codes(13L))
+    assert(codes(10L) !== codes(12L))
+  }
+
+  test("pqEncodeCodes is a pure projection: runs on a stream") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = Seq(
+      (10L, vec(0, 0)), (11L, vec(5, 5)), (12L, vec(10, 10)))
+      .toDF("vec_id", "embedding")
+    val cb = SimilarityOps.pqCodebooks(corpus, dim = 2, m = 1,
+      codebookK = 3, iters = 1)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = SimilarityOps.pqEncodeCodes(
+      mem.toDF().toDF("vec_id", "embedding"), cb, dim = 2, m = 1)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("pqenc").start()
+    try {
+      mem.addData((100L, vec(0.1, 0.1)), (101L, vec(9.8, 9.9)))
+      q.processAllAvailable()
+      mem.addData((102L, vec(5.2, 4.9)))
+      q.processAllAvailable()
+      val got = spark.table("pqenc").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).head).toMap
+      // stream rows snap to the nearest trained centroid
+      val batch = SimilarityOps.pqEncodeCodes(
+        Seq((100L, vec(0.1, 0.1)), (101L, vec(9.8, 9.9)),
+          (102L, vec(5.2, 4.9))).toDF("vec_id", "embedding"),
+        cb, dim = 2, m = 1)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).head).toMap
+      assert(got === batch)
+      assert(got(100L) !== got(101L))
+    } finally q.stop()
+  }
 }
