@@ -151,4 +151,60 @@ class PropertySpec extends SparkSpec {
     assert(got.size === 200)
     assert(got.values.forall(_ === 0L))
   }
+
+  test("property: snapshotDiff(df, df) is all-unchanged; swap flips " +
+      "added/removed") {
+    val dfs = samples(rowsGen, 6).map(_.map { case (k, g, v) =>
+      (k * 4 + g, v) }.distinctBy(_._1).toDF("k", "v"))
+    dfs.foreach { df =>
+      val self = RelationalOps.snapshotDiff(df, df, "k", Seq("v"))
+        .collect()
+      assert(self.forall(_.getString(1) === "unchanged"))
+    }
+    val a = dfs(0); val b = dfs(1)
+    def statusMap(x: org.apache.spark.sql.DataFrame,
+                  y: org.apache.spark.sql.DataFrame) =
+      RelationalOps.snapshotDiff(x, y, "k", Seq("v")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ab = statusMap(a, b); val ba = statusMap(b, a)
+    assert(ab.keySet === ba.keySet)
+    ab.foreach { case (k, st) =>
+      val expected = st match {
+        case "added" => "removed"
+        case "removed" => "added"
+        case other => other
+      }
+      assert(ba(k) === expected, s"key $k: $st vs ${ba(k)}")
+    }
+  }
+
+  test("property: rrfFuse is invariant to input row order") {
+    val listGen = Gen.listOfN(15,
+      Gen.zip(Gen.choose(1L, 30L), Gen.choose(1, 100)))
+    samples(listGen, 5).foreach { rows =>
+      val distinct = rows.distinctBy(_._1)
+      val l1 = distinct.toDF("id", "rnk")
+      val l2 = distinct.reverse.toDF("id", "rnk")
+      val base = distinct.map { case (id, r) => (id, r + 1) }
+        .toDF("id", "rnk")
+      def out(x: org.apache.spark.sql.DataFrame) =
+        graft.ops.RetrievalOps.rrfFuse(Seq("a" -> x, "b" -> base))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(out(l1) === out(l2))
+    }
+  }
+
+  test("property: ewmaLast stays within the series' [min, max]") {
+    val serGen = Gen.listOfN(25, Gen.choose(-50.0, 50.0))
+    samples(serGen, 8).foreach { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        ("k", new java.sql.Timestamp(1000L * (i + 1)), v) }
+        .toDF("key", "ts", "value")
+      val got = graft.ops.TimeSeriesOps
+        .ewmaLast(df, "key", "ts", "value", 0.3)
+        .collect().head.getDouble(2)
+      assert(got >= vals.min - 1e-6 && got <= vals.max + 1e-6,
+        s"ewma $got outside [${vals.min}, ${vals.max}]")
+    }
+  }
 }
