@@ -136,4 +136,33 @@ object StatsOps {
       round(corr(col(s"_x_${tag(l)}"), col(y)), 4).as(s"corr_lag_${tag(l)}"))
     withLags.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Exact weighted quantile per group: the smallest value whose
+    * cumulative weight reaches q·Σw (the lower weighted quantile — the
+    * importance-weighted corpus statistic behind "median doc length by
+    * token weight" style reporting).
+    *
+    * Engine-portable determinism: weights are FIRST aggregated per
+    * (group, value) — so the running sum over distinct ordered values
+    * never depends on intra-value row order — then one window cumsum and
+    * a min-over-qualifying-values pick. Two shuffles (pre-agg + window),
+    * both spillable; no per-group buffering, so hot groups can't OOM an
+    * executor (same posture as [[summaryStatsSorted]]).
+    */
+  def weightedQuantile(df: DataFrame, keyCol: String, valCol: String,
+                       weightCol: String, q: Double): DataFrame = {
+    val perValue = Rebalance(df)
+      .groupBy(col(keyCol), col(valCol).as("_v"))
+      .agg(sum(col(weightCol)).as("_w"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = perValue
+      .withColumn("_cw", sum(col("_w")).over(w))
+      .withColumn("_tw", sum(col("_w")).over(
+        Window.partitionBy(col(keyCol))))
+    cum.filter(col("_cw") >= lit(q) * col("_tw"))
+      .groupBy(col(keyCol))
+      .agg(min(col("_v")).as(s"wq_$valCol"),
+        max(col("_tw")).as("total_weight"))
+  }
 }

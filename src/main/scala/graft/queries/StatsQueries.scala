@@ -135,6 +135,28 @@ object StatsQueries {
       None),
 
     // A15: Pearson correlation per group (Milestone3 cells 44/56/58).
+    // North-star weighted stats: exact weighted median (lower quantile)
+    // of price by quantity weight. Exactness rides on integer-valued
+    // weights: every partial/running sum is exactly representable, so
+    // the cumulative-weight threshold compares identically in both
+    // engines regardless of each engine's summation association.
+    "a8_weighted_median" -> Entry(
+      (s, dir) => graft.ops.StatsOps.weightedQuantile(
+        Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice",
+        "l_quantity", 0.5),
+      Some("""
+        WITH pv AS (SELECT l_returnflag, l_extendedprice AS v,
+                           sum(l_quantity) AS w
+                    FROM lineitem GROUP BY 1, 2),
+        c AS (SELECT l_returnflag, v, w,
+                     sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cw,
+                     sum(w) OVER (PARTITION BY l_returnflag) AS tw
+              FROM pv)
+        SELECT l_returnflag, min(v) AS wq_l_extendedprice,
+               max(tw) AS total_weight
+        FROM c WHERE cw >= 0.5 * tw GROUP BY 1""")),
+
     // North-star feature engineering: equi-depth binning — per-key value
     // deciles via ntile (SQL-standard floor distribution), deterministic
     // under ties with the (value, event_id) order.

@@ -122,4 +122,22 @@ class TextStatsSpec extends SparkSpec {
     assert(m === Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
       4L -> "unchanged", 5L -> "added"))
   }
+
+  test("weightedQuantile picks the cumulative-weight threshold value") {
+    // values 1..4 with weights 1,1,6,2 (total 10): cum = 1,2,8,10
+    // median (q=0.5): first value with cum >= 5 -> 3
+    // q=0.9: first cum >= 9 -> 4; q=0.1: first cum >= 1 -> 1
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 6.0),
+      ("g", 4.0, 2.0)).toDF("k", "v", "w")
+    def wq(q: Double) = StatsOps.weightedQuantile(df, "k", "v", "w", q)
+      .collect().head.getDouble(1)
+    assert(wq(0.5) === 3.0)
+    assert(wq(0.9) === 4.0)
+    assert(wq(0.1) === 1.0)
+    // duplicate values merge their weights before the running sum
+    val dup = Seq(("g", 5.0, 1.0), ("g", 5.0, 1.0), ("g", 9.0, 1.0))
+      .toDF("k", "v", "w")
+    assert(StatsOps.weightedQuantile(dup, "k", "v", "w", 0.5)
+      .collect().head.getDouble(1) === 5.0)
+  }
 }
