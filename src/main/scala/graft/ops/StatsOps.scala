@@ -156,10 +156,13 @@ object StatsOps {
       .agg(sum(col(weightCol)).as("_w"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // per-key totals come from a tiny agg + broadcast join, not a second
+    // whole-partition window pass (which would re-buffer every partition)
+    val totals = perValue.groupBy(col(keyCol))
+      .agg(sum(col("_w")).as("_tw"))
     val cum = perValue
       .withColumn("_cw", sum(col("_w")).over(w))
-      .withColumn("_tw", sum(col("_w")).over(
-        Window.partitionBy(col(keyCol))))
+      .join(broadcast(totals), Seq(keyCol))
     cum.filter(col("_cw") >= lit(q) * col("_tw"))
       .groupBy(col(keyCol))
       .agg(min(col("_v")).as(s"wq_$valCol"),
