@@ -52,4 +52,24 @@ class SourcesSpec extends SparkSpec {
     assert(back.filter($"symbol" === "ETH").agg(sum($"price"))
       .collect().head.getDouble(0) === 21.0)
   }
+
+  test("multiLine JSON array file parses to one row per element (S5)") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jsonarr")
+    Files.writeString(Paths.get(dir.toString, "tweets.json"),
+      """[
+        |  {"id": 1, "text": "hello", "crypto_key": "ETH"},
+        |  {"id": 2, "text": "world", "crypto_key": null},
+        |  {"id": 3, "text": "again", "crypto_key": "SOL"}
+        |]""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType),
+      StructField("crypto_key", StringType)))
+    val df = Sources.jsonArray(spark, schema, dir.toString)
+    assert(df.count() === 3L)
+    // the reference drops null-keyed records post-parse (P1)
+    val keyed = df.filter(col("crypto_key").isNotNull)
+      .collect().map(_.getAs[String]("crypto_key")).sorted.toSeq
+    assert(keyed === Seq("ETH", "SOL"))
+  }
 }
