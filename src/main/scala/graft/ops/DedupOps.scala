@@ -112,14 +112,34 @@ object DedupOps {
   /** Exact n-gram Jaccard similarity for candidate pairs (verification
     * stage after LSH, or direct on a bounded subset): explode shingle sets,
     * self-join on shingle, |A∩B| / (|A|+|B|-|A∩B|).
+    *
+    * `maxDf` caps the document frequency of join-key shingles — standard
+    * candidate pruning: a shingle shared by f documents contributes f²/2
+    * join rows on ONE key, so a single stopword gram ("of the") would be
+    * a quadratic hot key at corpus scale. Shingles with df > maxDf are
+    * dropped from the INTERSECTION counts only (set sizes stay exact), so
+    * jaccard is a lower bound for pairs sharing hot shingles and exact
+    * otherwise — same trade as MinHash banding. The hot-shingle list is
+    * tiny by construction (few grams exceed any sane cap), so the
+    * exclusion is a broadcast anti-join.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", n: Int = 3,
-                        minJaccard: Double = 0.0): DataFrame = {
+                        minJaccard: Double = 0.0,
+                        maxDf: Int = Int.MaxValue): DataFrame = {
     val sh = Rebalance(docs).select(col(idCol),
       wordShingles(textCol, n).as("shingles"))
     val sizes = sh.select(col(idCol), size(col("shingles")).as("sz"))
-    val exploded = sh.select(col(idCol), explode(col("shingles")).as("sh"))
+    val all = sh.select(col(idCol), explode(col("shingles")).as("sh"))
+    val exploded =
+      if (maxDf == Int.MaxValue) all
+      else {
+        val hot = all.groupBy(col("sh"))
+          .agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxDf)
+          .select(col("sh"))
+        all.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
     val inter = exploded.as("a")
       .join(exploded.as("b"),
         col("a.sh") === col("b.sh") && col(s"a.$idCol") < col(s"b.$idCol"))

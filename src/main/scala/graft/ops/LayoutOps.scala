@@ -62,9 +62,17 @@ object LayoutOps {
                      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(p)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // recursive: partitioned datasets keep their files in subdirectories,
+    // a top-level listing would see 0 bytes and cram everything into one file
+    val it = fs.listFiles(p, true)
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+        totalBytes += f.getLen
+    }
+    require(totalBytes > 0,
+      s"compactParquet: no parquet data under $inPath")
     val n = math.max(1, math.ceil(
       totalBytes.toDouble / targetFileBytes).toInt)
     spark.read.parquet(inPath).repartition(n)

@@ -27,9 +27,12 @@ object RetrievalOps {
 
   /** Per-term within-doc frequency: word-boundary regex count over the
     * lowercased text (same counting primitive as TextOps.languageId).
+    * The term is regex-quoted so metacharacters ("c++", "a.b") count
+    * literally instead of throwing or mis-matching.
     */
   private def tf(textLower: Column, term: String): Column =
-    size(regexp_extract_all(textLower, lit("\\b" + term + "\\b"), lit(0)))
+    size(regexp_extract_all(textLower,
+      lit("\\b" + java.util.regex.Pattern.quote(term) + "\\b"), lit(0)))
       .cast("double")
 
   /** BM25 (Robertson/Sparck Jones; the `ln(1 + (N-df+0.5)/(df+0.5))`
@@ -45,27 +48,31 @@ object RetrievalOps {
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     val ts = terms.distinct.sorted
+    // internal tf/df columns are keyed by term INDEX, not the term text —
+    // a term containing '.', '`', or other attribute syntax must never
+    // reach col() name resolution
+    val ti = ts.indices
     val base = docs.select(
       col(idCol) +:
         size(split(col(textCol), " ")).cast("double").as("dl") +:
-        ts.map(t => tf(lower(col(textCol)), t).as(s"tf_$t")): _*)
+        ti.map(i => tf(lower(col(textCol)), ts(i)).as(s"tf_$i")): _*)
     val stats = base.agg(
       count(lit(1)).cast("double").as("n_docs"),
       sum(col("dl")).cast("double").as("sum_dl") +:
-        ts.map(t =>
-          sum((col(s"tf_$t") > 0).cast("long")).cast("double")
-            .as(s"df_$t")): _*)
+        ti.map(i =>
+          sum((col(s"tf_$i") > 0).cast("long")).cast("double")
+            .as(s"df_$i")): _*)
     val withStats = base.crossJoin(broadcast(stats))
       .withColumn("avg_dl", col("sum_dl") / col("n_docs"))
-    def idf(t: String): Column =
-      round(log(lit(1.0) + (col("n_docs") - col(s"df_$t") + lit(0.5)) /
-        (col(s"df_$t") + lit(0.5))), 6)
-    def contrib(t: String): Column =
-      idf(t) * (col(s"tf_$t") * lit(k1 + 1.0) /
-        (col(s"tf_$t") + lit(k1) *
+    def idf(i: Int): Column =
+      round(log(lit(1.0) + (col("n_docs") - col(s"df_$i") + lit(0.5)) /
+        (col(s"df_$i") + lit(0.5))), 6)
+    def contrib(i: Int): Column =
+      idf(i) * (col(s"tf_$i") * lit(k1 + 1.0) /
+        (col(s"tf_$i") + lit(k1) *
           (lit(1.0 - b) + lit(b) * col("dl") / col("avg_dl"))))
     withStats.select(col(idCol), col("dl"),
-      round(ts.map(contrib).reduce(_ + _), 4).as("bm25"))
+      round(ti.map(contrib).reduce(_ + _), 4).as("bm25"))
   }
 
   /** Top-k BM25 retrieval: rank by (bm25 desc, id) — ties broken on the

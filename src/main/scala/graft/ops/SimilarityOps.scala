@@ -575,10 +575,11 @@ object SimilarityOps {
     } finally csub.unpersist()
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold (the
-    * embedding leg of the dedup suite): all-pairs via self-join bounded to
-    * id_a < id_b. Use after LSH bucketing at scale; exact form here for
-    * oracle checkability.
+  /** Embedding-cosine near-duplicate pairs above a threshold — EXACT
+    * all-pairs form: self-join bounded to id_a < id_b. O(n²) similarity
+    * evaluations — this is the ground-truth/verification form for bounded
+    * subsets and specs; the catalog / scale path is
+    * [[cosineNearDupPairsBucketed]].
     */
   def cosineNearDupPairs(vecs: DataFrame, threshold: Double,
                          idCol: String = "vec_id",
@@ -592,5 +593,51 @@ object SimilarityOps {
         (col("na") * col("nb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via banded sign-LSH — the
+    * scale form (same band shape as [[DedupOps.simhashNearDups]]): the
+    * `bands * bandBits` hyperplane signature is split into `bands` bands;
+    * vectors agreeing on ALL hyperplanes of any band become candidate
+    * pairs, then candidates are verified with the exact cosine and cut at
+    * `threshold`.
+    *
+    * The self-join key is (band, band_val) — small uniform buckets, so
+    * candidate generation is linear-ish in n instead of the exact form's
+    * O(n²) crossJoin; recall is 1 - (1 - p^bandBits)^bands with
+    * p = 1 - θ/π (hyperplane agreement probability), i.e. narrow bands /
+    * many bands trade candidate volume for recall (DedupSimSpec pins the
+    * measured recall against [[cosineNearDupPairs]]). Hyperplanes are the
+    * deterministic [[lshBucket]] mix, so the DuckDB oracle replays the
+    * bucketing exactly.
+    */
+  def cosineNearDupPairsBucketed(vecs: DataFrame, threshold: Double,
+                                 dim: Int, bands: Int = 8, bandBits: Int = 2,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding"): DataFrame = {
+    val bits = bands * bandBits
+    require(bits <= 30, s"bands*bandBits=$bits exceeds int bucket width")
+    val mask = (1 << bandBits) - 1
+    val bucket = lshBucket(col(vecCol), dim, bits)
+    val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
+      shiftrightunsigned(bucket, b * bandBits).bitwiseAND(lit(mask))
+        .as("band_val")))
+    // signature + norm staged once per vector before the explode
+    val banded = Rebalance(vecs)
+      .select(col(idCol), col(vecCol).as("_v"),
+        l2Norm(col(vecCol)).as("_n"),
+        explode(array(bandCols: _*)).as("kv"))
+      .select(col(idCol), col("_v"), col("_n"),
+        col("kv.band"), col("kv.band_val"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_val") === col("b.band_val") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      // cos is identical on every shared-band row of a pair: min = the value
+      .agg(min(dot(col("a._v"), col("b._v")) /
+        (col("a._n") * col("b._n"))).as("_cos"))
+      .filter(col("_cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("_cos"), 6).as("cos_sim"))
   }
 }

@@ -20,10 +20,12 @@ object TimeSeriesOps {
     * (reference analytical_module/arima.py:229-235,338-344:
     * `.resample(rule).last().ffill()`).
     *
-    * Grid generation is distributed: one `sequence()` per key spanning the
-    * global [min,max] bucket range (a 2-row broadcast-joined bound, not a
-    * driver loop), exploded into rows; observed buckets left-join onto the
-    * grid; ffill via the gaps-and-islands trick (WindowOps.forwardFill).
+    * Grid generation is distributed: one `sequence()` per key spanning
+    * that key's OWN [min,max] bucket range (pandas' per-series
+    * `.resample().last().ffill()` semantics — a key neither back-fills
+    * before its first observation nor keeps filling past its last),
+    * exploded into rows; observed buckets left-join onto the grid; ffill
+    * via the gaps-and-islands trick (WindowOps.forwardFill).
     * Scale: grid size = span/step per key — partitioned by key, so a
     * 1000-executor cluster fills each key's series independently.
     */
@@ -36,11 +38,8 @@ object TimeSeriesOps {
       .groupBy(col(keyCol), col("bucket"))
       .agg(max_by(col(valCol), col(timeCol)).as("last_val"))
 
-    val bounds = bucketed.select(
-      min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
-
-    val grid = bucketed.select(col(keyCol)).distinct()
-      .crossJoin(broadcast(bounds))
+    val grid = bucketed.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
       .select(col(keyCol),
         explode(sequence(col("lo"), col("hi"),
           expr(s"interval $step seconds"))).as("bucket"))

@@ -257,11 +257,16 @@ object DedupSimQueries {
         GROUP BY 1, 2""")),
 
     // Exact word-2-gram Jaccard similarity pairs above a floor —
-    // the LSH verification stage, bounded to a doc subset.
+    // the LSH verification stage, bounded to a doc subset. Join-key
+    // shingles are df-capped at 50 (DedupOps.ngramJaccardPairs maxDf):
+    // a stopword gram shared by f docs costs f² join rows on one key,
+    // so the cap is what keeps the self-join linear-ish at corpus scale;
+    // set sizes stay exact, intersections are a lower bound for pairs
+    // sharing hot grams.
     "ngram_jaccard_pairs" -> Entry(
       (s, dir) => DedupOps.ngramJaccardPairs(
         Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
-        n = 2, minJaccard = 0.05),
+        n = 2, minJaccard = 0.05, maxDf = 50),
       Some("""
         WITH d AS (
           SELECT doc_id, string_split(text, ' ') AS ws
@@ -273,9 +278,12 @@ object DedupSimQueries {
           FROM d, UNNEST(generate_series(1, greatest(len(ws) - 1, 1)))
             AS t(i)),
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 50),
+        kept AS (SELECT doc_id, s FROM sh
+                 WHERE s NOT IN (SELECT s FROM hot)),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT doc_a, doc_b, n_common,
                CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
@@ -463,23 +471,38 @@ object DedupSimQueries {
                CAST(rnk AS INTEGER) AS rnk
         FROM ranked WHERE rnk <= 5""")),
 
-    // Embedding-cosine near-duplicate pairs over a subset (exact form;
-    // the LSH-bucketed scale path is SimilarityOps.ivfTopK).
+    // Embedding-cosine near-duplicate pairs, banded sign-LSH form over
+    // the FULL table (SimilarityOps.cosineNearDupPairsBucketed): 4 bands
+    // of 4 hyperplane bits generate candidates, exact cosine verifies —
+    // linear-ish candidate volume instead of the all-pairs crossJoin
+    // (which survives as the spec-level ground truth,
+    // SimilarityOps.cosineNearDupPairs). The hyperplanes are the
+    // deterministic lshBucket mix, so the oracle replays band assignment
+    // and the verify cut exactly.
     "cosine_near_dup" -> Entry(
-      (s, dir) => SimilarityOps.cosineNearDupPairs(
-        Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0), 0.3),
-      Some("""
+      (s, dir) => SimilarityOps.cosineNearDupPairsBucketed(
+        Tables.embeddings(s, dir), 0.3, dim = 64,
+        bands = 4, bandBits = 4),
+      Some(s"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                   FROM embeddings WHERE vec_id % 4 = 0)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_dot_product(a.e, b.e) /
-                 (sqrt(list_dot_product(a.e, a.e)) *
-                  sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
-        FROM v a, v b
-        WHERE a.vec_id < b.vec_id
-          AND list_dot_product(a.e, b.e) /
-                (sqrt(list_dot_product(a.e, a.e)) *
-                 sqrt(list_dot_product(b.e, b.e))) >= 0.3""")),
+                   FROM embeddings),
+        bk AS (SELECT vec_id, e, ${bucketSql("e", 64, 16)} AS bucket
+               FROM v),
+        banded AS (SELECT vec_id, e, CAST(k AS INTEGER) AS band,
+                          (bucket >> (CAST(k AS INTEGER) * 4)) & 15
+                            AS band_val
+                   FROM bk, UNNEST(generate_series(0, 3)) AS t(k)),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 min(list_dot_product(a.e, b.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) *
+                    sqrt(list_dot_product(b.e, b.e)))) AS c
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_val = b.band_val
+           AND a.vec_id < b.vec_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, round(c, 6) AS cos_sim
+        FROM pairs WHERE c >= 0.3""")),
 
     // IVF/LSH-bucketed ANN top-k (approximate scale path). The hyperplanes
     // are deterministic, so the oracle embeds them as generated double

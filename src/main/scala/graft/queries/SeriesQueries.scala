@@ -35,11 +35,12 @@ object SeriesQueries {
                      time_bucket(INTERVAL '30 seconds', ts) AS bucket,
                      arg_max(value, ts) AS last_val
               FROM e GROUP BY 1, 2),
-        bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
-        grid AS (SELECT event_type, bucket FROM
-                   (SELECT DISTINCT event_type FROM b),
-                   (SELECT unnest(generate_series(lo, hi,
-                      INTERVAL '30 seconds')) AS bucket FROM bounds)),
+        bounds AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+                   FROM b GROUP BY 1),
+        grid AS (SELECT event_type,
+                        unnest(generate_series(lo, hi,
+                          INTERVAL '30 seconds')) AS bucket
+                 FROM bounds),
         j AS (SELECT grid.event_type, grid.bucket, b.last_val
               FROM grid LEFT JOIN b
                 ON grid.event_type = b.event_type

@@ -156,4 +156,58 @@ class DedupSimSpec extends SparkSpec {
       .collect().map(_.getAs[Int]("b"))
     assert(b(0) === b(1))
   }
+
+  test("bucketed cosine near-dup: subset of exact with identical scores, " +
+       "full recall on identical vectors") {
+    // identical vectors agree on every hyperplane -> share all bands ->
+    // recall 1.0 at the top of the similarity range by construction
+    val base = Array.tabulate(8)(i => (i + 1) * 0.1f)
+    val twin = Seq((1L, base), (2L, base),
+      (3L, Array.tabulate(8)(i => (if (i % 2 == 0) 1f else -1f) * (i + 1))))
+      .toDF("vec_id", "embedding")
+    val twinPairs = SimilarityOps.cosineNearDupPairsBucketed(
+      twin, 0.99, dim = 8, bands = 4, bandBits = 4).collect()
+    assert(twinPairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 2L)))
+
+    // on real embeddings: every bucketed pair must appear in the exact
+    // all-pairs result with the SAME rounded cosine (precision = 1.0 —
+    // banding only prunes candidates, never invents or perturbs them),
+    // and recall is pinned to the analytic floor of the band scheme
+    val vecs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = SimilarityOps.cosineNearDupPairs(vecs, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bucketed = SimilarityOps.cosineNearDupPairsBucketed(
+        vecs, 0.3, dim = 64, bands = 4, bandBits = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty)
+    bucketed.foreach { case (pair, cos) =>
+      assert(exact.get(pair).contains(cos),
+        s"bucketed pair $pair not in exact result (or score differs)")
+    }
+    val recall = bucketed.size.toDouble / exact.size
+    // 4 bands x 4 bits at cos>=0.3: analytic recall floor ~0.2 for pairs
+    // AT the threshold, higher above it; fails only if banding breaks
+    assert(recall >= 0.2, s"recall $recall below the band-scheme floor")
+  }
+
+  test("ngram jaccard df-cap: no-op when cap >= max df, monotone shrink " +
+       "under a binding cap") {
+    val df = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "a b x y z w"),
+      (4L, "p q r s t u")).toDF("doc_id", "text")
+    val uncapped = DedupOps.ngramJaccardPairs(df, n = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // "a b" has df 3 = max df here: cap 3 keeps everything
+    val atMax = DedupOps.ngramJaccardPairs(df, n = 2, maxDf = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(atMax === uncapped)
+    // cap 2 drops the df-3 shingle "a b": pair intersections only shrink
+    val capped = DedupOps.ngramJaccardPairs(df, n = 2, maxDf = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    capped.foreach { case (pair, n) =>
+      assert(uncapped.contains(pair) && n <= uncapped(pair))
+    }
+    assert(capped((1L, 2L)) === uncapped((1L, 2L)) - 1)
+  }
 }
