@@ -242,8 +242,13 @@ object DedupOps {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    // seed with min(self, neighbors) — the first propagate round for the
+    // price of the vertex-set aggregate (identity seeding would spend a
+    // full join round reaching the same state)
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("_nmin"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("_nmin")).as("cluster_id"))
       .localCheckpoint(eager = true)
     var i = 0
     var converged = false
@@ -252,9 +257,13 @@ object DedupOps {
         .join(labels.select(col("doc_id").as("dst"),
           col("cluster_id").as("nl")), Seq("dst"))
         .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("nmin"))
-      val prop = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), least(col("cluster_id"),
-          coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+      // carry the pre-round label through as _old so the convergence
+      // check below is a scan of the already-materialized checkpoint,
+      // not an extra join job per round
+      val prop = labels.select(col("doc_id"), col("cluster_id").as("_old"))
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("_old"), least(col("_old"),
+          coalesce(col("nmin"), col("_old"))).as("cluster_id"))
       // pointer doubling: follow the label one more hop. cluster_id is
       // itself a doc_id present in `prop`, and labels are min-monotone,
       // so label(label(v)) <= label(v) and is in the same component.
@@ -263,12 +272,12 @@ object DedupOps {
           col("cluster_id").as("_ll")).as("p"), Seq("cluster_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"),
-            coalesce(col("_ll"), col("cluster_id"))).as("cluster_id"))
+            coalesce(col("_ll"), col("cluster_id"))).as("cluster_id"),
+          col("_old"))
         .localCheckpoint(eager = true)
-      val changed = next.join(
-          labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("cluster_id") =!= col("_old"))
+        .limit(1).count()
+      labels = next.select(col("doc_id"), col("cluster_id"))
       converged = changed == 0
       i += 1
     }

@@ -195,6 +195,65 @@ object SimilarityOps {
     result
   }
 
+  /** Centroid arrays (cid -> 1e-6-quantized vector) after `iters` exact
+    * Lloyd updates — the driver-side form the IVF searchers consume.
+    * Identical trajectory to [[kmeansCentroids]] (same lowest-id init,
+    * same integer argmin and rounding); clusters left empty by the FINAL
+    * update are dropped, exactly as they are absent from the long-form
+    * output. Skips kmeansCentroids' materialize-then-collect-then-requantize
+    * round-trip — one fewer Spark job per index build.
+    */
+  private[graft] def kmeansCentroidArrays(vecs: DataFrame, k: Int,
+      iters: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[(Int, Seq[Long])] = {
+    val qvec = transform(col(vecCol),
+      v => round(v.cast("double") * 1e6).cast("long"))
+    val base = Rebalance(vecs)
+      .select(col(idCol).as("_vid"), qvec.as("_qv")).cache()
+    try kmeansArraysQ(base, k, iters)
+    finally base.unpersist()
+  }
+
+  /** Core of [[kmeansCentroidArrays]] over a prepared (and ideally cached)
+    * quantized corpus (_vid, _qv) — callers that already hold one (IVF-PQ
+    * shares it with the PQ trainer/encoder) skip a redundant
+    * scan+quantize+cache cycle.
+    */
+  private def kmeansArraysQ(base: DataFrame, k: Int,
+      iters: Int): Seq[(Int, Seq[Long])] = {
+    require(k > 0 && iters > 0, s"k=$k iters=$iters")
+    val spark = base.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Int, Seq[Long])] = base.orderBy(col("_vid")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1)) }.toSeq
+    def updateMap(c: Seq[(Int, Seq[Long])]): Map[Int, Seq[Long]] = {
+      val cdf = broadcast(c.toDF("_cid", "_qc"))
+      val dist = aggregate(
+        zip_with(col("_qv"), col("_qc"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      base.crossJoin(cdf)
+        .groupBy(col("_vid"))
+        .agg(min(struct(dist.as("d"), col("_cid").as("c"))).as("_m"),
+          first(col("_qv")).as("_qv"))
+        .select(col("_m.c").as("_cid"),
+          posexplode(col("_qv")).as(Seq("_dim", "_q")))
+        .groupBy(col("_cid"), col("_dim"))
+        .agg(sum(col("_q")).as("_s"), count(lit(1)).as("_n"))
+        .withColumn("_qc",
+          round(col("_s").cast("double") / col("_n")).cast("long"))
+        .select("_cid", "_dim", "_qc").collect()
+        .groupBy(_.getInt(0)).map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }
+    }
+    (1 until iters).foreach { _ =>
+      val m = updateMap(cents)
+      cents = cents.map { case (cid, old) => (cid, m.getOrElse(cid, old)) }
+    }
+    updateMap(cents).toSeq.sortBy(_._1)
+  }
+
   /** L2 (unit-norm) embedding normalization, emitted long-form
     * (id, dim, unit_v) so values stay typed doubles end-to-end — after
     * this, cosine similarity is a plain dot product, which is what every
@@ -228,14 +287,8 @@ object SimilarityOps {
                     vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // recover the exact quantized centroid arrays (centroid = qc/1e6
-    // round-trips: qc is integral and far below 2^52)
     val cents: Seq[(Int, Seq[Long])] =
-      kmeansCentroids(corpus, nClusters, iters, idCol, vecCol)
-        .collect().groupBy(_.getInt(0)).map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1))
-            .map(r => math.round(r.getDouble(3) * 1e6)).toSeq
-        }.toSeq
+      kmeansCentroidArrays(corpus, nClusters, iters, idCol, vecCol)
     val cdf = broadcast(cents.toDF("_cid", "_qc"))
     val qvecExpr = transform(col(vecCol),
       v => round(v.cast("double") * 1e6).cast("long"))
@@ -376,26 +429,29 @@ object SimilarityOps {
                 vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cellCents: Seq[(Int, Seq[Long])] =
-      kmeansCentroids(corpus, nCells, cellIters, idCol, vecCol)
-        .collect().groupBy(_.getInt(0)).map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1))
-            .map(r => math.round(r.getDouble(3) * 1e6)).toSeq
-        }.toSeq
-    val cdf = broadcast(cellCents.toDF("_ccid", "_cqc"))
-    val qvecExpr = transform(col(vecCol),
-      v => round(v.cast("double") * 1e6).cast("long"))
-    val cellDist = aggregate(
-      zip_with(col("_qv"), col("_cqc"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-    def cellOf(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), qvecExpr.as("_qv"))
-        .crossJoin(cdf)
-        .groupBy(col(id))
-        .agg(min(struct(cellDist.as("d"), col("_ccid").as("c"))).as("_m"))
-        .select(col(id), col("_m.c").as("_cell"))
-    pqAdc(queries, corpus, k, dim, m, codebookK, pqIters, idCol, vecCol,
-      Some((cellOf(corpus, "_vid"), cellOf(queries, "_qid"))))
+    // ONE cached quantized corpus feeds the cell trainer, the corpus cell
+    // assignment, the PQ init, and (via pqAdc) PQ training + encoding —
+    // previously each leg re-scanned and re-quantized the raw vectors
+    val qcorpus = Rebalance(corpus)
+      .select(col(idCol).as("_vid"), pqQuant(vecCol).as("_qv")).cache()
+    try {
+      val cellCents: Seq[(Int, Seq[Long])] =
+        kmeansArraysQ(qcorpus, nCells, cellIters)
+      val cdf = broadcast(cellCents.toDF("_ccid", "_cqc"))
+      val cellDist = aggregate(
+        zip_with(col("_qv"), col("_cqc"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      def cellOfQ(qdf: DataFrame, id: String): DataFrame =
+        qdf.crossJoin(cdf)
+          .groupBy(col(id))
+          .agg(min(struct(cellDist.as("d"), col("_ccid").as("c"))).as("_m"))
+          .select(col(id), col("_m.c").as("_cell"))
+      val cCell = cellOfQ(qcorpus, "_vid")
+      val qCell = cellOfQ(queries.select(col(idCol).as("_qid"),
+        pqQuant(vecCol).as("_qv")), "_qid")
+      pqAdc(queries, corpus, k, dim, m, codebookK, pqIters, idCol, vecCol,
+        Some((cCell, qCell)), Some(qcorpus))
+    } finally qcorpus.unpersist()
   }
 
   // --- PQ internals shared by pqTopK / ivfPqTopK / pqCodebooks /
@@ -407,11 +463,16 @@ object SimilarityOps {
 
   /** Long-form quantized subvectors: (id, _sub, _qs). */
   private def pqSubForm(df: DataFrame, id: String, idCol: String,
-                        vecCol: String, m: Int, subLen: Int): DataFrame = {
+                        vecCol: String, m: Int, subLen: Int): DataFrame =
+    pqSubFormQ(df.select(col(idCol).as(id), pqQuant(vecCol).as("_qv")),
+      id, m, subLen)
+
+  /** [[pqSubForm]] over an already-quantized (id, _qv) input. */
+  private def pqSubFormQ(qdf: DataFrame, id: String, m: Int,
+                         subLen: Int): DataFrame = {
     val slices = array((0 until m).map(j =>
       slice(col("_qv"), j * subLen + 1, subLen)): _*)
-    df.select(col(idCol).as(id), pqQuant(vecCol).as("_qv"))
-      .select(col(id), posexplode(slices).as(Seq("_sub", "_qs")))
+    qdf.select(col(id), posexplode(slices).as(Seq("_sub", "_qs")))
   }
 
   private def pqCentsDF(spark: org.apache.spark.sql.SparkSession,
@@ -439,45 +500,47 @@ object SimilarityOps {
   /** Lloyd training of all m sub-codebooks in one pass per round.
     * Deterministic init: subvectors of the codebookK lowest-id corpus
     * rows (rank by id = cluster id, per subspace); empty clusters keep
-    * their previous centroid.
+    * their previous centroid. `csub` is the caller's (cached) long-form
+    * subvector table — callers that also encode against it (pqAdc) reuse
+    * ONE cache instead of building and scanning it twice.
     */
-  private def pqTrainCents(corpus: DataFrame, dim: Int, m: Int,
-                           codebookK: Int, iters: Int, idCol: String,
-                           vecCol: String): Map[(Int, Int), Seq[Long]] = {
+  private def pqTrainCents(qcorpus: DataFrame, csub: DataFrame, dim: Int,
+                           m: Int, codebookK: Int,
+                           iters: Int): Map[(Int, Int), Seq[Long]] = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     require(codebookK > 0 && iters >= 1)
     val subLen = dim / m
-    val csub = pqSubForm(Rebalance(corpus), "_vid", idCol, vecCol, m,
-      subLen).cache()
-    try {
-      var cents: Map[(Int, Int), Seq[Long]] = {
-        val ids = corpus.select(col(idCol).cast("long")).orderBy(col(idCol))
-          .limit(codebookK).collect().map(_.getLong(0))
-        val rank = ids.sorted.zipWithIndex.toMap
-        csub.filter(col("_vid").isin(ids.toIndexedSeq: _*)).collect()
-          .map { r =>
-            ((r.getInt(1), rank(r.getLong(0))), r.getSeq[Long](2))
-          }.toMap
-      }
-      def update(c: Map[(Int, Int), Seq[Long]]): Map[(Int, Int), Seq[Long]] =
-        pqAssign(csub, "_vid", c)
-          .select(col("_sub"), col("_m.c").as("_cid"),
-            posexplode(col("_qs")).as(Seq("_dim", "_q")))
-          .groupBy(col("_sub"), col("_cid"), col("_dim"))
-          .agg(sum(col("_q")).as("_s"), count(lit(1)).as("_n"))
-          .withColumn("_qc",
-            round(col("_s").cast("double") / col("_n")).cast("long"))
-          .select("_sub", "_cid", "_dim", "_qc").collect()
-          .groupBy(r => (r.getInt(0), r.getInt(1)))
-          .map { case (key, rows) =>
-            key -> rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
-          }
-      (1 to iters).foreach { _ =>
-        val u = update(cents)
-        cents = cents.map { case (key, old) => key -> u.getOrElse(key, old) }
-      }
-      cents
-    } finally csub.unpersist()
+    // init in ONE job: sub-form the k lowest-id rows directly (limit on
+    // the cached quantized corpus) instead of collecting ids then
+    // filtering the full csub
+    var cents: Map[(Int, Int), Seq[Long]] = {
+      val initRows = pqSubFormQ(
+        qcorpus.orderBy(col("_vid")).limit(codebookK),
+        "_vid", m, subLen).collect()
+      val rank = initRows.map(_.getLong(0)).distinct.sorted
+        .zipWithIndex.toMap
+      initRows.map { r =>
+        ((r.getInt(1), rank(r.getLong(0))), r.getSeq[Long](2))
+      }.toMap
+    }
+    def update(c: Map[(Int, Int), Seq[Long]]): Map[(Int, Int), Seq[Long]] =
+      pqAssign(csub, "_vid", c)
+        .select(col("_sub"), col("_m.c").as("_cid"),
+          posexplode(col("_qs")).as(Seq("_dim", "_q")))
+        .groupBy(col("_sub"), col("_cid"), col("_dim"))
+        .agg(sum(col("_q")).as("_s"), count(lit(1)).as("_n"))
+        .withColumn("_qc",
+          round(col("_s").cast("double") / col("_n")).cast("long"))
+        .select("_sub", "_cid", "_dim", "_qc").collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
+        }
+    (1 to iters).foreach { _ =>
+      val u = update(cents)
+      cents = cents.map { case (key, old) => key -> u.getOrElse(key, old) }
+    }
+    cents
   }
 
   /** Train the m PQ sub-codebooks — the index-BUILD half of the PQ API
@@ -490,10 +553,16 @@ object SimilarityOps {
                   vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    pqTrainCents(corpus, dim, m, codebookK, iters, idCol, vecCol).toSeq
-      .flatMap { case ((s, cid), qc) =>
-        qc.zipWithIndex.map { case (q, d) => (s, cid, d, q / 1e6) }
-      }.toDF("sub", "cid", "dim", "centroid")
+    val qcorpus = Rebalance(corpus)
+      .select(col(idCol).as("_vid"), pqQuant(vecCol).as("_qv")).cache()
+    try {
+      val csub = pqSubFormQ(qcorpus, "_vid", m, dim / m)
+      pqTrainCents(qcorpus, csub, dim, m, codebookK, iters)
+        .toSeq
+        .flatMap { case ((s, cid), qc) =>
+          qc.zipWithIndex.map { case (q, d) => (s, cid, d, q / 1e6) }
+        }.toDF("sub", "cid", "dim", "centroid")
+    } finally qcorpus.unpersist()
   }
 
   /** Encode rows to their m PQ codes as a NARROW projection — no
@@ -537,14 +606,17 @@ object SimilarityOps {
   private def pqAdc(queries: DataFrame, corpus: DataFrame, k: Int,
                     dim: Int, m: Int, codebookK: Int, iters: Int,
                     idCol: String, vecCol: String,
-                    cells: Option[(DataFrame, DataFrame)]): DataFrame = {
+                    cells: Option[(DataFrame, DataFrame)],
+                    qcorpusPre: Option[DataFrame] = None): DataFrame = {
     val subLen = dim / m
     val spark = corpus.sparkSession
-    val cents = pqTrainCents(corpus, dim, m, codebookK, iters, idCol,
-      vecCol)
-    val csub = pqSubForm(Rebalance(corpus), "_vid", idCol, vecCol, m,
-      subLen).cache()
+    // ONE cached quantized corpus serves init, training, and encoding —
+    // callers holding their own (ivfPqTopK) pass it in and keep ownership
+    val qcorpus = qcorpusPre.getOrElse(Rebalance(corpus)
+      .select(col(idCol).as("_vid"), pqQuant(vecCol).as("_qv")).cache())
     try {
+      val csub = pqSubFormQ(qcorpus, "_vid", m, subLen)
+      val cents = pqTrainCents(qcorpus, csub, dim, m, codebookK, iters)
       // encode the corpus under the trained codebooks; queries get a
       // per-(query, subspace, cluster) distance table instead
       val codes0 = pqAssign(csub, "_vid", cents)
@@ -572,7 +644,7 @@ object SimilarityOps {
           round(col("_dist").cast("double") / 1e12, 6).as("approx_dist"),
           col("rnk"))
         .localCheckpoint(eager = true)
-    } finally csub.unpersist()
+    } finally if (qcorpusPre.isEmpty) qcorpus.unpersist()
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold — EXACT
@@ -610,6 +682,14 @@ object SimilarityOps {
     * measured recall against [[cosineNearDupPairs]]). Hyperplanes are the
     * deterministic [[lshBucket]] mix, so the DuckDB oracle replays the
     * bucketing exactly.
+    *
+    * Pairs sharing several bands are emitted ONCE by their lowest shared
+    * band ("first-band ownership"): both sides carry the full signature,
+    * and the join filters out collisions whose earlier bands also match —
+    * a few integer compares per candidate row, turning the whole operator
+    * into join → filter → project with NO pair-dedup aggregate (a
+    * groupBy(id_a, id_b) here would build an O(candidate-pairs) hash
+    * table per task — the dominant cost at any scale).
     */
   def cosineNearDupPairsBucketed(vecs: DataFrame, threshold: Double,
                                  dim: Int, bands: Int = 8, bandBits: Int = 2,
@@ -618,25 +698,32 @@ object SimilarityOps {
     val bits = bands * bandBits
     require(bits <= 30, s"bands*bandBits=$bits exceeds int bucket width")
     val mask = (1 << bandBits) - 1
-    val bucket = lshBucket(col(vecCol), dim, bits)
     val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
-      shiftrightunsigned(bucket, b * bandBits).bitwiseAND(lit(mask))
+      shiftrightunsigned(col("_sig"), b * bandBits).bitwiseAND(lit(mask))
         .as("band_val")))
     // signature + norm staged once per vector before the explode
     val banded = Rebalance(vecs)
       .select(col(idCol), col(vecCol).as("_v"),
         l2Norm(col(vecCol)).as("_n"),
+        lshBucket(col(vecCol), dim, bits).as("_sig"))
+      .select(col(idCol), col("_v"), col("_n"), col("_sig"),
         explode(array(bandCols: _*)).as("kv"))
-      .select(col(idCol), col("_v"), col("_n"),
+      .select(col(idCol), col("_v"), col("_n"), col("_sig"),
         col("kv.band"), col("kv.band_val"))
+    def bandOf(side: String, k: Int): Column =
+      shiftrightunsigned(col(s"$side._sig"), k * bandBits)
+        .bitwiseAND(lit(mask))
+    // pair owned by band b iff no band k < b also collides
+    val firstBand = (0 until bands - 1).map { k =>
+      (col("a.band") <= k) || (bandOf("a", k) =!= bandOf("b", k))
+    }.reduceOption(_ && _).getOrElse(lit(true))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_val") === col("b.band_val") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      // cos is identical on every shared-band row of a pair: min = the value
-      .agg(min(dot(col("a._v"), col("b._v")) /
-        (col("a._n") * col("b._n"))).as("_cos"))
+        col(s"a.$idCol") < col(s"b.$idCol") && firstBand)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        (dot(col("a._v"), col("b._v")) /
+          (col("a._n") * col("b._n"))).as("_cos"))
       .filter(col("_cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("_cos"), 6).as("cos_sim"))
   }

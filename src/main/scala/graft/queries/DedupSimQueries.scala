@@ -488,19 +488,23 @@ object DedupSimQueries {
                    FROM embeddings),
         bk AS (SELECT vec_id, e, ${bucketSql("e", 64, 16)} AS bucket
                FROM v),
-        banded AS (SELECT vec_id, e, CAST(k AS INTEGER) AS band,
+        banded AS (SELECT vec_id, e, bucket, CAST(k AS INTEGER) AS band,
                           (bucket >> (CAST(k AS INTEGER) * 4)) & 15
                             AS band_val
                    FROM bk, UNNEST(generate_series(0, 3)) AS t(k)),
         pairs AS (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 min(list_dot_product(a.e, b.e) /
+                 list_dot_product(a.e, b.e) /
                    (sqrt(list_dot_product(a.e, a.e)) *
-                    sqrt(list_dot_product(b.e, b.e)))) AS c
+                    sqrt(list_dot_product(b.e, b.e))) AS c
           FROM banded a JOIN banded b
             ON a.band = b.band AND a.band_val = b.band_val
            AND a.vec_id < b.vec_id
-          GROUP BY 1, 2)
+           -- first-band ownership: skip collisions whose earlier bands
+           -- also match (that band already emitted the pair)
+           AND (a.band <= 0 OR ((a.bucket >> 0) & 15) <> ((b.bucket >> 0) & 15))
+           AND (a.band <= 1 OR ((a.bucket >> 4) & 15) <> ((b.bucket >> 4) & 15))
+           AND (a.band <= 2 OR ((a.bucket >> 8) & 15) <> ((b.bucket >> 8) & 15)))
         SELECT id_a, id_b, round(c, 6) AS cos_sim
         FROM pairs WHERE c >= 0.3""")),
 
