@@ -16,13 +16,16 @@ object PipelineQueries {
 
   def defs: Map[String, Entry] = Map(
 
-    // X5 + A5 + A12 + K4: per-key AR(p)-OLS trainer over the 30 s
-    // regularized series with last-30 holdout (arima.py:298-408).
+    // X5 + A5 + A12 + K4: per-key ARIMA(p,d,q) trainer (Hannan–Rissanen
+    // two-stage OLS) over the 30 s regularized series with last-30
+    // holdout (arima.py:298-408, auto_arima order search -> holdout-MAE
+    // grid over d/p/q).
     "x5_ar_trainer" -> Entry(
       (s, dir) => ArTrainer.trainFromEvents(
           Tables.events(s, dir), "ts", "event_type", "value", 30)
         .toDF()
-        .select(col("symbol"), col("p"), col("n_train"), col("n_test"),
+        .select(col("symbol"), col("p"), col("d"), col("q"),
+          col("n_train"), col("n_test"),
           round(col("intercept"), 4).as("intercept"),
           round(col("mae"), 4).as("mae"),
           round(col("mape"), 4).as("mape"),

@@ -35,12 +35,66 @@ class TrainerMlSpec extends SparkSpec {
 
   test("model bundle round-trips through parquet (K4)") {
     val dir = java.nio.file.Files.createTempDirectory("bundle").toString
-    val m = ArTrainer.ArModel("ETH", 2, 1.5, Array(0.9, 0.05), 100, 30,
-      0.1, 0.2, 0.3)
+    val m = ArTrainer.ArModel("ETH", 2, 1, 1, 1.5, Array(0.9, 0.05),
+      Array(0.4), 100, 30, 0.1, 0.2, 0.3)
     ArTrainer.saveBundle(Seq(m).toDS(), s"$dir/models")
     val loaded = ArTrainer.loadBundle(spark, s"$dir/models").collect().head
-    assert(loaded === m.copy(coeffs = loaded.coeffs))
+    assert(loaded === m.copy(coeffs = loaded.coeffs,
+      maCoeffs = loaded.maCoeffs))
     assert(loaded.coeffs.toSeq === Seq(0.9, 0.05))
+    assert(loaded.maCoeffs.toSeq === Seq(0.4))
+    assert(loaded.d === 1 && loaded.q === 1)
+  }
+
+  test("Hannan-Rissanen recovers the MA coefficient of an MA(1) series") {
+    // x_t = 10 + e_t + 0.8 e_{t-1}, deterministic seeded innovations
+    val rnd = new scala.util.Random(42)
+    val e = Array.fill(2000)(rnd.nextGaussian())
+    val xs = Array.tabulate(2000)(t =>
+      10.0 + e(t) + (if (t > 0) 0.8 * e(t - 1) else 0.0))
+    val Some((c, _, theta, _)) = ArTrainer.fitArma(xs, 1, 1)
+    assert(math.abs(theta(0) - 0.8) < 0.15,
+      s"theta ${theta(0)} should be near 0.8")
+    assert(math.abs(c - 10.0) < 2.0, s"intercept $c should be near 10")
+  }
+
+  test("ARMA grid beats the AR-only grid on ARMA(1,1) series (X5)") {
+    // phi=0.6, theta=0.9: AR(p<=3) truncates the slowly-decaying MA tail.
+    // Multi-step forecasts converge to the mean, so only the first steps
+    // discriminate the models — short holdout, aggregated over 8 seeded
+    // series so the comparison is statistical, not single-draw luck.
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val n = 800
+    val pts = (0 until 8).flatMap { s =>
+      val rnd = new scala.util.Random(100 + s)
+      val e = Array.fill(n)(rnd.nextGaussian())
+      val xs = new Array[Double](n)
+      xs(0) = 50.0
+      for (t <- 1 until n)
+        xs(t) = 20.0 + 0.6 * xs(t - 1) + e(t) + 0.9 * e(t - 1)
+      (0 until n).map(i => ArTrainer.SeriesPoint(s"S$s",
+        new Timestamp(base + i * 30000L), xs(i)))
+    }
+    def models(maxQ: Int): Map[String, ArTrainer.ArModel] =
+      ArTrainer.train(pts.toDS(), holdout = 3, maxP = 3,
+        maxQ = maxQ, maxD = 0).collect().map(m => m.symbol -> m).toMap
+    val arma = models(maxQ = 2)
+    val arOnly = models(maxQ = 0)
+    val armaTotal = arma.values.map(_.mae).sum
+    val arTotal = arOnly.values.map(_.mae).sum
+    // q>0 grid is a superset of the q=0 grid: per-symbol MAE can only
+    // improve...
+    arma.foreach { case (s, m) => assert(m.mae <= arOnly(s).mae, s) }
+    // ...and across 8 series the MA term must actually win ground
+    assert(armaTotal < arTotal,
+      s"ARMA total MAE $armaTotal should beat AR-only $arTotal")
+    // a 3-point holdout is noisy per symbol, so only require the MA
+    // family to be selected sometimes; the aggregate-MAE assert above is
+    // the real discriminator (and theta recovery is pinned directly in
+    // the Hannan-Rissanen test)
+    val nSelected = arma.values.count(_.q > 0)
+    assert(nSelected >= 2,
+      s"MA terms selected for only $nSelected/8 series")
   }
 
   test("tf-idf ridge beats predict-the-mean baseline out of sample (X8)") {
