@@ -134,6 +134,24 @@ object StatsQueries {
           approx_count_distinct(col("l_partkey")).as("approx_parts")),
       None),
 
+    // A8 at 100 TB: mergeable t-digest quantiles (typed Aggregator,
+    // graft.functions.TDigestAgg) — O(compression) state per group vs
+    // exact percentile's O(group) buffer. Approximate -> rows-only;
+    // TDigestSpec pins the error against the exact quartiles.
+    "approx_tdigest_quantiles" -> Entry(
+      (s, dir) => {
+        val qs = graft.functions.TDigestAgg.tdigestQuantiles(
+          col("l_extendedprice"), 200.0, Seq(0.25, 0.5, 0.75))
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), qs.as("_qs"))
+          .select(col("l_returnflag"), col("n"),
+            round(col("_qs").getItem(0), 2).as("td_q25"),
+            round(col("_qs").getItem(1), 2).as("td_median"),
+            round(col("_qs").getItem(2), 2).as("td_q75"))
+      },
+      None),
+
     // A15: Pearson correlation per group (Milestone3 cells 44/56/58).
     // North-star weighted stats: exact weighted median (lower quantile)
     // of price by quantity weight. Exactness rides on integer-valued
