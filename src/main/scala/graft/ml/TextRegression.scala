@@ -6,6 +6,7 @@ import org.apache.spark.ml.feature.{HashingTF, IDF, IDFModel, NGram,
 import org.apache.spark.ml.regression.{LinearRegression,
   LinearRegressionModel}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** X8: the reference's text-model surface (Milestone4 cells 14-15):
@@ -99,5 +100,62 @@ object TextRegression {
         Trained(lrm, rmse(trainFeat), rmse(feats(testTf)), baseline)
       } finally { trainFeat.unpersist() }
     } finally { trainTf.unpersist(); testTf.unpersist() }
+  }
+
+  /** Deterministically permute one column against the rest of the row:
+    * rows keep their rank under `idCol` order, the column's values are
+    * re-dealt in salted-hash-of-id order — a reproducible random
+    * permutation (no rand(): retries and engines agree). Two global
+    * windows + a join; this is an evaluation-time op over the (bounded)
+    * test slice, not a corpus-scale transform.
+    */
+  private def permuteColumn(df: DataFrame, c: String, idCol: String,
+                            salt: Int): DataFrame = {
+    val keep = df.withColumn("_pos",
+      row_number().over(Window.orderBy(col(idCol)))).drop(c)
+    val dealt = df.select(col(c), row_number()
+      .over(Window.orderBy(hash(lit(salt), col(idCol)), col(idCol)))
+      .as("_pos"))
+    keep.join(dealt, Seq("_pos")).drop("_pos")
+  }
+
+  /** Permutation importance of a numeric Ridge (Milestone4 cell 14:
+    * `permutation_importance` over the numeric-feature Ridge): fit on the
+    * time-ordered train slice, then measure how much test RMSE rises when
+    * each feature column is independently shuffled — breaking the
+    * feature/label pairing while preserving the feature's marginal
+    * distribution. Output one row per feature:
+    * (feature, base_rmse, permuted_rmse, importance = permuted − base).
+    * Permutations are salted-hash deterministic (same salt ⇒ same
+    * result, consistent with CorpusOps.mixSample's discipline).
+    */
+  def permutationImportance(docs: DataFrame, featureCols: Seq[String],
+                            labelCol: String, orderCol: String,
+                            testFraction: Double = 0.25,
+                            regParam: Double = 0.1,
+                            salt: Int = 0): DataFrame = {
+    require(featureCols.nonEmpty)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cut = docs.stat
+      .approxQuantile(orderCol, Array(1 - testFraction), 0.0).head
+    val withLabel = docs.select(
+      (orderCol +: featureCols).map(c => col(c).cast("double").as(c)) :+
+        col(labelCol).cast("double").as("label"): _*)
+    val asm = new VectorAssembler().setInputCols(featureCols.toArray)
+      .setOutputCol("features")
+    val train = withLabel.filter(col(orderCol) <= cut)
+    val test = withLabel.filter(col(orderCol) > cut).cache()
+    try {
+      val model = ridge(regParam).fit(asm.transform(train))
+      def rmseOf(df: DataFrame): Double = model.transform(asm.transform(df))
+        .select(sqrt(avg(pow(col("prediction") - col("label"), 2))))
+        .collect().head.getDouble(0)
+      val base = rmseOf(test)
+      featureCols.map { f =>
+        val permuted = rmseOf(permuteColumn(test, f, orderCol, salt))
+        (f, base, permuted, permuted - base)
+      }.toDF("feature", "base_rmse", "permuted_rmse", "importance")
+    } finally test.unpersist()
   }
 }

@@ -44,6 +44,25 @@ object PipelineQueries {
       },
       None),
 
+    // Milestone4 cell 14: permutation importance of the numeric Ridge —
+    // per-feature test-RMSE rise under deterministic salted shuffles.
+    // Model evaluation -> rows-only (spec-verified in TrainerMlSpec).
+    "x_perm_importance" -> Entry(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("n_words", size(split(col("text"), " ")))
+          .withColumn("n_vowels",
+            length(regexp_replace(col("text"), "[^aeiou]", "")))
+          .withColumn("id_noise", pmod(col("doc_id"), lit(7)))
+        TextRegression.permutationImportance(docs,
+            Seq("n_words", "n_vowels", "id_noise"), "n_chars", "doc_id")
+          .select(col("feature"),
+            round(col("base_rmse"), 4).as("base_rmse"),
+            round(col("permuted_rmse"), 4).as("permuted_rmse"),
+            round(col("importance"), 4).as("importance"))
+      },
+      None),
+
     // P10: regex content filter (publisher-side Japanese-char drop,
     // twitter/stream_simulator_continuous.py:31-36 — same shape, corpus
     // marker word here).

@@ -97,6 +97,29 @@ class TrainerMlSpec extends SparkSpec {
       s"MA terms selected for only $nSelected/8 series")
   }
 
+  test("permutation importance ranks the real feature above noise") {
+    // label = 3*f1 (+ small f2 term); f3 is pure noise
+    val df = (0 until 400).map { i =>
+      val f1 = (i % 23).toDouble
+      val f2 = ((i * 7) % 11).toDouble
+      val f3 = ((i * 13) % 5).toDouble
+      (i.toLong, f1, f2, f3, 3.0 * f1 + 0.2 * f2)
+    }.toDF("doc_id", "f1", "f2", "f3", "y")
+    val imp = TextRegression.permutationImportance(
+        df, Seq("f1", "f2", "f3"), "y", "doc_id")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("importance"))
+      .toMap
+    assert(imp("f1") > imp("f2"), s"f1 ${imp("f1")} vs f2 ${imp("f2")}")
+    assert(imp("f1") > 10 * math.max(imp("f3"), 1e-9),
+      s"noise feature importance ${imp("f3")} should be negligible")
+    // deterministic: same salt reproduces identical numbers
+    val imp2 = TextRegression.permutationImportance(
+        df, Seq("f1", "f2", "f3"), "y", "doc_id")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("importance"))
+      .toMap
+    assert(imp === imp2)
+  }
+
   test("tf-idf ridge beats predict-the-mean baseline out of sample (X8)") {
     // label = 10 * count("spark") + 5: perfectly predictable from text
     val docs = (0 until 400).map { i =>
