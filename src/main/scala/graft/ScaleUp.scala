@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale a testdata SF directory up by an integer factor for local
+  * scaling probes (`runMain graft.ScaleUp <inDir> <outDir> <factor>`):
+  * fact tables are unioned `factor` times with disjoint id shifts so key
+  * cardinalities grow with the data (not just row multiplicity), dims are
+  * copied as-is (the TPC-H-ish shape: facts grow, dims stay bounded).
+  *
+  * Cross-copy structure is deliberately de-duplicated where it would
+  * degenerate: each document copy gets a per-copy suffix token so the
+  * near-dup profile stays ~constant per row instead of every doc becoming
+  * a factor-sized duplicate clique; embeddings keep their values (ANN
+  * cost depends on counts, not coordinates). Event/order/lineitem keys
+  * shift by the observed max so joins stay consistent within each copy.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val Array(inDir, outDir, factorStr) = args
+    val factor = factorStr.toInt
+    require(factor >= 2, s"factor $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def copies(df: DataFrame, shiftCols: Seq[String],
+               perCopy: (DataFrame, Int) => DataFrame = (d, _) => d)
+        : DataFrame = {
+      val shifts: Map[String, Long] = shiftCols.map { c =>
+        c -> (df.agg(max(col(c))).collect().head.getLong(0) + 1L)
+      }.toMap
+      (0 until factor).map { i =>
+        val shifted = shiftCols.foldLeft(df) { (d, c) =>
+          d.withColumn(c, col(c) + lit(shifts(c) * i))
+        }
+        perCopy(shifted, i)
+      }.reduce(_ unionByName _)
+    }
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[scaleup] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
+    }
+
+    // dims: copy unchanged (facts reference them unshifted)
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      write(spark.read.parquet(s"$inDir/$t.parquet"), t)
+    }
+
+    val orders = spark.read.parquet(s"$inDir/orders.parquet")
+    write(copies(orders, Seq("o_orderkey")), "orders")
+
+    val lineitem = spark.read.parquet(s"$inDir/lineitem.parquet")
+    write(copies(lineitem, Seq("l_orderkey")), "lineitem")
+
+    // events: NANOS timestamps — must read via Tables.events' conf; keys
+    // shift, timestamps stay (density grows, span fixed)
+    val events = Tables.events(spark, inDir)
+    write(copies(events, Seq("event_id")), "events")
+
+    val documents = spark.read.parquet(s"$inDir/documents.parquet")
+    write(copies(documents, Seq("doc_id"),
+      (d, i) => if (i == 0) d
+        else d.withColumn("text",
+          concat(col("text"), lit(s" rep$i")))), "documents")
+
+    val embeddings = spark.read.parquet(s"$inDir/embeddings.parquet")
+    write(copies(embeddings, Seq("vec_id")), "embeddings")
+
+    spark.stop()
+  }
+}

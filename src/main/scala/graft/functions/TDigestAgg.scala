@@ -6,10 +6,14 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
 /** Mergeable t-digest buffer: merged centroids (means/weights, sorted by
-  * mean) plus a small unmerged point buffer that is folded in when full.
+  * mean) plus a fixed-capacity unmerged point buffer (`buf`, first `n`
+  * slots live) that is folded in when full. The buffer array is mutated
+  * in place between serialization boundaries — Spark's typed-aggregator
+  * contract only serializes at partial-output/shuffle edges, and an
+  * immutable `buf :+ x` would copy the whole array on EVERY input row.
   */
 final case class TDigestBuf(means: Array[Double], weights: Array[Double],
-    buf: Array[Double])
+    buf: Array[Double], n: Int)
 
 /** Mergeable t-digest quantile sketch (Dunning & Ertl, "Computing
   * extremely accurate quantiles using t-digests") as a typed Spark
@@ -39,23 +43,34 @@ class TDigestAgg(compression: Double, quantiles: Seq[Double])
   private val bufLimit = 512
 
   override def zero: TDigestBuf =
-    TDigestBuf(Array.empty, Array.empty, Array.empty)
+    TDigestBuf(Array.empty, Array.empty, new Array[Double](bufLimit), 0)
 
   override def reduce(b: TDigestBuf, x: Double): TDigestBuf = {
-    val nb = b.buf :+ x
-    if (nb.length >= bufLimit) compress(b.means, b.weights, nb)
-    else TDigestBuf(b.means, b.weights, nb)
+    // deserialized buffers may arrive with a truncated array — regrow
+    val withRoom =
+      if (b.buf.length >= bufLimit) b
+      else {
+        val arr = new Array[Double](bufLimit)
+        Array.copy(b.buf, 0, arr, 0, b.n)
+        TDigestBuf(b.means, b.weights, arr, b.n)
+      }
+    withRoom.buf(withRoom.n) = x
+    val filled = withRoom.copy(n = withRoom.n + 1) // shares the array
+    if (filled.n >= bufLimit) {
+      val c = compress(filled.means, filled.weights,
+        filled.buf, filled.n)
+      TDigestBuf(c.means, c.weights, filled.buf, 0) // reuse the array
+    } else filled
   }
 
   override def merge(a: TDigestBuf, b: TDigestBuf): TDigestBuf = {
-    val means = a.means ++ b.means ++ a.buf ++ b.buf
-    val weights = a.weights ++ b.weights ++
-      Array.fill(a.buf.length + b.buf.length)(1.0)
+    val means = a.means ++ b.means ++ a.buf.take(a.n) ++ b.buf.take(b.n)
+    val weights = a.weights ++ b.weights ++ Array.fill(a.n + b.n)(1.0)
     compressPairs(means, weights)
   }
 
   override def finish(b: TDigestBuf): Array[Double] = {
-    val d = compress(b.means, b.weights, b.buf)
+    val d = compress(b.means, b.weights, b.buf, b.n)
     quantiles.map(q => quantileOf(d.means, d.weights, q)).toArray
   }
 
@@ -65,15 +80,16 @@ class TDigestAgg(compression: Double, quantiles: Seq[Double])
     ExpressionEncoder[Array[Double]]()
 
   private def compress(means: Array[Double], weights: Array[Double],
-                       buf: Array[Double]): TDigestBuf =
-    compressPairs(means ++ buf, weights ++ Array.fill(buf.length)(1.0))
+                       buf: Array[Double], n: Int): TDigestBuf =
+    compressPairs(means ++ buf.take(n), weights ++ Array.fill(n)(1.0))
 
   /** One merge pass over centroids sorted by mean: the k1 scale function
     * caps each merged centroid's q-span at 1/δ of k-space.
     */
   private def compressPairs(means: Array[Double],
                             weights: Array[Double]): TDigestBuf = {
-    if (means.isEmpty) return TDigestBuf(Array.empty, Array.empty, Array.empty)
+    if (means.isEmpty)
+      return TDigestBuf(Array.empty, Array.empty, Array.empty, 0)
     val order = means.indices.sortBy(means(_))
     val total = weights.sum
     def k(q: Double): Double = {
@@ -99,7 +115,7 @@ class TDigestAgg(compression: Double, quantiles: Seq[Double])
       }
     }
     outM.append(curM); outW.append(curW)
-    TDigestBuf(outM.toArray, outW.toArray, Array.empty)
+    TDigestBuf(outM.toArray, outW.toArray, Array.empty, 0)
   }
 
   /** Quantile by interpolation between centroid midpoints (each centroid

@@ -45,9 +45,15 @@ object TextRegression {
   // relative convergence, so don't pay for more (quality still spec-gated
   // vs the mean baseline). 1024 hash dims per gram order halves gradient
   // width vs 2048 with no measurable RMSE change on the synthetic corpus.
-  private def ridge(regParam: Double) = new LinearRegression()
-    .setLabelCol("label").setFeaturesCol("features").setRegParam(regParam)
-    .setElasticNetParam(0.0).setMaxIter(10).setTol(1e-4).setSolver("l-bfgs")
+  // solver: "l-bfgs" for the hashed-TF path (a "normal" solve would build
+  // a features² Gram matrix per task); "normal" for handfuls of numeric
+  // features (permutation importance), where the tiny closed-form solve
+  // replaces 10 treeAggregate rounds
+  private def ridge(regParam: Double, solver: String = "l-bfgs") =
+    new LinearRegression()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setRegParam(regParam).setElasticNetParam(0.0)
+      .setMaxIter(10).setTol(1e-4).setSolver(solver)
 
   /** The one-shot Pipeline form of the same stages (the API an MLlib user
     * would persist/serve).
@@ -147,7 +153,7 @@ object TextRegression {
     val train = withLabel.filter(col(orderCol) <= cut)
     val test = withLabel.filter(col(orderCol) > cut).cache()
     try {
-      val model = ridge(regParam).fit(asm.transform(train))
+      val model = ridge(regParam, "normal").fit(asm.transform(train))
       def rmseOf(df: DataFrame): Double = model.transform(asm.transform(df))
         .select(sqrt(avg(pow(col("prediction") - col("label"), 2))))
         .collect().head.getDouble(0)

@@ -80,20 +80,24 @@ class PropertySpec extends SparkSpec {
       }.toDF("event_type", "ts", "value")
       val out = graft.ops.TimeSeriesOps
         .resampleLastFfill(df, "ts", "event_type", "value", 30)
-      val keys = rows.map(_._1).distinct.size
-      val buckets = out.select($"bucket").distinct().count()
-      // complete grid: every key gets every bucket in the global span
-      assert(out.count() === keys * buckets)
-      // per key: once a value is observed, value_ffill is never null again
+      // per-key grid (pandas per-series semantics): each key covers
+      // exactly its OWN [min,max] bucket span, contiguously
       val rowsOut = out.orderBy($"event_type", $"bucket").collect()
-      rowsOut.groupBy(_.getAs[String]("event_type")).foreach {
-        case (_, krows) =>
-          val nulls = krows.map(_.isNullAt(krows.head.fieldIndex("value_ffill")))
-          val firstNonNull = nulls.indexOf(false)
-          if (firstNonNull >= 0)
-            assert(nulls.drop(firstNonNull).forall(!_),
-              "null after first observation")
+      val expected = rows.groupBy(_._1).map { case (k, krows) =>
+        val secs = krows.map(r => (1704067200L + r._2) / 30 * 30)
+        k -> ((secs.max - secs.min) / 30 + 1)
       }
+      rowsOut.groupBy(_.getAs[String]("event_type")).foreach {
+        case (k, krows) =>
+          assert(krows.length.toLong === expected(k),
+            s"key $k grid size")
+          // the first bucket of a per-key grid is an observed bucket, so
+          // forward-fill leaves no null anywhere
+          assert(krows.forall(
+            !_.isNullAt(krows.head.fieldIndex("value_ffill"))),
+            s"key $k has unfilled buckets")
+      }
+      assert(rowsOut.length.toLong === expected.values.sum)
     }
   }
 
