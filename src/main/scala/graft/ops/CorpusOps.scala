@@ -104,6 +104,74 @@ object CorpusOps {
         col(textCol).substr(col("_cs") + 1, lit(size)).as("chunk"))
   }
 
+  /** Within-document repetition signals — the Gopher/MassiveText quality
+    * filters that catch boilerplate and looped generations: the fraction
+    * of duplicated words / 2-grams / 3-grams inside each document
+    * (`1 - distinct/total`). Pure Column algebra over the split word
+    * array (no explode, no shuffle): n-grams are built positionally with
+    * `transform(sequence(...))`, so the whole row stays inside one
+    * codegen stage and the op is embarrassingly parallel at any scale.
+    * Documents with fewer words than the n-gram order get null for that
+    * signal (the filter is undefined there, matching the reference
+    * pipelines that skip short docs).
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val words = split(col(textCol), " ")
+    val n = size(words)
+    def ngrams(k: Int): Column =
+      transform(sequence(lit(1), n - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(o => element_at(words, i + o)): _*))
+    def dupFrac(arr: Column, total: Column): Column =
+      lit(1.0) - size(array_distinct(arr)).cast("double") /
+        total.cast("double")
+    docs.filter(length(col(textCol)) > 0).select(
+      col(idCol), n.as("n_words"),
+      dupFrac(words, n).as("dup_word_frac"),
+      when(n >= 2, dupFrac(ngrams(2), n - 1)).as("dup_2gram_frac"),
+      when(n >= 3, dupFrac(ngrams(3), n - 2)).as("dup_3gram_frac"))
+  }
+
+  /** Corpus-wide exact segment dedup (the MassiveText / RefinedWeb
+    * line-level pass, adapted to unstructured text): split each document
+    * into fixed `segWords`-word segments, keep only the globally-first
+    * occurrence of each distinct segment (ordered by document id, then
+    * segment index), and reassemble the surviving text per document.
+    *
+    * Plan shape at 100 TB: one explode (narrow), one hash exchange on the
+    * segment content for the first-occurrence rank — keys are near-unique
+    * so there is no skew — and one exchange back on the doc id for
+    * reassembly. Every document stays in the output (a fully-duplicated
+    * doc surfaces with kept_segs = 0 and empty text), so the op composes
+    * with downstream filters without a corrective join.
+    */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                   segWords: Int): DataFrame = {
+    require(segWords > 0, s"segWords=$segWords")
+    val words = split(col(textCol), " ")
+    val nseg = ceil(size(words) / lit(segWords.toDouble)).cast("int")
+    val segs = docs.filter(length(col(textCol)) > 0)
+      .select(col(idCol), explode(sequence(lit(0), nseg - 1)).as("seg_idx"),
+        words.as("_w"))
+      .select(col(idCol), col("seg_idx"),
+        array_join(slice(col("_w"), col("seg_idx") * segWords + 1,
+          lit(segWords)), " ").as("seg"))
+    val firstRank = Window.partitionBy(col("seg"))
+      .orderBy(col(idCol), col("seg_idx"))
+    segs.withColumn("_keep", row_number().over(firstRank) === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("total_segs"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("kept_segs"),
+        // collect_list drops the nulls the when() emits for dropped
+        // segments; array_sort orders by seg_idx (first struct field)
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_keep"), struct(col("seg_idx"), col("seg"))))),
+            s => s.getField("seg")),
+          " ").as("kept_text"))
+  }
+
   /** Deterministic weighted sampling without replacement, k per stratum —
     * the Efraimidis-Spirtes A-ES scheme with the RNG replaced by a salted
     * content-key hash: each row gets u = (hash32 + 0.5) / 2^32 in (0,1)

@@ -691,6 +691,39 @@ object SimilarityOps {
     * groupBy(id_a, id_b) here would build an O(candidate-pairs) hash
     * table per task — the dominant cost at any scale).
     */
+  /** Standard LSH parameter selection (the S-curve algebra, MMDS ch.3)
+    * for [[cosineNearDupPairsBucketed]] under the 30-bit signature
+    * budget: hyperplane agreement probability for a pair AT the
+    * similarity floor is p = 1 - acos(sim)/π; a (bands b, bandBits r)
+    * scheme catches such a pair with 1-(1-p^r)^b. Candidate volume per
+    * band shrinks as 2^r grows, so pick the LARGEST r whose required
+    * band count still fits r*b <= 30, where b(r) = ceil(ln(1-recall) /
+    * ln(1-p^r)).
+    *
+    * The returned config depends only on (corpus size, floor, recall) —
+    * deterministic, so an oracle can replay it. Growing n pushes r up
+    * (each extra bit halves per-bucket occupancy) until the signature
+    * budget binds; past that point the honest scale lever is
+    * pre-clustering (the IVF/k-means path) rather than wider
+    * signatures, and r is capped at ~log2(n) (buckets beyond corpus
+    * size stop helping).
+    */
+  def autoBandConfig(n: Long, simFloor: Double,
+                     targetRecall: Double = 0.9,
+                     maxSigBits: Int = 30): (Int, Int) = {
+    require(n > 0 && simFloor > 0 && simFloor < 1 &&
+      targetRecall > 0 && targetRecall < 1)
+    val p = 1.0 - math.acos(simFloor) / math.Pi
+    val log2n = math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt
+    def bandsFor(r: Int): Int =
+      math.ceil(math.log(1.0 - targetRecall) /
+        math.log(1.0 - math.pow(p, r))).toInt.max(1)
+    val feasible = (1 to math.min(maxSigBits, math.max(log2n, 1)))
+      .filter(r => r * bandsFor(r) <= maxSigBits)
+    val r = if (feasible.nonEmpty) feasible.max else 1
+    (bandsFor(r), r)
+  }
+
   def cosineNearDupPairsBucketed(vecs: DataFrame, threshold: Double,
                                  dim: Int, bands: Int = 8, bandBits: Int = 2,
                                  idCol: String = "vec_id",

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{MetricOps, RelationalOps}
+import graft.sources.AvroSource
 import Catalog.Entry
 
 /** Scans, projections, filters, explodes, joins, sorts, set ops, datetime
@@ -239,6 +240,34 @@ object CoreQueries {
                strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day_str,
                strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_str,
                epoch_ms(CAST(ts AS TIMESTAMP)) AS epoch_ms
-        FROM events"""))
+        FROM events""")),
+
+    // S3: Avro batch archive roundtrip — write lineitem's first lines as
+    // snappy Avro container files (the reference's Pub/Sub->GCS archive
+    // shape, batch_to_mongo.py:364), read them back through the splittable
+    // AvroKeyInputFormat source, and aggregate. The oracle aggregates the
+    // parquet table directly, so a hash match proves the Avro encode/decode
+    // (longs, doubles, strings, timestamp-micros) is lossless end-to-end.
+    "s3_avro_roundtrip" -> Entry(
+      (s, dir) => {
+        val archive = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          s"graft_avro/${new java.io.File(dir).getName}/lineitem").toString
+        AvroSource.write(
+          Tables.lineitem(s, dir).filter(col("l_linenumber") === 1), archive)
+        AvroSource.read(s, archive)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"),
+            round(sum(col("l_quantity")), 2).as("qty"),
+            max(col("l_shipdate")).as("last_ship"))
+      },
+      Some("""
+        SELECT l_returnflag, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS revenue,
+               round(sum(l_quantity), 2) AS qty,
+               max(CAST(l_shipdate AS TIMESTAMP)) AS last_ship
+        FROM lineitem WHERE l_linenumber = 1
+        GROUP BY 1"""))
   )
 }

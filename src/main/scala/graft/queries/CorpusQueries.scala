@@ -89,6 +89,86 @@ object CorpusQueries {
                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5,
                length(trim(regexp_replace(regexp_replace(lower(text),
                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_len
-        FROM documents"""))
+        FROM documents""")),
+
+    // Gopher-style within-doc repetition signals: duplicated word /
+    // 2-gram / 3-gram fractions, all positional array algebra (no
+    // explode, no shuffle). The oracle rebuilds the same n-grams with
+    // 1-based list indexing.
+    "corpus_repetition" -> Entry(
+      (s, dir) => CorpusOps.repetitionSignals(
+          Tables.documents(s, dir), "doc_id", "text")
+        .withColumn("n_words", col("n_words").cast("long")),
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents WHERE length(text) > 0)
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+               1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                   / CAST(len(ws) AS DOUBLE) AS dup_word_frac,
+               CASE WHEN len(ws) >= 2 THEN
+                 1.0 - CAST(len(list_distinct(list_transform(
+                         range(1, len(ws)),
+                         i -> ws[i] || ' ' || ws[i + 1]))) AS DOUBLE)
+                     / CAST(len(ws) - 1 AS DOUBLE) END AS dup_2gram_frac,
+               CASE WHEN len(ws) >= 3 THEN
+                 1.0 - CAST(len(list_distinct(list_transform(
+                         range(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])))
+                       AS DOUBLE)
+                     / CAST(len(ws) - 2 AS DOUBLE) END AS dup_3gram_frac
+        FROM w""")),
+
+    // Domain-mix report: the pretraining-recipe dashboard — doc and char
+    // share per (source, lang), totals via a one-row broadcast.
+    "corpus_domain_mix" -> Entry(
+      (s, dir) => {
+        val g = Tables.documents(s, dir)
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        val tot = g.agg(sum(col("n_docs")).as("_td"),
+          sum(col("n_chars")).as("_tc"))
+        g.crossJoin(broadcast(tot)).select(
+          col("source"), col("lang"), col("n_docs"), col("n_chars"),
+          round(col("n_docs").cast("double") / col("_td").cast("double"), 6)
+            .as("doc_share"),
+          round(col("n_chars").cast("double") / col("_tc").cast("double"), 6)
+            .as("char_share"))
+      },
+      Some("""
+        WITH g AS (SELECT source, lang, count(*) AS n_docs,
+                          CAST(sum(n_chars) AS BIGINT) AS n_chars
+                   FROM documents GROUP BY 1, 2),
+        t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+                     CAST(sum(n_chars) AS BIGINT) AS tc FROM g)
+        SELECT source, lang, n_docs, n_chars,
+               round(CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE), 6)
+                 AS doc_share,
+               round(CAST(n_chars AS DOUBLE) / CAST(tc AS DOUBLE), 6)
+                 AS char_share
+        FROM g, t""")),
+
+    // Corpus-wide exact segment dedup (MassiveText line-dedup shape):
+    // 20-word segments, first occurrence wins globally, text reassembled
+    // per doc. Every doc stays in the output (kept_segs=0 if fully dup).
+    "corpus_segment_dedup" -> Entry(
+      (s, dir) => CorpusOps.segmentDedup(
+        Tables.documents(s, dir), "doc_id", "text", segWords = 20),
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents WHERE length(text) > 0),
+        segs AS (SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+                        array_to_string(list_slice(ws,
+                          CAST(i AS INTEGER) * 20 + 1,
+                          CAST(i AS INTEGER) * 20 + 20), ' ') AS seg
+                 FROM w, UNNEST(range(0,
+                   CAST(ceil(len(ws) / 20.0) AS BIGINT))) AS t(i)),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY seg
+                 ORDER BY doc_id, seg_idx) AS rn FROM segs)
+        SELECT doc_id, count(*) AS total_segs,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS kept_segs,
+               coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                 ORDER BY seg_idx), '') AS kept_text
+        FROM rk GROUP BY 1"""))
   )
 }

@@ -55,4 +55,47 @@ class CorpusOpsSpec extends SparkSpec {
     val rebuilt = (0L to 3L).map(i => out((1L, i)).take(3)).mkString
     assert(rebuilt === "abcdefghij")
   }
+
+  test("repetitionSignals: exact dup fractions, nulls under n-gram order") {
+    val docs = Seq(
+      (1L, "a b a b a"),   // 5 words {a,b} -> dup 3/5; bigrams 4 {a b,b a} -> 2/4; trigrams 3 {aba,bab} -> 1/3
+      (2L, "x"),           // single word: no 2/3-grams
+      (3L, "p q r"),       // all distinct
+      (4L, "")             // empty: filtered out
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L).getAs[Double]("dup_word_frac") === 1.0 - 2.0 / 5.0)
+    assert(out(1L).getAs[Double]("dup_2gram_frac") === 1.0 - 2.0 / 4.0)
+    assert(out(1L).getAs[Double]("dup_3gram_frac") === 1.0 - 2.0 / 3.0)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("dup_2gram_frac")))
+    assert(out(2L).isNullAt(out(2L).fieldIndex("dup_3gram_frac")))
+    assert(out(3L).getAs[Double]("dup_word_frac") === 0.0)
+    assert(out(3L).getAs[Double]("dup_2gram_frac") === 0.0)
+  }
+
+  test("segmentDedup keeps first occurrence globally, reassembles text") {
+    // seg size 2: doc1 = [a b][c d], doc2 = [a b][e f], doc3 = [c d]
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b e f"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.segmentDedup(docs, "doc_id", "text", segWords = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("total_segs"), r.getAs[Long]("kept_segs"),
+          r.getAs[String]("kept_text")))).toMap
+    assert(out(1L) === ((2L, 2L, "a b c d")))  // first owner of both segs
+    assert(out(2L) === ((2L, 1L, "e f")))      // "a b" already seen in doc1
+    assert(out(3L) === ((1L, 0L, "")))         // fully duplicated, stays
+  }
+
+  test("segmentDedup within-doc duplicate segments collapse too") {
+    val docs = Seq((7L, "a b a b a")).toDF("doc_id", "text")
+    // segs of 2: [a b][a b][a] -> keeps idx 0 and the short tail
+    val r = CorpusOps.segmentDedup(docs, "doc_id", "text", segWords = 2)
+      .collect().head
+    assert(r.getAs[Long]("total_segs") === 3L)
+    assert(r.getAs[Long]("kept_segs") === 2L)
+    assert(r.getAs[String]("kept_text") === "a b a")
+  }
 }

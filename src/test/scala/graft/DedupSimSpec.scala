@@ -191,6 +191,40 @@ class DedupSimSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall below the band-scheme floor")
   }
 
+  test("autoBandConfig: S-curve algebra, bits grow with n, budget holds") {
+    // the promised recall is analytic: 1-(1-p^r)^b >= target at the floor
+    for (n <- Seq(1000L, 100000L, 10000000L); floor <- Seq(0.5, 0.8)) {
+      val (b, r) = SimilarityOps.autoBandConfig(n, floor, targetRecall = 0.9)
+      val p = 1.0 - math.acos(floor) / math.Pi
+      val recall = 1.0 - math.pow(1.0 - math.pow(p, r), b)
+      assert(recall >= 0.9 - 1e-9, s"n=$n floor=$floor -> ($b,$r): $recall")
+      assert(b * r <= 30, s"signature budget exceeded: ($b,$r)")
+    }
+    // more corpus -> at least as many bits per band (buckets track n)
+    val rs = Seq(1000L, 100000L, 10000000L, 1000000000L)
+      .map(n => SimilarityOps.autoBandConfig(n, 0.8)._2)
+    assert(rs === rs.sorted, s"bandBits not monotone in n: $rs")
+    // tiny corpora must not demand more buckets than vectors
+    val (_, rTiny) = SimilarityOps.autoBandConfig(8L, 0.8)
+    assert(rTiny <= 3)
+
+    // end-to-end: the auto config on the sf0.001 embeddings keeps the
+    // bucketed result a subset of exact with recall above the promised
+    // floor at the HIGH end of similarity (near-dup pairs, cos >= 0.8)
+    val vecs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = vecs.count()
+    val (bands, bits) = SimilarityOps.autoBandConfig(n, 0.8)
+    val exact = SimilarityOps.cosineNearDupPairs(vecs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = SimilarityOps.cosineNearDupPairsBucketed(
+        vecs, 0.8, dim = 64, bands = bands, bandBits = bits).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(exact))
+    if (exact.nonEmpty)
+      assert(auto.size.toDouble / exact.size >= 0.5,
+        s"auto-config recall ${auto.size.toDouble / exact.size}")
+  }
+
   test("ngram jaccard df-cap: no-op when cap >= max df, monotone shrink " +
        "under a binding cap") {
     val df = Seq(
