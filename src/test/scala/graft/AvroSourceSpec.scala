@@ -107,6 +107,32 @@ class AvroSourceSpec extends SparkSpec {
     assert(back.filter($"s" === "b").select("x").as[Double].head === 3.0)
   }
 
+  test("streaming avro archive sink: foreachBatch writes container files " +
+       "per micro-batch (the reference's finalized-file cadence)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("avro_stream")
+    val in = MemoryStream[(Long, String, Double)]
+    val q = in.toDF().toDF("id", "sym", "px").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) AvroSource.write(batch, s"$dir/batch=$id")
+      }
+      .start()
+    try {
+      in.addData((1L, "ETH", 10.0), (2L, "SOL", 5.0)); q.processAllAvailable()
+      in.addData((3L, "ETH", 11.0)); q.processAllAvailable()
+    } finally q.stop()
+    val batches = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("batch=")).sortBy(_.getName)
+    assert(batches.length === 2, batches.mkString(","))
+    val all = batches.toSeq
+      .map(b => AvroSource.read(spark, b.getAbsolutePath))
+      .reduce(_ union _)
+    assert(all.count() === 3L)
+    assert(all.agg(sum($"px")).as[Double].head === 26.0)
+  }
+
   test("parquet table -> avro archive -> aggregate matches parquet direct") {
     val sf = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, sf).filter($"l_linenumber" === 1)
