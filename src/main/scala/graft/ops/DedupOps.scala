@@ -215,6 +215,55 @@ object DedupOps {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Bloom-filter decontamination — the [[decontaminate]] contract for
+    * when even the eval side's distinct gram set is too big to ride a
+    * broadcast hash join: the eval grams collapse into an `numBits`-bit
+    * Bloom bitset (`numBits/8` bytes REGARDLESS of eval size) that ships
+    * into the plan as an array-of-longs literal, and the train side
+    * probes it in a NARROW scan — no join at all, each doc folds its own
+    * gram array against the literal. False positives over-flag at the
+    * classical (1-(1-1/m)^{kn})^k rate (sized by `numBits`); false
+    * negatives are impossible, which is the correct direction for
+    * decontamination.
+    *
+    * Portability: the k hash functions are disjoint 8-hex windows of the
+    * gram's MD5 reduced mod `numBits` — deterministic and replayable by
+    * any engine (the oracle checks the exact flags, false positives
+    * included). Output: every train doc with `n_grams` and the
+    * `bloom_hit` contamination flag (filter or route downstream).
+    */
+  def bloomDecontaminate(train: DataFrame, test: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         n: Int = 5, numBits: Int = 1 << 20,
+                         numHashes: Int = 3): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 4, s"numHashes=$numHashes")
+    require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+      s"numBits=$numBits must be a power of two")
+    def positions(g: Column): Seq[Column] = (0 until numHashes).map(i =>
+      conv(substring(md5(g), i * 8 + 1, 8), 16, 10).cast("long") % numBits)
+    // build: fold eval-gram bit positions into <= numBits/64 (word, bits)
+    // rows with a map-side-partial bit_or — driver/collect cost is bounded
+    // by the bitset size, never by the eval corpus
+    val setWords = test.select(explode(wordShingles(textCol, n)).as("g"))
+      .select(explode(array(positions(col("g")): _*)).as("p"))
+      .groupBy((col("p") / 64).cast("int").as("w"))
+      .agg(bit_or(call_function("shiftleft", lit(1L),
+        (col("p") % 64).cast("int"))).as("bits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val bitWords = new Array[Long](numBits / 64)
+    setWords.foreach { case (w, bits) => bitWords(w) = bits }
+    val wordsLit = typedlit(bitWords.toSeq)
+    def isSet(p: Column): Column =
+      element_at(wordsLit, (p / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          (p % 64).cast("int"))) =!= 0L
+    Rebalance(train)
+      .select(col(idCol), wordShingles(textCol, n).as("_gs"))
+      .select(col(idCol), size(col("_gs")).cast("long").as("n_grams"),
+        exists(col("_gs"),
+          g => positions(g).map(isSet).reduce(_ && _)).as("bloom_hit"))
+  }
+
   /** Dedup clusters: connected components over candidate pairs by
     * min-label propagation with pointer doubling — each round every
     * vertex (1) adopts the smallest label among itself and its neighbors,

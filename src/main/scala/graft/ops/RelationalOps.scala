@@ -77,4 +77,33 @@ object RelationalOps {
           .when(col("_hb") === col("_ha"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** CDC merge — MERGE INTO semantics without a table format: apply a
+    * changeset of upserts (`op != "D"`) and deletes (`op == "D"`) to a
+    * base snapshot, latest change per key winning by `seqCol` (the
+    * Debezium/Delta change-log shape). `changes` must carry the base
+    * schema plus `opCol`/`seqCol`; `seqCol` must order changes totally
+    * within a key (a log offset / LSN — ties are a malformed log).
+    *
+    * Plan shape: one groupBy on the key collapses the log to its final
+    * change per key (`max_by` struct, map-side partial), then one
+    * left-anti join removes superseded base rows and a union appends the
+    * surviving upserts. At 100 TB the changeset is the small side — the
+    * anti join broadcasts; nothing ever shuffles the base snapshot.
+    */
+  def applyChangeSet(base: DataFrame, changes: DataFrame,
+                     keyCols: Seq[String], opCol: String = "op",
+                     seqCol: String = "seq",
+                     broadcastChanges: Boolean = true): DataFrame = {
+    val payload = changes.columns
+      .filterNot(c => keyCols.contains(c) || c == seqCol)
+    val latest = changes.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), col(seqCol)).as("_c"))
+      .select(keyCols.map(col) ++ payload.map(f => col(s"_c.$f")): _*)
+    val keys = latest.select(keyCols.map(col): _*)
+    base.join(if (broadcastChanges) broadcast(keys) else keys, keyCols,
+        "left_anti")
+      .unionByName(latest.filter(col(opCol) =!= "D")
+        .select(base.columns.map(col): _*))
+  }
 }

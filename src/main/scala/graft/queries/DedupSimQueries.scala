@@ -188,6 +188,52 @@ object DedupSimQueries {
         WHERE d.doc_id % 17 <> 0
           AND d.doc_id NOT IN (SELECT doc_id FROM bad)""")),
 
+    // Bloom-filter decontamination: same contract as corpus_decontaminate
+    // but the eval grams collapse into a 2^20-bit Bloom bitset that rides
+    // the plan as a literal — the train side probes it in a narrow scan,
+    // NO join. Hashes are disjoint 8-hex md5 windows mod 2^20, so the
+    // oracle replays the exact flags (false positives included) via a
+    // distinct-positions semi-join — mathematically the same bitset.
+    "bloom_decontaminate" -> Entry(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        DedupOps.bloomDecontaminate(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0),
+          n = 5, numBits = 1 << 20, numHashes = 3)
+      },
+      Some("""
+        WITH te AS (SELECT string_split(text, ' ') AS ws
+                    FROM documents WHERE doc_id % 17 = 0),
+        teg AS (SELECT DISTINCT array_to_string(list_slice(ws,
+                  CAST(i AS INTEGER), CAST(i AS INTEGER) + 4), ' ') AS g
+                FROM te, UNNEST(generate_series(1, greatest(len(ws) - 4, 1)))
+                  AS t(i)),
+        pos AS (SELECT DISTINCT p FROM (
+                  SELECT ('0x' || substr(md5(g), 1, 8))::UBIGINT
+                           % 1048576 AS p FROM teg
+                  UNION
+                  SELECT ('0x' || substr(md5(g), 9, 8))::UBIGINT
+                           % 1048576 FROM teg
+                  UNION
+                  SELECT ('0x' || substr(md5(g), 17, 8))::UBIGINT
+                           % 1048576 FROM teg) u),
+        tr AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE doc_id % 17 <> 0),
+        trg AS (SELECT DISTINCT doc_id, array_to_string(list_slice(ws,
+                  CAST(i AS INTEGER), CAST(i AS INTEGER) + 4), ' ') AS g
+                FROM tr, UNNEST(generate_series(1, greatest(len(ws) - 4, 1)))
+                  AS t(i))
+        SELECT doc_id, count(*) AS n_grams,
+               bool_or(
+                 ('0x' || substr(md5(g), 1, 8))::UBIGINT % 1048576
+                   IN (SELECT p FROM pos)
+                 AND ('0x' || substr(md5(g), 9, 8))::UBIGINT % 1048576
+                   IN (SELECT p FROM pos)
+                 AND ('0x' || substr(md5(g), 17, 8))::UBIGINT % 1048576
+                   IN (SELECT p FROM pos)) AS bloom_hit
+        FROM trg GROUP BY doc_id""")),
+
     // Dedup clusters: connected components over the MinHash candidate
     // pairs (min-label propagation in Spark; WITH RECURSIVE reachability
     // in the oracle).

@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoinOps, CorpusOps, SimilarityOps, TopKOps}
+import graft.ops.{AsOfJoinOps, CorpusOps, RelationalOps, SimilarityOps,
+  TopKOps}
 import Catalog.Entry
 
 /** Round-2 relational/time-series extensions: as-of join, banded range
@@ -269,6 +270,45 @@ object RelationalExtQueries {
                     WHEN hb = ha THEN 'unchanged'
                     ELSE 'changed' END AS status
         FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey""")),
+
+    // CDC merge (MERGE INTO semantics, RelationalOps.applyChangeSet):
+    // a change log derived from orders — latest change per key wins by
+    // log sequence (o_orderkey), op U upserts / D deletes, keys shifted
+    // by +1e6 for 1-in-7 rows so the log also INSERTS unseen keys — is
+    // applied onto the customer snapshot. The oracle replays latest-wins
+    // with a row_number cut, then anti-join + union.
+    "cdc_merge" -> Entry(
+      (s, dir) => {
+        val base = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_acctbal"))
+        val changes = Tables.orders(s, dir).select(
+          when(col("o_custkey") % 7 === 0, col("o_custkey") + 1000000)
+            .otherwise(col("o_custkey")).as("c_custkey"),
+          when(col("o_custkey") % 17 === 0 && col("o_custkey") % 7 =!= 0,
+            lit("D")).otherwise(lit("U")).as("op"),
+          col("o_orderkey").as("seq"),
+          round(col("o_totalprice"), 2).as("c_acctbal"))
+        RelationalOps.applyChangeSet(base, changes, Seq("c_custkey"))
+      },
+      Some("""
+        WITH ch AS (
+          SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000
+                      ELSE o_custkey END AS c_custkey,
+                 CASE WHEN o_custkey % 17 = 0 AND o_custkey % 7 <> 0
+                      THEN 'D' ELSE 'U' END AS op,
+                 o_orderkey AS seq,
+                 round(o_totalprice, 2) AS c_acctbal
+          FROM orders),
+        latest AS (
+          SELECT c_custkey, op, c_acctbal FROM (
+            SELECT c_custkey, op, c_acctbal,
+                   row_number() OVER (PARTITION BY c_custkey
+                                      ORDER BY seq DESC) AS rn
+            FROM ch) t WHERE rn = 1)
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+        UNION ALL
+        SELECT c_custkey, c_acctbal FROM latest WHERE op <> 'D'""")),
 
     // North-star layout op: Morton (z-order) clustering key over two
     // bucketized dimensions (graft.functions.InterleaveBits, the

@@ -193,6 +193,61 @@ object TextQueries {
                  AS avg_logprob
         FROM scored GROUP BY 1""")),
 
+    // North-star: interpolated bigram LM scoring (the KenLM-shaped
+    // upgrade of lm_logprob): p = 0.5·p(w2|w1) + 0.5·p_uni(w2), the
+    // conditional on the corpus's top-40 bigrams with full backoff to
+    // the smoothed top-20 unigram elsewhere. All probabilities/logs are
+    // computed on the driver over exact counts and quantized to 1e-6
+    // longs, so the distributed fold is pure integer math; the oracle
+    // rebuilds the same model from the same deterministic count cuts.
+    "lm_bigram_logprob" -> Entry(
+      (s, dir) => TextOps.bigramLogProb(Tables.documents(s, dir), 20, 40),
+      Some("""
+        WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                      FROM documents),
+        toks AS (SELECT unnest(ws) AS tok FROM docs),
+        ucounts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        utop AS (SELECT tok, cnt FROM ucounts
+                 ORDER BY cnt DESC, tok LIMIT 20),
+        stats AS (SELECT (SELECT count(*) FROM toks) AS total,
+                         (SELECT count(*) FROM utop) AS v),
+        bg AS (SELECT doc_id,
+                      ws[CAST(i AS INTEGER)] || ' '
+                        || ws[CAST(i AS INTEGER) + 1] AS g,
+                      ws[CAST(i AS INTEGER) + 1] AS w2
+               FROM docs, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+               WHERE len(ws) >= 2),
+        bcounts AS (SELECT g, count(*) AS cnt FROM bg GROUP BY 1),
+        btop AS (SELECT g, cnt FROM bcounts ORDER BY cnt DESC, g LIMIT 40),
+        bq AS (SELECT b.g,
+                      CAST(round(ln(
+                        0.5 * (CAST(b.cnt AS DOUBLE) / c1.cnt) +
+                        0.5 * (CAST(COALESCE(u.cnt, 0) + 1 AS DOUBLE)
+                               / (total + v + 1))) * 1000000) AS BIGINT)
+                        AS qlp
+               FROM btop b
+               JOIN ucounts c1 ON c1.tok = string_split(b.g, ' ')[1]
+               LEFT JOIN utop u ON u.tok = string_split(b.g, ' ')[2]
+               CROSS JOIN stats),
+        fq AS (SELECT tok,
+                      CAST(round(ln(0.5 * (CAST(cnt + 1 AS DOUBLE)
+                        / (total + v + 1))) * 1000000) AS BIGINT) AS qlp
+               FROM utop CROSS JOIN stats),
+        oq AS (SELECT CAST(round(ln(0.5 * (CAST(1 AS DOUBLE)
+                        / (total + v + 1))) * 1000000) AS BIGINT) AS qlp
+               FROM stats),
+        scored AS (SELECT bg.doc_id,
+                          COALESCE(b.qlp, f.qlp,
+                                   (SELECT qlp FROM oq)) AS qlp
+                   FROM bg LEFT JOIN bq b ON b.g = bg.g
+                           LEFT JOIN fq f ON f.tok = bg.w2),
+        agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(qlp) AS qsum
+                FROM scored GROUP BY 1)
+        SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+               (CAST(a.qsum AS DOUBLE) / 1000000) / a.n_bigrams
+                 AS avg_logprob
+        FROM (SELECT doc_id FROM docs) d LEFT JOIN agg a USING (doc_id)""")),
+
     // A7 (text flavor): top duplicated/most-frequent texts
     // (Milestone3 cell 28 value_counts().head) — deterministic tiebreak on
     // the text itself.

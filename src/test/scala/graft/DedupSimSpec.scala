@@ -244,4 +244,47 @@ class DedupSimSpec extends SparkSpec {
     }
     assert(capped((1L, 2L)) === uncapped((1L, 2L)) - 1)
   }
+
+  test("bloomDecontaminate: no false negatives — every doc the exact " +
+       "anti-join drops is bloom-flagged; clean corpus stays clean") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated prose about distributed query engines"),
+      (3L, "the quick brown fox jumps again and again today"),
+      (4L, "another clean document with its own private wording"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox jumps high"))
+      .toDF("doc_id", "text")
+    val flags = DedupOps.bloomDecontaminate(train, eval,
+        n = 5, numBits = 1 << 16, numHashes = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // exact ground truth: survivors of the broadcast anti-join
+    val exactSurvivors = DedupOps.decontaminate(train, eval, n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    val exactDropped =
+      Set(1L, 2L, 3L, 4L) -- exactSurvivors // docs 1 and 3
+    assert(exactDropped === Set(1L, 3L))
+    exactDropped.foreach(id => assert(flags(id),
+      s"doc $id shares an eval 5-gram but was not bloom-flagged"))
+    // at 2^16 bits / ~18 set positions, a false positive would need a
+    // deterministic triple-hash collision — these two docs probe clean
+    assert(!flags(2L) && !flags(4L))
+  }
+
+  test("bloomDecontaminate: sized bitset keeps the false-positive rate " +
+       "near zero on a disjoint corpus") {
+    val train = (1 to 300).map(i =>
+      (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+      .toDF("doc_id", "text")
+    val eval = (1 to 100).map(i =>
+      (10000L + i, s"eta$i theta$i iota$i kappa$i lambda$i mu$i"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.bloomDecontaminate(train, eval,
+        n = 5, numBits = 1 << 16, numHashes = 3)
+      .collect()
+    assert(out.length === 300)
+    // zero overlap and ~600/65536 bits set: expected FPs per probe
+    // ~(0.009)^3 — none of the 600 probes should fire
+    assert(out.count(_.getBoolean(2)) === 0)
+  }
 }

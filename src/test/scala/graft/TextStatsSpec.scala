@@ -140,4 +140,49 @@ class TextStatsSpec extends SparkSpec {
     assert(StatsOps.weightedQuantile(dup, "k", "v", "w", 0.5)
       .collect().head.getDouble(1) === 5.0)
   }
+
+  test("bigramLogProb matches the hand-built interpolated model, " +
+       "single-word docs score null") {
+    // corpus: unigrams a:3 b:3 c:1 z:1 (total 8); bigrams "a b":3,
+    // "b a":1, "b c":1
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramLogProb(docs, topV = 20, topB = 40)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    // independent reimplementation of the quantized model (topV/topB
+    // cover everything here, so no backoff fires)
+    val denom = (8 + 4 + 1).toDouble
+    def pu(c: Long) = (c + 1).toDouble / denom
+    def q(p: Double) = math.round(math.log(p) * 1e6)
+    val qab = q(0.5 * (3.0 / 3) + 0.5 * pu(3)) // p(b|a), a appears 3x
+    val qba = q(0.5 * (1.0 / 3) + 0.5 * pu(3))
+    val qbc = q(0.5 * (1.0 / 3) + 0.5 * pu(1))
+    def avg(qs: Seq[Long]) = (qs.sum.toDouble / 1e6) / qs.length
+    assert(out(1L) === ((3L, Some(avg(Seq(qab, qba, qab))))))
+    assert(out(2L) === ((2L, Some(avg(Seq(qab, qbc))))))
+    assert(out(3L) === ((0L, None))) // no bigram to score
+  }
+
+  test("bigramLogProb backs off to the unigram (then OOV) tier when the " +
+       "bigram or token misses the truncated model") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    // topV=1 keeps only "a" (count ties break lexicographically);
+    // topB=1 keeps only "a b"
+    val out = TextOps.bigramLogProb(docs, topV = 1, topB = 1)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    val denom = (8 + 1 + 1).toDouble
+    def pu(c: Long) = (c + 1).toDouble / denom
+    def q(p: Double) = math.round(math.log(p) * 1e6)
+    val qab = q(0.5 * (3.0 / 3) + 0.5 * pu(0)) // w2=b is OOV in topV=1
+    val qToA = q(0.5 * pu(3))                  // backoff tier: w2="a"
+    val qOov = q(0.5 * pu(0))                  // OOV tier: w2 not in topV
+    def avg(qs: Seq[Long]) = (qs.sum.toDouble / 1e6) / qs.length
+    // doc1 bigrams: "a b"(model), "b a"(backoff w2=a), "a b"(model)
+    assert(out(1L) === Some(avg(Seq(qab, qToA, qab))))
+    // doc2 bigrams: "a b"(model), "b c"(OOV tier)
+    assert(out(2L) === Some(avg(Seq(qab, qOov))))
+  }
 }
