@@ -213,87 +213,99 @@ object TextOps {
     * the same Laplace-smoothed top-`topV`+OOV unigram as
     * [[unigramLogProb]].
     *
-    * Scale shape: two count-aggregations (unigram, bigram — both map-side
-    * partial, truncated with a deterministic (count desc, gram) cut) plus
-    * one O(topB) lookup of the conditioning contexts' unigram counts; the
-    * collected model is O(topV + topB) driver/broadcast state. Scoring is
-    * then a NARROW single scan — each doc folds its own word array
-    * against three map/scalar literals (bigram qlp, per-w2 backoff qlp,
-    * OOV backoff qlp), no second shuffle, no per-token rows.
+    * Scale shape: the full unigram count table is built once and CACHED
+    * (O(vocab) rows); the top-`topV` cut, the corpus total, and the
+    * conditioning contexts' counts are all served from it without
+    * re-exploding the corpus. One more explode+groupBy builds the bigram
+    * cut. Scoring then explodes each doc's (bigram, w2) pairs and runs
+    * them through two BROADCAST hash joins against the O(topB)/O(topV)
+    * model tables plus one hash aggregation back to doc grain — every
+    * stage whole-stage-codegen'd, one shuffle on the doc id (an earlier
+    * literal-map fold kept the plan shuffle-free but evaluated the
+    * higher-order lambda interpreted, ~10x slower end to end).
     *
     * Determinism: all probabilities and logs are evaluated ON THE DRIVER
     * over exact integer counts, quantized to 1e-6 longs, and shipped as
-    * literals — the distributed plan does only integer sums, so the
-    * result is order- and engine-independent (same discipline as
+    * literal model tables — the distributed plan does only integer sums,
+    * so the result is order- and engine-independent (same discipline as
     * [[unigramLogProb]]).
-    * Output: idCol, n_bigrams, avg_logprob (round 6; null when the doc
-    * has fewer than 2 words).
+    * Output: idCol, n_bigrams, avg_logprob (raw ratio of exact ints;
+    * null when the doc has fewer than 2 words).
     */
   def bigramLogProb(df: DataFrame, topV: Int = 20, topB: Int = 40,
                     lambda: Double = 0.5, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val words = split(lower(col(textCol)), " ")
-    val toks = df.select(explode(words).as("tok"))
-    val uniTop = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("tok")).limit(topV)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    val total = toks.count()
-    val denom = (total + uniTop.length + 1).toDouble
-    def pUni(cnt: Long): Double = (cnt + 1).toDouble / denom
-    val uniMap = uniTop.toMap
+    val uniCounts = df.select(explode(words).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt")).cache()
+    try {
+      val uniTop = uniCounts.orderBy(col("cnt").desc, col("tok"))
+        .limit(topV).collect().map(r => r.getString(0) -> r.getLong(1))
+      val total = uniCounts.agg(sum(col("cnt"))).as[Long].head
+      val denom = (total + uniTop.length + 1).toDouble
+      def pUni(cnt: Long): Double = (cnt + 1).toDouble / denom
+      val uniMap = uniTop.toMap
 
-    // sequence(1, n-1) would DESCEND for n=1 docs (Spark default step -1)
-    // and index word 0 — restrict to docs that have a bigram at all
-    val bigrams = df.select(words.as("_w")).filter(size(col("_w")) >= 2)
-      .select(explode(transform(
-        sequence(lit(1), size(col("_w")) - 1),
-        i => concat_ws(" ",
-          element_at(col("_w"), i), element_at(col("_w"), i + 1))))
-        .as("bg"))
-    val biTop = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("bg")).limit(topB)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    // unigram counts of the conditioning contexts (w1 of each top bigram)
-    // — O(topB) rows, one small filtered aggregate
-    val ctxWords = biTop.map(_._1.split(" ", 2)(0)).distinct.toSeq
-    val ctxCnt: Map[String, Long] =
-      if (ctxWords.isEmpty) Map.empty
-      else toks.filter(col("tok").isin(ctxWords: _*))
-        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // sequence(1, n-1) would DESCEND for n=1 docs (Spark default step
+      // -1) and index word 0 — restrict to docs that have a bigram
+      val bigrams = df.select(words.as("_w")).filter(size(col("_w")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("_w")) - 1),
+          i => concat_ws(" ",
+            element_at(col("_w"), i), element_at(col("_w"), i + 1))))
+          .as("bg"))
+      val biTop = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bg")).limit(topB)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      // unigram counts of the conditioning contexts (w1 of each top
+      // bigram) — read from the cached count table, no corpus re-scan
+      val ctxWords = biTop.map(_._1.split(" ", 2)(0)).distinct.toSeq
+      val ctxCnt: Map[String, Long] =
+        if (ctxWords.isEmpty) Map.empty
+        else uniCounts.filter(col("tok").isin(ctxWords: _*))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    def q(p: Double): Long = math.round(math.log(p) * 1e6)
-    val biQlp: Seq[(String, Long)] = biTop.toSeq.map { case (bg, cb) =>
-      val Array(w1, w2) = bg.split(" ", 2)
-      val pb = cb.toDouble / ctxCnt(w1)
-      bg -> q(lambda * pb + (1 - lambda) * pUni(uniMap.getOrElse(w2, 0L)))
-    }
-    val backQlp: Seq[(String, Long)] = uniTop.toSeq.map { case (w, c) =>
-      w -> q((1 - lambda) * pUni(c))
-    }
-    val oov = lit(q((1 - lambda) * pUni(0L)))
-    val bMap = if (biQlp.isEmpty) typedlit(Map.empty[String, Long])
-      else map(biQlp.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-    val fMap = if (backQlp.isEmpty) typedlit(Map.empty[String, Long])
-      else map(backQlp.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      def q(p: Double): Long = math.round(math.log(p) * 1e6)
+      val biQlp: Seq[(String, Long)] = biTop.toSeq.map { case (bg, cb) =>
+        val Array(w1, w2) = bg.split(" ", 2)
+        val pb = cb.toDouble / ctxCnt(w1)
+        bg -> q(lambda * pb + (1 - lambda) * pUni(uniMap.getOrElse(w2, 0L)))
+      }
+      val backQlp: Seq[(String, Long)] = uniTop.toSeq.map { case (w, c) =>
+        w -> q((1 - lambda) * pUni(c))
+      }
+      val oov = lit(q((1 - lambda) * pUni(0L)))
+      val bq = biQlp.toDF("_g", "_bqlp")
+      val fq = backQlp.toDF("_w2", "_fqlp")
 
-    df.select(col(idCol), words.as("_w"), bMap.as("_b"), fMap.as("_f"))
-      .select(col(idCol),
-        greatest(size(col("_w")) - 1, lit(0)).cast("long").as("n_bigrams"),
-        when(size(col("_w")) >= 2,
-          aggregate(sequence(lit(1), size(col("_w")) - 1), lit(0L),
-            (acc, i) => acc + coalesce(
-              element_at(col("_b"), concat_ws(" ",
-                element_at(col("_w"), i), element_at(col("_w"), i + 1))),
-              element_at(col("_f"), element_at(col("_w"), i + 1)),
-              oov))).otherwise(lit(0L)).as("_qsum"))
+      // (bigram, w2) pair stream: struct-array transform + explode_outer
+      // keeps 0-bigram docs as a single null pair (counted as 0 below)
+      val pairs = when(size(col("_w")) >= 2,
+        transform(sequence(lit(1), size(col("_w")) - 1),
+          i => struct(
+            concat_ws(" ", element_at(col("_w"), i),
+              element_at(col("_w"), i + 1)).as("g"),
+            element_at(col("_w"), i + 1).as("w2"))))
+      val scored = Rebalance(df).select(col(idCol), words.as("_w"))
+        .select(col(idCol), explode_outer(pairs).as("_p"))
+        .join(broadcast(bq), col("_p.g") === col("_g"), "left")
+        .join(broadcast(fq), col("_p.w2") === col("_w2"), "left")
+        .groupBy(col(idCol))
+        .agg(count(col("_p")).as("n_bigrams"),
+          sum(when(col("_p").isNotNull,
+            coalesce(col("_bqlp"), col("_fqlp"), oov))).as("_qsum"))
       // raw IEEE ratio of exact ints (NOT rounded: a final round(.,6) can
       // land on a .5 boundary where Spark's shortest-decimal rounding and
       // another engine's binary rounding disagree by 1e-6)
-      .select(col(idCol), col("n_bigrams"),
+      // safe to unpersist before evaluation: the returned plan reads only
+      // the collected model literals, never the cached count table
+      scored.select(col(idCol), col("n_bigrams"),
         when(col("n_bigrams") >= 1,
           (col("_qsum").cast("double") / 1e6) / col("n_bigrams"))
           .as("avg_logprob"))
+    } finally uniCounts.unpersist()
   }
 
   // --- North-star: document fingerprinting -------------------------------
