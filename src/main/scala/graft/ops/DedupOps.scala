@@ -239,8 +239,12 @@ object DedupOps {
     require(numHashes >= 1 && numHashes <= 4, s"numHashes=$numHashes")
     require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
       s"numBits=$numBits must be a power of two")
-    def positions(g: Column): Seq[Column] = (0 until numHashes).map(i =>
-      conv(substring(md5(g), i * 8 + 1, 8), 16, 10).cast("long") % numBits)
+    // k positions from ONE md5: disjoint 8-hex windows (higher-order
+    // lambdas evaluate interpreted with no common-subexpression
+    // elimination, so the digest must be computed once explicitly)
+    def posFromHex(h: Column): Seq[Column] = (0 until numHashes).map(i =>
+      conv(substring(h, i * 8 + 1, 8), 16, 10).cast("long") % numBits)
+    def positions(g: Column): Seq[Column] = posFromHex(md5(g))
     // build: fold eval-gram bit positions into <= numBits/64 (word, bits)
     // rows with a map-side-partial bit_or — driver/collect cost is bounded
     // by the bitset size, never by the eval corpus
@@ -260,8 +264,8 @@ object DedupOps {
     Rebalance(train)
       .select(col(idCol), wordShingles(textCol, n).as("_gs"))
       .select(col(idCol), size(col("_gs")).cast("long").as("n_grams"),
-        exists(col("_gs"),
-          g => positions(g).map(isSet).reduce(_ && _)).as("bloom_hit"))
+        exists(transform(col("_gs"), g => md5(g)),
+          h => posFromHex(h).map(isSet).reduce(_ && _)).as("bloom_hit"))
   }
 
   /** Dedup clusters: connected components over candidate pairs by

@@ -182,6 +182,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: applying the changeset distilled from snapshotDiff " +
+      "reconstructs the after snapshot exactly") {
+    val dfs = samples(rowsGen, 6).map(_.map { case (k, g, v) =>
+      (k * 4 + g, v) }.distinctBy(_._1).toDF("k", "v"))
+    dfs.grouped(2).foreach { case Seq(before, after) =>
+      val changes = RelationalOps.snapshotDiff(before, after, "k", Seq("v"))
+        .filter($"status" =!= "unchanged")
+        .join(after, Seq("k"), "left")
+        .select($"k",
+          when($"status" === "removed", "D").otherwise("U").as("op"),
+          lit(1L).as("seq"), $"v")
+      val rebuilt = RelationalOps.applyChangeSet(before, changes, Seq("k"))
+      assert(rebuilt.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+        === after.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet)
+    }
+  }
+
   test("property: rrfFuse is invariant to input row order") {
     val listGen = Gen.listOfN(15,
       Gen.zip(Gen.choose(1L, 30L), Gen.choose(1, 100)))
