@@ -152,6 +152,29 @@ object StatsQueries {
       },
       None),
 
+    // North-star: mergeable Misra-Gries heavy hitters — the A7 top-k
+    // family's sketch path for cardinalities too large to count exactly.
+    // Run here in the EXACT regime (capacity 32 >> 5 distinct langs, so
+    // no decrement/cut ever fires and counts are true counts), which
+    // makes the sketch hash-checkable against a plain count oracle; the
+    // approximate regime's lower-bound/error guarantees are pinned in
+    // MisraGriesSpec.
+    "approx_heavy_hitters" -> Entry(
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(graft.functions.MisraGriesAgg
+          .heavyHitters(col("lang"), 32, 3).as("_hh"))
+        .select(col("source"), posexplode(col("_hh")).as(Seq("_p", "_kv")))
+        .select(col("source"), (col("_p") + 1).as("rnk"),
+          col("_kv._1").as("lang"), col("_kv._2").as("cnt")),
+      Some("""
+        SELECT source, CAST(rnk AS INTEGER) AS rnk, lang, cnt FROM (
+          SELECT source, lang, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY count(*) DESC, lang) AS rnk
+          FROM documents GROUP BY source, lang)
+        WHERE rnk <= 3""")),
+
     // A15: Pearson correlation per group (Milestone3 cells 44/56/58).
     // North-star weighted stats: exact weighted median (lower quantile)
     // of price by quantity weight. Exactness rides on integer-valued
