@@ -91,6 +91,28 @@ object RelationalOps {
     * surviving upserts. At 100 TB the changeset is the small side — the
     * anti join broadcasts; nothing ever shuffles the base snapshot.
     */
+  /** Incremental aggregate maintenance: merge per-key aggregate
+    * snapshots (count / sum / min / max columns) instead of recomputing
+    * from raw rows — the partial-merge identity that makes count, sum,
+    * min and max maintainable under appends. Each input snapshot carries
+    * `(keyCols, cntCol, sumCols..., minCols..., maxCols...)`; the output
+    * re-merges by key (sum the counts and sums, min the mins, max the
+    * maxes). At 100 TB the delta side is a day's partition and the
+    * snapshot side is never re-scanned from raw data — the merge
+    * touches only aggregate-grain rows.
+    */
+  def mergeAggSnapshots(snapshots: Seq[DataFrame], keyCols: Seq[String],
+                        cntCol: String, sumCols: Seq[String],
+                        minCols: Seq[String] = Nil,
+                        maxCols: Seq[String] = Nil): DataFrame = {
+    val merged = snapshots.reduce(_.unionByName(_))
+    val aggs = (sum(col(cntCol)).as(cntCol) +:
+      sumCols.map(c => sum(col(c)).as(c))) ++
+      minCols.map(c => min(col(c)).as(c)) ++
+      maxCols.map(c => max(col(c)).as(c))
+    merged.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   def applyChangeSet(base: DataFrame, changes: DataFrame,
                      keyCols: Seq[String], opCol: String = "op",
                      seqCol: String = "seq",

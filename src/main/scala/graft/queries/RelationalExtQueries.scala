@@ -310,6 +310,51 @@ object RelationalExtQueries {
         UNION ALL
         SELECT c_custkey, c_acctbal FROM latest WHERE op <> 'D'""")),
 
+    // Incremental aggregate maintenance: per-custkey order stats kept as
+    // two snapshots (a historical one and a delta slice) merged at
+    // aggregate grain (RelationalOps.mergeAggSnapshots) — never
+    // re-scanning raw history. The merge path must equal the direct
+    // full-scan aggregate; the oracle replays the same two-snapshot
+    // structure. Partial sums round to 2 decimals (exact for 2-decimal
+    // money), so merge order cannot perturb the doubles.
+    "incr_agg_merge" -> Entry(
+      (s, dir) => {
+        def snap(pred: org.apache.spark.sql.Column) =
+          Tables.orders(s, dir).filter(pred)
+            .groupBy(col("o_custkey"))
+            .agg(count(lit(1)).as("n_orders"),
+              round(sum(col("o_totalprice")), 2).as("sum_price"),
+              min(col("o_totalprice")).as("min_price"),
+              max(col("o_totalprice")).as("max_price"))
+        RelationalOps.mergeAggSnapshots(
+            Seq(snap(col("o_orderkey") % 10 =!= 0),
+              snap(col("o_orderkey") % 10 === 0)),
+            Seq("o_custkey"), "n_orders", Seq("sum_price"),
+            Seq("min_price"), Seq("max_price"))
+          .select(col("o_custkey"), col("n_orders"),
+            round(col("sum_price"), 2).as("sum_price"),
+            col("min_price"), col("max_price"))
+      },
+      Some("""
+        WITH a AS (SELECT o_custkey, count(*) AS n_orders,
+                          round(sum(o_totalprice), 2) AS sum_price,
+                          min(o_totalprice) AS min_price,
+                          max(o_totalprice) AS max_price
+                   FROM orders WHERE o_orderkey % 10 <> 0
+                   GROUP BY o_custkey),
+        b AS (SELECT o_custkey, count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS sum_price,
+                     min(o_totalprice) AS min_price,
+                     max(o_totalprice) AS max_price
+              FROM orders WHERE o_orderkey % 10 = 0
+              GROUP BY o_custkey),
+        u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        SELECT o_custkey, CAST(sum(n_orders) AS BIGINT) AS n_orders,
+               round(sum(sum_price), 2) AS sum_price,
+               min(min_price) AS min_price,
+               max(max_price) AS max_price
+        FROM u GROUP BY o_custkey""")),
+
     // North-star layout op: Morton (z-order) clustering key over two
     // bucketized dimensions (graft.functions.InterleaveBits, the
     // Delta/Iceberg OPTIMIZE ZORDER discipline — see ops.LayoutOps for
