@@ -14,6 +14,43 @@ object DedupSimQueries {
     * derives weights from a fixed integer mix, so the oracle can embed the
     * exact same doubles as SQL literals — Double.toString round-trips).
     */
+  /** Shared recursive-CC oracle prelude: minhash bands -> candidate
+    * pairs -> symmetric edges -> reachability closure (`reach`). Used by
+    * the dedup_clusters labeling oracle and the dedup_apply filter
+    * oracle so the two stay in lockstep.
+    */
+  private val minhashCcCte: String = """
+        WITH RECURSIVE w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            array_to_string(list_slice(ws, CAST(i AS INTEGER),
+              CAST(i AS INTEGER) + 2), ' ') AS s
+          FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 1)))
+            AS t(i)),
+        mh AS (
+          SELECT doc_id, CAST(h AS INTEGER) AS h,
+                 min(md5(CAST(h AS VARCHAR) || '|' || s)) AS minh
+          FROM sh, UNNEST(generate_series(0, 15)) AS ht(h)
+          GROUP BY 1, 2),
+        bands AS (
+          SELECT doc_id, h // 4 AS band,
+                 md5(string_agg(minh, '|' ORDER BY h)) AS band_hash
+          FROM mh GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT src AS id, src AS r FROM edges
+          UNION
+          SELECT reach.id, edges.dst
+          FROM reach JOIN edges ON reach.r = edges.src)"""
+
   private def planeLit(b: Int, dim: Int): String =
     (0 until dim).map { i =>
       val x = (1103515245L * (b * dim + i) + 12345L) % 1000003L
@@ -240,38 +277,29 @@ object DedupSimQueries {
     "dedup_clusters" -> Entry(
       (s, dir) => DedupOps.dupClusters(
         DedupOps.minhashCandidates(Tables.documents(s, dir))),
-      Some("""
-        WITH RECURSIVE w AS (
-          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        sh AS (
-          SELECT DISTINCT doc_id,
-            array_to_string(list_slice(ws, CAST(i AS INTEGER),
-              CAST(i AS INTEGER) + 2), ' ') AS s
-          FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 1)))
-            AS t(i)),
-        mh AS (
-          SELECT doc_id, CAST(h AS INTEGER) AS h,
-                 min(md5(CAST(h AS VARCHAR) || '|' || s)) AS minh
-          FROM sh, UNNEST(generate_series(0, 15)) AS ht(h)
-          GROUP BY 1, 2),
-        bands AS (
-          SELECT doc_id, h // 4 AS band,
-                 md5(string_agg(minh, '|' ORDER BY h)) AS band_hash
-          FROM mh GROUP BY 1, 2),
-        pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.band_hash = b.band_hash
-           AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                  UNION SELECT doc_b, doc_a FROM pairs),
-        reach AS (
-          SELECT src AS id, src AS r FROM edges
-          UNION
-          SELECT reach.id, edges.dst
-          FROM reach JOIN edges ON reach.r = edges.src)
+      Some(s"""$minhashCcCte
         SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1""")),
+
+    // End-to-end dedup APPLY — the user-facing half of the cluster pass:
+    // keep every doc that is either untouched by any candidate pair or
+    // its cluster's min-id representative, and emit the surviving corpus.
+    // Plan: clusters (banded LSH + pointer-doubling CC) -> non-rep ids ->
+    // one left-anti join against the corpus; nothing re-scans text.
+    "dedup_apply" -> Entry(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val clusters = DedupOps.dupClusters(
+          DedupOps.minhashCandidates(docs))
+        docs.join(clusters.filter(col("doc_id") =!= col("cluster_id"))
+            .select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some(s"""$minhashCcCte,
+        comp AS (SELECT id AS doc_id, min(r) AS cluster_id
+                 FROM reach GROUP BY 1)
+        SELECT d.doc_id, d.lang, d.source FROM documents d
+        WHERE d.doc_id NOT IN
+          (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)""")),
 
     // MinHash + LSH banding candidate pairs (16 hashes, 4 bands of 4).
     // MD5-hex min over seeded shingle hashes = portable min-hash.

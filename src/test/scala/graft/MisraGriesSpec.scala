@@ -47,4 +47,28 @@ class MisraGriesSpec extends SparkSpec {
       assert(hh.sortBy(kv => (-kv._2, kv._1)).head._1 === "hot")
     }
   }
+
+  test("streaming: the sketch accumulates across micro-batches as " +
+       "aggregation state (complete mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = in.toDF().toDF("key")
+      .groupBy(lit(1).as("g"))
+      .agg(MisraGriesAgg.heavyHitters($"key", 16, 2).as("hh"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("mg_hh").start()
+    try {
+      in.addData(Seq.fill(50)("hot") ++ Seq("a", "b"): _*)
+      q.processAllAvailable()
+      in.addData(Seq.fill(30)("hot") ++ Seq("a", "c"): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val hh = spark.table("mg_hh")
+      .select(explode($"hh").as("kv"))
+      .select($"kv._1", $"kv._2").as[(String, Long)].collect()
+    // exact regime (4 distinct keys < capacity): true counts across both
+    // batches, top-2 cut keeps hot=80 then a=2
+    assert(hh.toSeq === Seq("hot" -> 80L, "a" -> 2L))
+  }
 }
