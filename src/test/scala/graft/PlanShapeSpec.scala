@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, RelationalOps}
+import graft.Tables
+
+/** Physical-plan regression guards for the round-5 operators: the scale
+  * properties these ops were designed around (broadcast anti-join, no
+  * join at all, map-side partial sketches) must survive refactors — a
+  * silent fallback to a shuffle join or a full-sort would pass the
+  * value-level oracles while destroying the 100 TB posture.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("applyChangeSet: the base snapshot anti-joins against a BROADCAST " +
+       "of the collapsed changeset — no shuffle of the base side") {
+    val base = Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_acctbal")
+    val changes = Tables.orders(spark, sf).select(
+      $"o_custkey".as("c_custkey"), lit("U").as("op"),
+      $"o_orderkey".as("seq"), $"o_totalprice".as("c_acctbal"))
+    val p = plan(RelationalOps.applyChangeSet(base, changes,
+      Seq("c_custkey")))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bloomDecontaminate: the probe plan has NO join operator — the " +
+       "filter state rides the plan as a literal") {
+    val docs = Tables.documents(spark, sf)
+    val p = plan(DedupOps.bloomDecontaminate(
+      docs.filter($"doc_id" % 17 =!= 0), docs.filter($"doc_id" % 17 === 0),
+      n = 5, numBits = 1 << 16, numHashes = 3))
+    assert(!p.contains("Join"), p)
+    assert(!p.toLowerCase.contains("cartesian"), p)
+  }
+
+  test("bigramLogProb: model tables enter as BROADCAST joins and the " +
+       "only exchanges are the rebalance and the doc-grain aggregation") {
+    val p = plan(graft.ops.TextOps.bigramLogProb(
+      Tables.documents(spark, sf), 10, 20))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // one round-robin rebalance + one hash exchange for groupBy(doc_id);
+    // a third exchange would mean a model table fell off the broadcast
+    val exchanges = "(?<!Broadcast)Exchange ".r
+      .findAllIn(p.replace("BroadcastExchange", "BX")).length
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
+  }
+
+  test("heavyHitters: the sketch aggregates map-side (partial " +
+       "ObjectHashAggregate before the exchange)") {
+    val df = Seq.tabulate(100)(i => (s"g${i % 3}", s"k${i % 11}"))
+      .toDF("g", "key")
+    val p = plan(df.groupBy($"g")
+      .agg(graft.functions.MisraGriesAgg.heavyHitters($"key", 16, 3)))
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0, p)
+    // plan prints top-down: final agg, exchange, partial agg — partial
+    // must exist BELOW the exchange
+    assert(p.indexOf("ObjectHashAggregate", firstExchange) > firstExchange,
+      p)
+  }
+}
