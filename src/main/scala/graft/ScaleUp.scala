@@ -36,7 +36,9 @@ object ScaleUp {
                perCopy: (DataFrame, Int) => DataFrame = (d, _) => d)
         : DataFrame = {
       val shifts: Map[String, Long] = shiftCols.map { c =>
-        c -> (df.agg(max(col(c))).collect().head.getLong(0) + 1L)
+        val row = df.agg(max(col(c))).collect().head
+        require(!row.isNullAt(0), s"empty table: cannot shift on $c")
+        c -> (row.getLong(0) + 1L)
       }.toMap
       (0 until factor).map { i =>
         val shifted = shiftCols.foldLeft(df) { (d, c) =>
@@ -60,6 +62,16 @@ object ScaleUp {
     write(copies(orders, Seq("o_orderkey")), "orders")
 
     val lineitem = spark.read.parquet(s"$inDir/lineitem.parquet")
+    // cross-table shift consistency: orders and lineitem shift their
+    // (shared) order key independently from each table's observed max —
+    // if the maxes ever diverge (an order with no lineitems at the tail)
+    // every copied lineitem would join the wrong order, silently
+    val maxO = orders.agg(max(col("o_orderkey"))).collect().head.getLong(0)
+    val maxL = lineitem.agg(max(col("l_orderkey"))).collect().head
+      .getLong(0)
+    require(maxO == maxL,
+      s"orderkey max mismatch orders=$maxO lineitem=$maxL: shifted " +
+        "copies would break the orders-lineitem join")
     write(copies(lineitem, Seq("l_orderkey")), "lineitem")
 
     // events: NANOS timestamps — must read via Tables.events' conf; keys

@@ -114,6 +114,10 @@ object TextRegression {
     * permutation (no rand(): retries and engines agree). Two global
     * windows + a join; this is an evaluation-time op over the (bounded)
     * test slice, not a corpus-scale transform.
+    *
+    * PRECONDITION: `idCol` values must be unique — both windows break
+    * ties on it, so duplicate ids would make the re-pairing depend on
+    * execution order and void the same-salt-same-result contract.
     */
   private def permuteColumn(df: DataFrame, c: String, idCol: String,
                             salt: Int): DataFrame = {
@@ -133,7 +137,9 @@ object TextRegression {
     * distribution. Output one row per feature:
     * (feature, base_rmse, permuted_rmse, importance = permuted − base).
     * Permutations are salted-hash deterministic (same salt ⇒ same
-    * result, consistent with CorpusOps.mixSample's discipline).
+    * result, consistent with CorpusOps.mixSample's discipline) —
+    * `orderCol` must be unique per row for that contract to hold (it is
+    * the tiebreaker of both permutation windows).
     */
   def permutationImportance(docs: DataFrame, featureCols: Seq[String],
                             labelCol: String, orderCol: String,

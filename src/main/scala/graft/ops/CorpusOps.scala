@@ -150,17 +150,24 @@ object CorpusOps {
     require(segWords > 0, s"segWords=$segWords")
     val words = split(col(textCol), " ")
     val nseg = ceil(size(words) / lit(segWords.toDouble)).cast("int")
-    val segs = docs.filter(length(col(textCol)) > 0)
-      .select(col(idCol), explode(sequence(lit(0), nseg - 1)).as("seg_idx"),
+    // empty/null-text docs carry no segments but MUST stay in the output
+    // (the documented every-doc-survives contract): explode_outer keeps
+    // them as one null-segment row, excluded from all counts below
+    val segIdx = when(length(col(textCol)) > 0,
+      sequence(lit(0), nseg - 1))
+    val segs = docs
+      .select(col(idCol), explode_outer(segIdx).as("seg_idx"),
         words.as("_w"))
       .select(col(idCol), col("seg_idx"),
-        array_join(slice(col("_w"), col("seg_idx") * segWords + 1,
-          lit(segWords)), " ").as("seg"))
+        when(col("seg_idx").isNotNull,
+          array_join(slice(col("_w"), col("seg_idx") * segWords + 1,
+            lit(segWords)), " ")).as("seg"))
     val firstRank = Window.partitionBy(col("seg"))
       .orderBy(col(idCol), col("seg_idx"))
-    segs.withColumn("_keep", row_number().over(firstRank) === 1)
+    segs.withColumn("_keep",
+        col("seg").isNotNull && row_number().over(firstRank) === 1)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("total_segs"),
+      .agg(count(col("seg")).as("total_segs"),
         sum(when(col("_keep"), 1L).otherwise(0L)).as("kept_segs"),
         // collect_list drops the nulls the when() emits for dropped
         // segments; array_sort orders by seg_idx (first struct field)

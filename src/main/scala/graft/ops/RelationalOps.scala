@@ -58,17 +58,21 @@ object RelationalOps {
 
   /** Snapshot diff — the lake-versioning primitive: classify every key
     * as added / removed / changed / unchanged between two snapshots of
-    * the same table, comparing an md5 over the named value columns
-    * (nulls map to a space sentinel). One full-outer shuffle join
-    * on the key, content hashes computed map-side — at 100 TB this is
-    * the cheapest complete answer; with both snapshots bucketed by the
-    * key it degrades to a co-located zipper.
+    * the same table, comparing an md5 over the named value columns.
+    * Values are type-prefixed before hashing ("v"+value, null -> "n") so
+    * a NULL can never collide with any literal string — an in-band
+    * sentinel like " " would classify NULL vs " " as unchanged. One
+    * full-outer shuffle join on the key, content hashes computed
+    * map-side — at 100 TB this is the cheapest complete answer; with
+    * both snapshots bucketed by the key it degrades to a co-located
+    * zipper.
     */
   def snapshotDiff(before: DataFrame, after: DataFrame, keyCol: String,
                    valueCols: Seq[String]): DataFrame = {
     def tagged(df: DataFrame, h: String) = df.select(col(keyCol),
       md5(concat_ws("|", valueCols.map(c =>
-        coalesce(col(c).cast("string"), lit(" "))): _*)).as(h))
+        coalesce(concat(lit("v"), col(c).cast("string")), lit("n"))): _*))
+        .as(h))
     tagged(before, "_hb").join(tagged(after, "_ha"), Seq(keyCol),
         "full_outer")
       .select(col(keyCol),

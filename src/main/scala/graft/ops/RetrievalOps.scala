@@ -30,10 +30,18 @@ object RetrievalOps {
     * The term is regex-quoted so metacharacters ("c++", "a.b") count
     * literally instead of throwing or mis-matching.
     */
-  private def tf(textLower: Column, term: String): Column =
+  private def tf(textLower: Column, term: String): Column = {
+    // \b is anchored to word chars: wrapping a term whose edge is a
+    // NON-word char (e.g. "c++") in \b...\b can never match. Only emit a
+    // boundary on edges where \b is well-defined; non-word edges use a
+    // negative lookaround instead.
+    def word(c: Char) = c.isLetterOrDigit || c == '_'
+    val pre = if (term.nonEmpty && word(term.head)) "\\b" else "(?<!\\w)"
+    val suf = if (term.nonEmpty && word(term.last)) "\\b" else "(?!\\w)"
     size(regexp_extract_all(textLower,
-      lit("\\b" + java.util.regex.Pattern.quote(term) + "\\b"), lit(0)))
+      lit(pre + java.util.regex.Pattern.quote(term) + suf), lit(0)))
       .cast("double")
+  }
 
   /** BM25 (Robertson/Sparck Jones; the `ln(1 + (N-df+0.5)/(df+0.5))`
     * non-negative idf variant) of every document against a bag of query

@@ -715,13 +715,18 @@ object SimilarityOps {
       targetRecall > 0 && targetRecall < 1)
     val p = 1.0 - math.acos(simFloor) / math.Pi
     val log2n = math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt
-    def bandsFor(r: Int): Int =
-      math.ceil(math.log(1.0 - targetRecall) /
-        math.log(1.0 - math.pow(p, r))).toInt.max(1)
+    // Long arithmetic: for low similarity floors bandsFor saturates far
+    // past Int range and an Int product would wrap negative, letting an
+    // infeasible r pass the budget check
+    def bandsFor(r: Int): Long = {
+      val perBand = math.log(1.0 - math.pow(p, r))
+      if (perBand >= 0.0) Long.MaxValue / maxSigBits
+      else math.ceil(math.log(1.0 - targetRecall) / perBand).toLong.max(1L)
+    }
     val feasible = (1 to math.min(maxSigBits, math.max(log2n, 1)))
-      .filter(r => r * bandsFor(r) <= maxSigBits)
+      .filter(r => r.toLong * bandsFor(r) <= maxSigBits)
     val r = if (feasible.nonEmpty) feasible.max else 1
-    (bandsFor(r), r)
+    (math.min(bandsFor(r), maxSigBits.toLong).toInt, r)
   }
 
   def cosineNearDupPairsBucketed(vecs: DataFrame, threshold: Double,

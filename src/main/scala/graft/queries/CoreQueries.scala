@@ -250,9 +250,16 @@ object CoreQueries {
     // (longs, doubles, strings, timestamp-micros) is lossless end-to-end.
     "s3_avro_roundtrip" -> Entry(
       (s, dir) => {
+        // key the scratch archive by the ABSOLUTE dataset path and this
+        // JVM: two concurrent runs over same-named datasets (or the same
+        // dataset) must never write/delete each other's archive mid-read
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(new java.io.File(dir).getAbsolutePath
+            .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
         val archive = new java.io.File(
           sys.props("java.io.tmpdir"),
-          s"graft_avro/${new java.io.File(dir).getName}/lineitem").toString
+          s"graft_avro/$key-${ProcessHandle.current().pid()}/lineitem")
+          .toString
         AvroSource.write(
           Tables.lineitem(s, dir).filter(col("l_linenumber") === 1), archive)
         AvroSource.read(s, archive)

@@ -163,12 +163,17 @@ object CorpusQueries {
                  FROM w, UNNEST(range(0,
                    CAST(ceil(len(ws) / 20.0) AS BIGINT))) AS t(i)),
         rk AS (SELECT *, row_number() OVER (PARTITION BY seg
-                 ORDER BY doc_id, seg_idx) AS rn FROM segs)
-        SELECT doc_id, count(*) AS total_segs,
-               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                 AS kept_segs,
-               coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
-                 ORDER BY seg_idx), '') AS kept_text
-        FROM rk GROUP BY 1"""))
+                 ORDER BY doc_id, seg_idx) AS rn FROM segs),
+        agg AS (SELECT doc_id, count(*) AS total_segs,
+                       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS kept_segs,
+                       coalesce(string_agg(CASE WHEN rn = 1 THEN seg END,
+                         ' ' ORDER BY seg_idx), '') AS kept_text
+                FROM rk GROUP BY 1)
+        -- every doc survives: empty/null-text docs carry 0 segments
+        SELECT d.doc_id, coalesce(a.total_segs, 0) AS total_segs,
+               coalesce(a.kept_segs, 0) AS kept_segs,
+               coalesce(a.kept_text, '') AS kept_text
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""))
   )
 }

@@ -253,12 +253,16 @@ object RelationalExtQueries {
                              CAST(o_totalprice AS DECIMAL(12,2)) AS price
                       FROM orders),
         b AS (SELECT o_orderkey,
-                     md5(coalesce(CAST(o_custkey AS VARCHAR), ' ') || '|'
-                         || coalesce(CAST(price AS VARCHAR), ' ')) AS hb
+                     md5(coalesce('v' || CAST(o_custkey AS VARCHAR), 'n')
+                         || '|'
+                         || coalesce('v' || CAST(price AS VARCHAR), 'n'))
+                       AS hb
               FROM base WHERE o_orderkey % 7 <> 0),
         a AS (SELECT o_orderkey,
-                     md5(coalesce(CAST(o_custkey AS VARCHAR), ' ') || '|'
-                         || coalesce(CAST(price AS VARCHAR), ' ')) AS ha
+                     md5(coalesce('v' || CAST(o_custkey AS VARCHAR), 'n')
+                         || '|'
+                         || coalesce('v' || CAST(price AS VARCHAR), 'n'))
+                       AS ha
               FROM (SELECT o_orderkey, o_custkey,
                            CASE WHEN o_orderkey % 3 = 0
                                 THEN CAST(price * 2 AS DECIMAL(12,2))

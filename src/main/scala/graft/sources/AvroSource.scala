@@ -106,16 +106,31 @@ object AvroSource {
       if (it.hasNext) {
         val sch = new Schema.Parser().parse(schemaJson)
         val conv = writer(sch, sparkSchema)
-        val pid = TaskContext.getPartitionId()
-        val file = new HPath(out, f"part-$pid%05d.avro")
-        val os = file.getFileSystem(conf.value).create(file, true)
+        val tc = TaskContext.get()
+        val pid = tc.partitionId()
+        val taskFs = out.getFileSystem(conf.value)
+        // task-commit protocol: write to an attempt-unique hidden temp
+        // file, rename into place only after a clean close — a failed or
+        // zombie attempt can never leave a partial part file readable,
+        // and of two speculative twins only the first rename wins (the
+        // loser's rename fails against the existing target and its temp
+        // is dropped)
+        val tmp = new HPath(out,
+          f".part-$pid%05d-${tc.taskAttemptId()}.inprogress")
+        val fin = new HPath(out, f"part-$pid%05d.avro")
+        val os = taskFs.create(tmp, true)
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
           .setCodec(CodecFactory.snappyCodec())
           .create(sch, os)
         try it.foreach(r => w.append(conv(r).asInstanceOf[GenericRecord]))
         finally w.close()
+        if (!taskFs.rename(tmp, fin)) taskFs.delete(tmp, false)
       }
     }
+    // job-commit marker: read() stays permissive (archives written
+    // incrementally by streaming sinks have no single job), but batch
+    // consumers can gate on _SUCCESS like any Hadoop output
+    fs.create(new HPath(out, "_SUCCESS"), true).close()
   }
 
   /** In-memory single-record encode/decode used by specs to pin the wire

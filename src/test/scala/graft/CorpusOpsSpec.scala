@@ -98,4 +98,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("kept_segs") === 2L)
     assert(r.getAs[String]("kept_text") === "a b a")
   }
+
+  test("segmentDedup keeps empty- and null-text docs as zero-segment " +
+       "rows (every doc survives)") {
+    val docs = Seq((1L, "a b"), (2L, ""), (3L, null: String))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.segmentDedup(docs, "doc_id", "text", segWords = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("total_segs"), r.getAs[Long]("kept_segs"),
+          r.getAs[String]("kept_text")))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((1L, 1L, "a b")))
+    assert(out(2L) === ((0L, 0L, "")))
+    assert(out(3L) === ((0L, 0L, "")))
+  }
 }

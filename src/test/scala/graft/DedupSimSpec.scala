@@ -207,6 +207,14 @@ class DedupSimSpec extends SparkSpec {
     // tiny corpora must not demand more buckets than vectors
     val (_, rTiny) = SimilarityOps.autoBandConfig(8L, 0.8)
     assert(rTiny <= 3)
+    // huge n + low floor: the required band count saturates far past Int
+    // range — the budget check must not wrap and the result must honor it
+    for ((bH, rH) <- Seq(SimilarityOps.autoBandConfig(2000000000L, 0.01),
+        SimilarityOps.autoBandConfig(200000000L, 0.05))) {
+      assert(bH.toLong * rH <= 30 || bH == 30,
+        s"overflowed budget: ($bH,$rH)")
+      assert(bH > 0 && rH > 0)
+    }
 
     // end-to-end: the auto config on the sf0.001 embeddings keeps the
     // bucketed result a subset of exact with recall above the promised

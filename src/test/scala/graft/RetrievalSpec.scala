@@ -53,6 +53,19 @@ class RetrievalSpec extends SparkSpec {
     assert(scores.sliding(2).forall { case Array(a, b) => a >= b })
   }
 
+  test("bm25 counts terms with non-word edge characters (\\b would " +
+       "never match them)") {
+    val code = Seq(
+      (1L, "i love c++ dearly"),
+      (2L, "c+++ is not c++ wait yes it is c++"),
+      (3L, "plain prose only")).toDF("doc_id", "text")
+    val byId = RetrievalOps.bm25Scored(code, Seq("c++"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId(1L) > 0.0, "term at word boundary must count")
+    assert(byId(2L) > 0.0)
+    assert(byId(3L) === 0.0)
+  }
+
   test("rrfFuse sums reciprocal ranks over present lists only") {
     val a = Seq((10L, 1), (20L, 2)).toDF("id", "rnk")
     val b = Seq((20L, 1), (30L, 2)).toDF("id", "rnk")

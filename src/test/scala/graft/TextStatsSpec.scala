@@ -121,6 +121,14 @@ class TextStatsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(m === Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
       4L -> "unchanged", 5L -> "added"))
+    // NULL never collides with any literal (type-prefixed hashing): a
+    // null flipping to a single space is a real change
+    val m2 = RelationalOps.snapshotDiff(
+      Seq((1L, null: String), (2L, " ")).toDF("k", "v"),
+      Seq((1L, " "), (2L, null: String)).toDF("k", "v"),
+      "k", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m2 === Map(1L -> "changed", 2L -> "changed"))
   }
 
   test("weightedQuantile picks the cumulative-weight threshold value") {
