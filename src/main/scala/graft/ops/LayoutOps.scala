@@ -79,4 +79,26 @@ object LayoutOps {
       .write.mode("overwrite").parquet(outPath)
     n
   }
+
+  /** Per-file manifest statistics over a parquet dataset: row count plus
+    * min/max of the named columns per physical file — the file-skipping
+    * manifest a lake format maintains, derived here from any parquet
+    * directory with one narrow scan (`input_file_name` + groupBy; only
+    * the stat columns are read). Run it over [[writeZOrdered]] output to
+    * QUANTIFY skipping: narrow per-file spans on both clustered
+    * dimensions mean a predicate on either prunes whole files. At 100 TB
+    * the scan parallelizes per file and the result is O(files) rows.
+    */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                statCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      statCols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(path)
+      .select(statCols.map(col) :+ input_file_name().as("_file"): _*)
+      .groupBy(col("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("file", regexp_extract(col("_file"), "[^/]+$", 0))
+      .drop("_file")
+  }
 }

@@ -359,6 +359,29 @@ object RelationalExtQueries {
                max(max_price) AS max_price
         FROM u GROUP BY o_custkey""")),
 
+    // File-skipping manifest: write a z-ordered slice, then derive the
+    // per-file (n_rows, min/max) manifest a lake format maintains —
+    // LayoutOps.fileStats, one narrow scan. Rows-only (physical file
+    // names are run-specific); ZOrderSpec pins the manifest semantics
+    // and the span-narrowing it exposes.
+    "layout_file_stats" -> Entry(
+      (s, dir) => {
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(new java.io.File(dir).getAbsolutePath
+            .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val out = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_zmanifest/$key-${ProcessHandle.current().pid()}")
+          .toString
+        graft.ops.LayoutOps.writeZOrdered(
+          Tables.lineitem(s, dir).select(
+            pmod(col("l_partkey"), lit(1024)).as("x"),
+            pmod(col("l_suppkey"), lit(1024)).as("y"),
+            col("l_orderkey")),
+          col("x"), col("y"), bits = 10, numFiles = 8, out)
+        graft.ops.LayoutOps.fileStats(s, out, Seq("x", "y"))
+      },
+      None),
+
     // North-star layout op: Morton (z-order) clustering key over two
     // bucketized dimensions (graft.functions.InterleaveBits, the
     // Delta/Iceberg OPTIMIZE ZORDER discipline — see ops.LayoutOps for

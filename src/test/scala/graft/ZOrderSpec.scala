@@ -81,6 +81,33 @@ class ZOrderSpec extends SparkSpec {
     assert(meanY < 140, s"mean y-span $meanY not narrow")
   }
 
+  test("fileStats produces the file-skipping manifest: one row per " +
+       "file, exact counts, spans that quantify clustering") {
+    val n = 1 << 14
+    val df = spark.range(n).select(
+      (col("id") % 128).as("x"), expr("id div 128").as("y"))
+    val zdir = java.nio.file.Files.createTempDirectory("fs_z").toString
+    val rdir = java.nio.file.Files.createTempDirectory("fs_r").toString
+    LayoutOps.writeZOrdered(df, col("x"), col("y"), 7, 8, zdir)
+    df.repartition(8).write.mode("overwrite").parquet(rdir) // no locality
+    def stats(dir: String) = LayoutOps.fileStats(spark, dir, Seq("x", "y"))
+      .collect().map(r => (r.getAs[String]("file"),
+        r.getAs[Long]("n_rows"),
+        r.getAs[Long]("max_x") - r.getAs[Long]("min_x")))
+    val z = stats(zdir); val r = stats(rdir)
+    assert(z.length === 8 && r.length === 8)   // one manifest row per file
+    assert(z.map(_._2).sum === n && r.map(_._2).sum === n)
+    assert(z.map(_._1).distinct.length === 8)
+    // the manifest exposes why z-order skips: per-file x-spans shrink
+    // under clustering (8 slices of a 128-wide curve ≈ 64-wide tiles,
+    // ~74 with range-sampling slack) while round-robin files span the
+    // full 127 range
+    val zSpan = z.map(_._3).sum.toDouble / z.length
+    val rSpan = r.map(_._3).sum.toDouble / r.length
+    assert(zSpan < rSpan * 0.7, s"z=$zSpan vs random=$rSpan")
+    assert(rSpan > 120, s"round-robin files should span ~everything")
+  }
+
   test("compactParquet bin-packs small files to the byte target") {
     import spark.implicits._
     val inDir = java.nio.file.Files.createTempDirectory("cin").toString
