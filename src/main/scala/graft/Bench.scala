@@ -7,6 +7,18 @@ import org.apache.spark.sql.SparkSession
   * `.count()`, which lets Catalyst prune every computed column, noop forces
   * full evaluation of the projection, so regex/hash/vector-math queries are
   * actually measured.
+  *
+  * Integrity rules:
+  *  - a query that throws NEVER reports a timing — it lands in `errors`
+  *    (name -> exception) and is excluded from `queries`/`value`, so a
+  *    broken catalog entry is visible in the emitted JSON, not silently
+  *    timed as a fast no-op;
+  *  - after every query the session's storage is swept (cache registry +
+  *    all persistent RDDs, which includes `localCheckpoint` blocks): a
+  *    single JVM runs warmup + N passes over 100 queries, and storage
+  *    left behind by one query otherwise accumulates into the memory
+  *    pressure / ContextCleaner churn that once killed a full run with a
+  *    vanished-broadcast-block executor error.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,39 +32,73 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+
     // optional dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 benches a subset
     // (unset in the driver's run -> full catalog)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     def selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+
     // JIT/codegen warmup: run the whole catalog once at the smallest sf so
     // measured times reflect steady-state execution, not first-call JVM and
     // codegen compilation (observed 5-10x first-run inflation locally).
+    // Warmup failures are ignored here — the same failure will surface,
+    // recorded, in the timed run below.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        finally sweep()
       }
+
     // min over N passes per query: a single pass is at the mercy of GC
     // pauses and background JIT (observed 10x+ outliers on single runs);
     // the min is the steady-state cost the query actually has.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
-    val results = selected.map {
-      case (name, fn) =>
-        val times = (1 to passes).map { _ =>
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> times.min
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    selected.foreach { case (name, fn) =>
+      var times = List.empty[Double]
+      var pass = 0
+      while (pass < passes && !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          times ::= (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors(name) = s"${e.getClass.getName}: " +
+              Option(e.getMessage).getOrElse("").linesIterator
+                .take(1).mkString.take(200)
+        } finally sweep()
+        pass += 1
+      }
+      if (!errors.contains(name)) timings(name) = times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      }
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    val total = timings.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    // a failed query must fail the run visibly, not just in the JSON
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -29,6 +29,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // storage sweep (caches + localCheckpoint blocks): 100 queries in
+        // one JVM; state left by one query must not pressure the rest
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -292,20 +292,21 @@ object DedupOps {
     * and swap to reliable `checkpoint()` for executor-loss tolerance.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edgesPlain = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
+    // don't register a cache entry in plan-audit mode (nothing executes)
+    val edges =
+      if (graft.PlanMode.isExplainOnly) edgesPlain else edgesPlain.cache()
     // seed with min(self, neighbors) — the first propagate round for the
     // price of the vertex-set aggregate (identity seeding would spend a
     // full join round reaching the same state)
-    var labels = edges.groupBy(col("src"))
+    def seedFrame = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("_nmin"))
       .select(col("src").as("doc_id"),
         least(col("src"), col("_nmin")).as("cluster_id"))
-      .localCheckpoint(eager = true)
-    var i = 0
-    var converged = false
-    while (!converged && i < maxIter) {
+    // one propagate+double round over the previous labels, PRE-checkpoint
+    def roundFrame(labels: DataFrame): DataFrame = {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"),
           col("cluster_id").as("nl")), Seq("dst"))
@@ -320,16 +321,34 @@ object DedupOps {
       // pointer doubling: follow the label one more hop. cluster_id is
       // itself a doc_id present in `prop`, and labels are min-monotone,
       // so label(label(v)) <= label(v) and is in the same component.
-      val next = prop.as("l")
+      prop.as("l")
         .join(prop.select(col("doc_id").as("cluster_id"),
           col("cluster_id").as("_ll")).as("p"), Seq("cluster_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"),
             coalesce(col("_ll"), col("cluster_id"))).as("cluster_id"),
           col("_old"))
-        .localCheckpoint(eager = true)
+    }
+    // plan-audit mode: the loop's checkpoints explain as opaque
+    // `Scan ExistingRDD`; return one round's composed dataflow instead —
+    // the exact per-round operator shape (two joins + agg + double-hop)
+    if (graft.PlanMode.isExplainOnly)
+      return roundFrame(seedFrame)
+        .select(col("doc_id"), col("cluster_id"))
+    var labels = seedFrame.localCheckpoint(eager = true)
+    // the checkpoint whose blocks the current `labels` lives on; each
+    // round frees the superseded one NOW (blocking) — leaving dead rounds
+    // to driver GC + ContextCleaner lets storage balloon across a long
+    // JVM and the resulting concurrent cleanup can race running tasks
+    var current = labels
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val next = roundFrame(labels).localCheckpoint(eager = true)
       val changed = next.filter(col("cluster_id") =!= col("_old"))
         .limit(1).count()
+      CheckpointLifecycle.release(current)
+      current = next
       labels = next.select(col("doc_id"), col("cluster_id"))
       converged = changed == 0
       i += 1

@@ -186,11 +186,15 @@ object SimilarityOps {
       cents = cents.map { case (cid, old) => (cid, m.getOrElse(cid, old)) }
     }
     // materialize the k x dim result eagerly so the corpus cache can be
-    // released before returning (a lazy return would pin it forever)
-    val result = update(cents).select(col("_cid").as("cid"),
+    // released before returning (a lazy return would pin it forever);
+    // in plan-audit mode return the composed final-update plan instead —
+    // the checkpoint would explain as an opaque `Scan ExistingRDD`
+    val composed = update(cents).select(col("_cid").as("cid"),
       col("_dim").as("dim"), col("_n").as("n_vecs"),
       (col("_qc").cast("double") / 1e6).as("centroid"))
-      .localCheckpoint(eager = true)
+    val result =
+      if (graft.PlanMode.isExplainOnly) composed
+      else composed.localCheckpoint(eager = true)
     base.unpersist()
     result
   }
@@ -638,12 +642,17 @@ object SimilarityOps {
         .agg(sum(col("_d")).as("_dist"))
       val w = Window.partitionBy(col("_qid"))
         .orderBy(col("_dist"), col("_vid"))
-      adc.withColumn("rnk", row_number().over(w))
+      val ranked = adc.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= k)
         .select(col("_qid").as("query_id"), col("_vid").as("corpus_id"),
           round(col("_dist").cast("double") / 1e12, 6).as("approx_dist"),
           col("rnk"))
-        .localCheckpoint(eager = true)
+      // the eager checkpoint materializes before the corpus cache is
+      // released below (a lazy return would compute cache-less later); in
+      // plan-audit mode return the composed ADC dataflow itself — the
+      // checkpoint would explain as an opaque `Scan ExistingRDD`
+      if (graft.PlanMode.isExplainOnly) ranked
+      else ranked.localCheckpoint(eager = true)
     } finally if (qcorpusPre.isEmpty) qcorpus.unpersist()
   }
 

