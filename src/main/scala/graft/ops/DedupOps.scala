@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** [[bloomDecontaminate]] auto-sizing: bits per distinct eval gram
+    * (~10% load at k=3) and the bitset cap (16 MiB as a plan literal). */
+  val BloomBitsPerGram = 16L
+  val BloomMaxBits = 1L << 27
+
   /** Exact dedup: keep min(doc_id) per identical text, report group size.
     * Hash-groupBy on md5(text) (not raw text) keeps shuffle rows narrow —
     * at 100 TB you shuffle 32-byte keys, not document bodies.
@@ -231,19 +236,40 @@ object DedupOps {
     * any engine (the oracle checks the exact flags, false positives
     * included). Output: every train doc with `n_grams` and the
     * `bloom_hit` contamination flag (filter or route downstream).
+    *
+    * Sizing: `numBits = 0` (the default) sizes the bitset FROM THE EVAL
+    * SIDE — one cheap distinct-gram count, then the next power of two
+    * >= 16 bits/gram (k=3 at 16 bits/entry keeps the set under ~10% load
+    * and the classical FP rate well under 1%), floored at 64 and capped
+    * at 2^27 (a 16 MiB plan literal — past that the honest scale path is
+    * the broadcast-join [[decontaminate]] or a partitioned filter, not a
+    * bigger literal). The doubling rule is integer-exact so an oracle
+    * replays it with a recursive doubling CTE, no floating-point log2.
+    * Pass an explicit power of two to pin the size instead.
     */
   def bloomDecontaminate(train: DataFrame, test: DataFrame,
                          idCol: String = "doc_id", textCol: String = "text",
-                         n: Int = 5, numBits: Int = 1 << 20,
+                         n: Int = 5, numBits: Int = 0,
                          numHashes: Int = 3): DataFrame = {
     require(numHashes >= 1 && numHashes <= 4, s"numHashes=$numHashes")
-    require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
-      s"numBits=$numBits must be a power of two")
+    val sizedBits =
+      if (numBits > 0) numBits
+      else {
+        val grams = test
+          .select(explode(wordShingles(textCol, n)).as("g"))
+          .distinct().count()
+        val target = math.min(grams * BloomBitsPerGram, BloomMaxBits)
+        var b = 64L
+        while (b < target) b *= 2
+        b.toInt
+      }
+    require(sizedBits >= 64 && (sizedBits & (sizedBits - 1)) == 0,
+      s"numBits=$sizedBits must be a power of two >= 64")
     // k positions from ONE md5: disjoint 8-hex windows (higher-order
     // lambdas evaluate interpreted with no common-subexpression
     // elimination, so the digest must be computed once explicitly)
     def posFromHex(h: Column): Seq[Column] = (0 until numHashes).map(i =>
-      conv(substring(h, i * 8 + 1, 8), 16, 10).cast("long") % numBits)
+      conv(substring(h, i * 8 + 1, 8), 16, 10).cast("long") % sizedBits)
     def positions(g: Column): Seq[Column] = posFromHex(md5(g))
     // build: fold eval-gram bit positions into <= numBits/64 (word, bits)
     // rows with a map-side-partial bit_or — driver/collect cost is bounded
@@ -254,7 +280,7 @@ object DedupOps {
       .agg(bit_or(call_function("shiftleft", lit(1L),
         (col("p") % 64).cast("int"))).as("bits"))
       .collect().map(r => r.getInt(0) -> r.getLong(1))
-    val bitWords = new Array[Long](numBits / 64)
+    val bitWords = new Array[Long](sizedBits / 64)
     setWords.foreach { case (w, bits) => bitWords(w) = bits }
     val wordsLit = typedlit(bitWords.toSeq)
     def isSet(p: Column): Column =

@@ -117,10 +117,20 @@ object RelationalOps {
     merged.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** @param broadcastChanges forces the anti-join's changeset side to
+    *   broadcast. PRECONDITION when true: the per-key collapsed changeset
+    *   must fit the driver + every executor (it is collected for the
+    *   broadcast) — true for the CDC contract this models (a day's change
+    *   log against a full snapshot), catastrophically false if `changes`
+    *   is snapshot-scale. The default (false) leaves the join strategy to
+    *   Catalyst/AQE, which broadcasts anyway below the autoBroadcast
+    *   threshold and degrades to a shuffle join instead of an OOM above
+    *   it — the safe posture when the changeset's size is not known.
+    */
   def applyChangeSet(base: DataFrame, changes: DataFrame,
                      keyCols: Seq[String], opCol: String = "op",
                      seqCol: String = "seq",
-                     broadcastChanges: Boolean = true): DataFrame = {
+                     broadcastChanges: Boolean = false): DataFrame = {
     val payload = changes.columns
       .filterNot(c => keyCols.contains(c) || c == seqCol)
     val latest = changes.groupBy(keyCols.map(col): _*)

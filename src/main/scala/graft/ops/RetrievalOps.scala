@@ -34,8 +34,14 @@ object RetrievalOps {
     // \b is anchored to word chars: wrapping a term whose edge is a
     // NON-word char (e.g. "c++") in \b...\b can never match. Only emit a
     // boundary on edges where \b is well-defined; non-word edges use a
-    // negative lookaround instead.
-    def word(c: Char) = c.isLetterOrDigit || c == '_'
+    // negative lookaround instead. The edge test MUST use the same
+    // definition of "word char" as the regex engine's \b/\w — ASCII
+    // [a-zA-Z0-9_] — or a term edged by a non-ASCII letter ("école")
+    // would be classified word-edged, wrapped in \b, and never match
+    // next to its own non-ASCII word characters.
+    def word(c: Char) =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_'
     val pre = if (term.nonEmpty && word(term.head)) "\\b" else "(?<!\\w)"
     val suf = if (term.nonEmpty && word(term.last)) "\\b" else "(?!\\w)"
     size(regexp_extract_all(textLower,

@@ -439,8 +439,12 @@ object SimilarityOps {
     val qcorpus = Rebalance(corpus)
       .select(col(idCol).as("_vid"), pqQuant(vecCol).as("_qv")).cache()
     try {
-      val cellCents: Seq[(Int, Seq[Long])] =
-        kmeansArraysQ(qcorpus, nCells, cellIters)
+      // the coarse-cell and PQ trainers are independent (PQ trains on raw
+      // subvectors, not residuals), so their per-round update aggregates
+      // run as ONE unioned Spark job and their inits share one collect —
+      // half the trainer jobs of running the two Lloyd loops back-to-back
+      val (cellCents, pqCents) = fusedCellPqTrain(
+        qcorpus, nCells, cellIters, dim, m, codebookK, pqIters)
       val cdf = broadcast(cellCents.toDF("_ccid", "_cqc"))
       val cellDist = aggregate(
         zip_with(col("_qv"), col("_cqc"), (a, b) => (a - b) * (a - b)),
@@ -454,8 +458,92 @@ object SimilarityOps {
       val qCell = cellOfQ(queries.select(col(idCol).as("_qid"),
         pqQuant(vecCol).as("_qv")), "_qid")
       pqAdc(queries, corpus, k, dim, m, codebookK, pqIters, idCol, vecCol,
-        Some((cCell, qCell)), Some(qcorpus))
+        Some((cCell, qCell)), Some(qcorpus), Some(pqCents))
     } finally qcorpus.unpersist()
+  }
+
+  /** Fused trainer for [[ivfPqTopK]]: the coarse k-means (nCells over
+    * full vectors) and the m PQ sub-codebook k-means (codebookK over
+    * subvectors) share one init collect (the max(nCells, codebookK)
+    * lowest-id rows) and run each round's two update aggregates as ONE
+    * unioned job over the same cached corpus. Trajectories are
+    * bit-identical to [[kmeansArraysQ]] + [[pqTrainCents]] run separately
+    * (same init, argmin, rounding, empty-cluster rules), so the oracle
+    * replay is unchanged — only the job packing differs.
+    */
+  private def fusedCellPqTrain(qcorpus: DataFrame, nCells: Int,
+      cellIters: Int, dim: Int, m: Int, codebookK: Int, pqIters: Int)
+      : (Seq[(Int, Seq[Long])], Map[(Int, Int), Seq[Long]]) = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    require(nCells > 0 && cellIters >= 1 && codebookK > 0 && pqIters >= 1)
+    val spark = qcorpus.sparkSession
+    import spark.implicits._
+    val subLen = dim / m
+    val initRows = qcorpus.orderBy(col("_vid"))
+      .limit(math.max(nCells, codebookK)).collect()
+    var cellC: Seq[(Int, Seq[Long])] = initRows.take(nCells).zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1)) }.toSeq
+    var pqC: Map[(Int, Int), Seq[Long]] =
+      initRows.take(codebookK).zipWithIndex.flatMap { case (r, rank) =>
+        val qv = r.getSeq[Long](1)
+        (0 until m).map(j => ((j, rank), qv.slice(j * subLen, (j + 1) * subLen)))
+      }.toMap
+    val csub = pqSubFormQ(qcorpus, "_vid", m, subLen)
+    // both update branches emit (_st, _sub, _cid, _dim, _qc); cells ride
+    // _st=0 with a constant _sub
+    def cellUpdateDf(c: Seq[(Int, Seq[Long])]): DataFrame = {
+      val cdf = broadcast(c.toDF("_cid", "_qc"))
+      val dist = aggregate(
+        zip_with(col("_qv"), col("_qc"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      qcorpus.crossJoin(cdf)
+        .groupBy(col("_vid"))
+        .agg(min(struct(dist.as("d"), col("_cid").as("c"))).as("_m"),
+          first(col("_qv")).as("_qv"))
+        .select(col("_m.c").as("_cid"),
+          posexplode(col("_qv")).as(Seq("_dim", "_q")))
+        .groupBy(col("_cid"), col("_dim"))
+        .agg(sum(col("_q")).as("_s"), count(lit(1)).as("_n"))
+        .select(lit(0).as("_st"), lit(0).as("_sub"), col("_cid"),
+          col("_dim"),
+          round(col("_s").cast("double") / col("_n")).cast("long").as("_qc"))
+    }
+    def pqUpdateDf(c: Map[(Int, Int), Seq[Long]]): DataFrame =
+      pqAssign(csub, "_vid", c)
+        .select(col("_sub"), col("_m.c").as("_cid"),
+          posexplode(col("_qs")).as(Seq("_dim", "_q")))
+        .groupBy(col("_sub"), col("_cid"), col("_dim"))
+        .agg(sum(col("_q")).as("_s"), count(lit(1)).as("_n"))
+        .select(lit(1).as("_st"), col("_sub"), col("_cid"), col("_dim"),
+          round(col("_s").cast("double") / col("_n")).cast("long").as("_qc"))
+    var r = 1
+    val rounds = math.max(cellIters, pqIters)
+    while (r <= rounds) {
+      val parts = (if (r <= cellIters) Seq(cellUpdateDf(cellC)) else Nil) ++
+        (if (r <= pqIters) Seq(pqUpdateDf(pqC)) else Nil)
+      val rows = parts.reduce(_.unionAll(_)).collect()
+      val (cellRows, pqRows) = rows.partition(_.getInt(0) == 0)
+      if (r <= cellIters) {
+        val u = cellRows.groupBy(_.getInt(2)).map { case (cid, rs) =>
+          cid -> rs.sortBy(_.getInt(3)).map(_.getLong(4)).toSeq
+        }
+        // intermediate rounds keep an empty cluster's previous centroid;
+        // the FINAL update drops empties — exactly kmeansArraysQ's rule
+        cellC =
+          if (r < cellIters)
+            cellC.map { case (cid, old) => (cid, u.getOrElse(cid, old)) }
+          else u.toSeq.sortBy(_._1)
+      }
+      if (r <= pqIters) {
+        val u = pqRows.groupBy(rr => (rr.getInt(1), rr.getInt(2)))
+          .map { case (key, rs) =>
+            key -> rs.sortBy(_.getInt(3)).map(_.getLong(4)).toSeq
+          }
+        pqC = pqC.map { case (key, old) => key -> u.getOrElse(key, old) }
+      }
+      r += 1
+    }
+    (cellC, pqC)
   }
 
   // --- PQ internals shared by pqTopK / ivfPqTopK / pqCodebooks /
@@ -611,7 +699,9 @@ object SimilarityOps {
                     dim: Int, m: Int, codebookK: Int, iters: Int,
                     idCol: String, vecCol: String,
                     cells: Option[(DataFrame, DataFrame)],
-                    qcorpusPre: Option[DataFrame] = None): DataFrame = {
+                    qcorpusPre: Option[DataFrame] = None,
+                    centsPre: Option[Map[(Int, Int), Seq[Long]]] = None)
+      : DataFrame = {
     val subLen = dim / m
     val spark = corpus.sparkSession
     // ONE cached quantized corpus serves init, training, and encoding —
@@ -620,7 +710,10 @@ object SimilarityOps {
       .select(col(idCol).as("_vid"), pqQuant(vecCol).as("_qv")).cache())
     try {
       val csub = pqSubFormQ(qcorpus, "_vid", m, subLen)
-      val cents = pqTrainCents(qcorpus, csub, dim, m, codebookK, iters)
+      // callers that already trained (ivfPqTopK's fused trainer) pass the
+      // codebooks in; the standalone path trains here
+      val cents = centsPre.getOrElse(
+        pqTrainCents(qcorpus, csub, dim, m, codebookK, iters))
       // encode the corpus under the trained codebooks; queries get a
       // per-(query, subspace, cluster) distance table instead
       val codes0 = pqAssign(csub, "_vid", cents)

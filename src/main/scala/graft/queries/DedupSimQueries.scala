@@ -226,35 +226,43 @@ object DedupSimQueries {
           AND d.doc_id NOT IN (SELECT doc_id FROM bad)""")),
 
     // Bloom-filter decontamination: same contract as corpus_decontaminate
-    // but the eval grams collapse into a 2^20-bit Bloom bitset that rides
-    // the plan as a literal — the train side probes it in a narrow scan,
-    // NO join. Hashes are disjoint 8-hex md5 windows mod 2^20, so the
-    // oracle replays the exact flags (false positives included) via a
-    // distinct-positions semi-join — mathematically the same bitset.
+    // but the eval grams collapse into a Bloom bitset that rides the plan
+    // as a literal — the train side probes it in a narrow scan, NO join.
+    // The bitset is SIZED FROM THE EVAL SIDE (next power of two >= 16
+    // bits per distinct eval gram, floor 64, cap 2^27) — the oracle
+    // replays the sizing with an integer doubling CTE, then the exact
+    // flags (false positives included) via a distinct-positions
+    // semi-join — mathematically the same bitset.
     "bloom_decontaminate" -> Entry(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         DedupOps.bloomDecontaminate(
           docs.filter(col("doc_id") % 17 =!= 0),
           docs.filter(col("doc_id") % 17 === 0),
-          n = 5, numBits = 1 << 20, numHashes = 3)
+          n = 5, numHashes = 3)
       },
       Some("""
-        WITH te AS (SELECT string_split(text, ' ') AS ws
+        WITH RECURSIVE te AS (SELECT string_split(text, ' ') AS ws
                     FROM documents WHERE doc_id % 17 = 0),
         teg AS (SELECT DISTINCT array_to_string(list_slice(ws,
                   CAST(i AS INTEGER), CAST(i AS INTEGER) + 4), ' ') AS g
                 FROM te, UNNEST(generate_series(1, greatest(len(ws) - 4, 1)))
                   AS t(i)),
+        nbit(b) AS (SELECT CAST(64 AS UBIGINT)
+                    UNION ALL
+                    SELECT b * 2 FROM nbit
+                    WHERE b < least((SELECT count(*) * 16 FROM teg)::UBIGINT,
+                                    CAST(134217728 AS UBIGINT))),
+        nb AS (SELECT max(b) AS m FROM nbit),
         pos AS (SELECT DISTINCT p FROM (
                   SELECT ('0x' || substr(md5(g), 1, 8))::UBIGINT
-                           % 1048576 AS p FROM teg
+                           % (SELECT m FROM nb) AS p FROM teg
                   UNION
                   SELECT ('0x' || substr(md5(g), 9, 8))::UBIGINT
-                           % 1048576 FROM teg
+                           % (SELECT m FROM nb) FROM teg
                   UNION
                   SELECT ('0x' || substr(md5(g), 17, 8))::UBIGINT
-                           % 1048576 FROM teg) u),
+                           % (SELECT m FROM nb) FROM teg) u),
         tr AS (SELECT doc_id, string_split(text, ' ') AS ws
                FROM documents WHERE doc_id % 17 <> 0),
         trg AS (SELECT DISTINCT doc_id, array_to_string(list_slice(ws,
@@ -263,11 +271,11 @@ object DedupSimQueries {
                   AS t(i))
         SELECT doc_id, count(*) AS n_grams,
                bool_or(
-                 ('0x' || substr(md5(g), 1, 8))::UBIGINT % 1048576
+                 ('0x' || substr(md5(g), 1, 8))::UBIGINT % (SELECT m FROM nb)
                    IN (SELECT p FROM pos)
-                 AND ('0x' || substr(md5(g), 9, 8))::UBIGINT % 1048576
+                 AND ('0x' || substr(md5(g), 9, 8))::UBIGINT % (SELECT m FROM nb)
                    IN (SELECT p FROM pos)
-                 AND ('0x' || substr(md5(g), 17, 8))::UBIGINT % 1048576
+                 AND ('0x' || substr(md5(g), 17, 8))::UBIGINT % (SELECT m FROM nb)
                    IN (SELECT p FROM pos)) AS bloom_hit
         FROM trg GROUP BY doc_id""")),
 
@@ -581,6 +589,46 @@ object DedupSimQueries {
            AND (a.band <= 2 OR ((a.bucket >> 8) & 15) <> ((b.bucket >> 8) & 15)))
         SELECT id_a, id_b, round(c, 6) AS cos_sim
         FROM pairs WHERE c >= 0.3""")),
+
+    // Same operator under autoBandConfig: the entry derives the banding
+    // from the LIVE corpus count + similarity floor at run time
+    // (SimilarityOps.autoBandConfig — the MMDS S-curve selection). For
+    // every tested corpus size (500..2000 vectors) at floor 0.4 the
+    // 30-bit signature budget binds before log2(n) does and the
+    // selection lands on 8 bands x 3 bits (pinned by DedupSimSpec), so
+    // this static oracle replays the computed config exactly; a
+    // different floor or corpus scale regime would move the config and
+    // this entry's oracle with it.
+    "cosine_near_dup_auto" -> Entry(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val (bands, bandBits) = SimilarityOps.autoBandConfig(
+          e.count(), simFloor = 0.4)
+        SimilarityOps.cosineNearDupPairsBucketed(e, 0.4, dim = 64,
+          bands = bands, bandBits = bandBits)
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        bk AS (SELECT vec_id, e, ${bucketSql("e", 64, 24)} AS bucket
+               FROM v),
+        banded AS (SELECT vec_id, e, bucket, CAST(k AS INTEGER) AS band,
+                          (bucket >> (CAST(k AS INTEGER) * 3)) & 7
+                            AS band_val
+                   FROM bk, UNNEST(generate_series(0, 7)) AS t(k)),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_dot_product(a.e, b.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) *
+                    sqrt(list_dot_product(b.e, b.e))) AS c
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_val = b.band_val
+           AND a.vec_id < b.vec_id
+           ${(0 until 7).map(k =>
+             s"AND (a.band <= $k OR ((a.bucket >> ${k * 3}) & 7) <> " +
+               s"((b.bucket >> ${k * 3}) & 7))").mkString("\n           ")})
+        SELECT id_a, id_b, round(c, 6) AS cos_sim
+        FROM pairs WHERE c >= 0.4""")),
 
     // IVF/LSH-bucketed ANN top-k (approximate scale path). The hyperplanes
     // are deterministic, so the oracle embeds them as generated double

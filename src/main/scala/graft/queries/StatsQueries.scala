@@ -175,6 +175,44 @@ object StatsQueries {
           FROM documents GROUP BY source, lang)
         WHERE rnk <= 3""")),
 
+    // STREAMING twin of approx_heavy_hitters — the speed-layer shape the
+    // reference's architecture implies: the same mergeable Misra-Gries
+    // sketch as a stateful streaming aggregation (complete mode) over the
+    // documents FILE STREAM, drained with an AvailableNow trigger into a
+    // memory sink. The sketch buffers merge across micro-batches, and in
+    // the exact regime (capacity 32 >> 5 langs) the merged counts are
+    // true counts whatever the batch split — so the SAME count oracle as
+    // the batch entry hash-checks this path too. The approximate
+    // regime's cross-batch accumulation is pinned in StreamingSpec.
+    "stream_heavy_hitters" -> Entry(
+      (s, dir) => {
+        val sch = s.read.parquet(s"$dir/documents.parquet").schema
+        // the file source needs a directory/glob, not a bare file path
+        // (a bare file becomes the basePath, which must be a directory);
+        // the glob keeps the parent as basePath and lists only this table
+        val q = s.readStream.schema(sch).parquet(s"$dir/documents.parque*")
+          .groupBy(col("source"))
+          .agg(graft.functions.MisraGriesAgg
+            .heavyHitters(col("lang"), 32, 3).as("_hh"))
+          .writeStream.queryName("graft_stream_hh")
+          .outputMode("complete")
+          .format("memory")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table("graft_stream_hh")
+          .select(col("source"), posexplode(col("_hh")).as(Seq("_p", "_kv")))
+          .select(col("source"), (col("_p") + 1).as("rnk"),
+            col("_kv._1").as("lang"), col("_kv._2").as("cnt"))
+      },
+      Some("""
+        SELECT source, CAST(rnk AS INTEGER) AS rnk, lang, cnt FROM (
+          SELECT source, lang, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY count(*) DESC, lang) AS rnk
+          FROM documents GROUP BY source, lang)
+        WHERE rnk <= 3""")),
+
     // A15: Pearson correlation per group (Milestone3 cells 44/56/58).
     // North-star weighted stats: exact weighted median (lower quantile)
     // of price by quantity weight. Exactness rides on integer-valued

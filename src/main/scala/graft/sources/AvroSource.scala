@@ -47,33 +47,83 @@ object AvroSource {
 
   // ---------------------------------------------------------------- read
 
-  /** Read a directory of `*.avro` container files as a DataFrame. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  /** Read a directory of `*.avro` container files as a DataFrame.
+    *
+    * Corrupt-input quarantine: every file's container HEADER (magic bytes
+    * + embedded writer schema) is validated driver-side before any task
+    * launches — the same sniff-before-load discipline the reference
+    * applies to each archive blob (batch_to_mongo.py:60-106). With
+    * `skipCorrupt` (the default) malformed files are skipped and logged
+    * so replaying a dirty archive loads what it can; `skipCorrupt=false`
+    * fails fast instead. [[readWithReport]] returns the quarantine list
+    * for callers that route bad files somewhere.
+    */
+  def read(spark: SparkSession, dir: String,
+           skipCorrupt: Boolean = true): DataFrame =
+    readWithReport(spark, dir, skipCorrupt)._1
+
+  /** [[read]] plus the quarantine report: (path, reason) per file whose
+    * container header failed validation. */
+  def readWithReport(spark: SparkSession, dir: String,
+                     skipCorrupt: Boolean = true)
+      : (DataFrame, Seq[(String, String)]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new HPath(dir).getFileSystem(conf)
     val files = fs.listStatus(new HPath(dir)).map(_.getPath)
       .filter(_.getName.endsWith(".avro")).sortBy(_.getName)
     require(files.nonEmpty, s"no .avro files under $dir")
 
-    val avroSchema = {
-      val in = new FsInput(files.head, conf)
-      val r = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
-      try r.getSchema finally r.close()
+    val checked = files.map { p =>
+      p -> (try Right(headerSchema(p, conf)) catch {
+        case e: Exception =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+      })
     }
+    val bad = checked.collect { case (p, Left(m)) => p.toString -> m }.toSeq
+    if (bad.nonEmpty && !skipCorrupt)
+      throw new java.io.IOException(
+        s"corrupt avro container(s) under $dir: " +
+          bad.map { case (p, m) => s"$p ($m)" }.mkString("; "))
+    bad.foreach { case (p, m) =>
+      System.err.println(s"[graft.AvroSource] quarantined corrupt file $p: $m")
+    }
+    val good = checked.collect { case (p, Right(s)) => p -> s }
+    require(good.nonEmpty, s"no readable .avro files under $dir " +
+      s"(${bad.size} quarantined)")
+
+    val avroSchema = good.head._2
     val sparkSchema = toSparkType(avroSchema).asInstanceOf[StructType]
     val schemaJson = avroSchema.toString
 
+    // the first good header is the READER schema for every file: Avro
+    // schema resolution then reconciles evolved/heterogeneous writer
+    // schemas by field NAME (with defaults for missing fields) instead of
+    // each file decoding by index against the first file's converters
+    val jobConf = new org.apache.hadoop.conf.Configuration(conf)
+    jobConf.set("avro.schema.input.key", schemaJson)
+
     val rdd = spark.sparkContext.newAPIHadoopFile(
-      files.mkString(","),
+      good.map(_._1).mkString(","),
       classOf[AvroKeyInputFormat[GenericRecord]],
       classOf[AvroKey[GenericRecord]],
-      classOf[NullWritable])
+      classOf[NullWritable],
+      jobConf)
       .mapPartitions { it =>
         val sch = new Schema.Parser().parse(schemaJson)
         val conv = reader(sch, toSparkType(sch))
         it.map(kv => conv(kv._1.datum()).asInstanceOf[Row])
       }
-    spark.createDataFrame(rdd, sparkSchema)
+    (spark.createDataFrame(rdd, sparkSchema), bad)
+  }
+
+  /** Open one container's header (validates the magic bytes and parses
+    * the embedded writer schema — the cheap structural check; a truncated
+    * TAIL still surfaces as a task-level read error). */
+  private def headerSchema(p: HPath,
+      conf: org.apache.hadoop.conf.Configuration): Schema = {
+    val in = new FsInput(p, conf)
+    val r = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
+    try r.getSchema finally r.close()
   }
 
   /** Hadoop Configuration is not java-serializable; ship it to executors
@@ -111,10 +161,12 @@ object AvroSource {
         val taskFs = out.getFileSystem(conf.value)
         // task-commit protocol: write to an attempt-unique hidden temp
         // file, rename into place only after a clean close — a failed or
-        // zombie attempt can never leave a partial part file readable,
-        // and of two speculative twins only the first rename wins (the
-        // loser's rename fails against the existing target and its temp
-        // is dropped)
+        // zombie attempt can never leave a partial part file readable.
+        // Of two speculative twins, on HDFS-like filesystems only the
+        // first rename wins (the loser fails against the existing target
+        // and drops its temp); on POSIX/RawLocalFileSystem rename
+        // silently OVERWRITES, which is benign only because twins of the
+        // same partition write identical content
         val tmp = new HPath(out,
           f".part-$pid%05d-${tc.taskAttemptId()}.inprogress")
         val fin = new HPath(out, f"part-$pid%05d.avro")
@@ -126,6 +178,18 @@ object AvroSource {
         finally w.close()
         if (!taskFs.rename(tmp, fin)) taskFs.delete(tmp, false)
       }
+    }
+    // an all-empty-partitions frame writes no part files (each task
+    // skips empty iterators); emit ONE schema-bearing empty container so
+    // the directory round-trips — read() recovers the schema and returns
+    // an empty DataFrame instead of rejecting the archive
+    if (!fs.listStatus(out).exists(_.getPath.getName.endsWith(".avro"))) {
+      val sch = new Schema.Parser().parse(schemaJson)
+      val os = fs.create(new HPath(out, "part-empty.avro"), true)
+      new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
+        .setCodec(CodecFactory.snappyCodec())
+        .create(sch, os)
+        .close()
     }
     // job-commit marker: read() stays permissive (archives written
     // incrementally by streaming sinks have no single job), but batch

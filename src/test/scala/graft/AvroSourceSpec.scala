@@ -151,4 +151,56 @@ class AvroSourceSpec extends SparkSpec {
     val direct = agg(li)
     assert(viaAvro === direct)
   }
+
+  test("corrupt container quarantine: a dirty archive still loads the " +
+       "good files and reports the bad ones (S4)") {
+    val dir = tmp("avro_dirty")
+    AvroSource.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    // one garbage file (bad magic) and one truncated header
+    Files.write(java.nio.file.Paths.get(dir, "junk.avro"),
+      "this is not an avro container".getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "trunc.avro"),
+      Array[Byte]('O', 'b', 'j', 1))
+    val (df, bad) = AvroSource.readWithReport(spark, dir)
+    assert(df.select($"id").as[Long].collect().sorted === Array(1L, 2L))
+    assert(bad.map(_._1.split('/').last).sorted === Seq("junk.avro", "trunc.avro"))
+    // fail-fast mode surfaces the same files in the error
+    val e = intercept[java.io.IOException] {
+      AvroSource.read(spark, dir, skipCorrupt = false)
+    }
+    assert(e.getMessage.contains("junk.avro"))
+  }
+
+  test("heterogeneous writer schemas resolve by field NAME against the " +
+       "first file's reader schema, not by index") {
+    val dir = tmp("avro_evolved")
+    // file A: (id, v) — its header becomes the reader schema
+    AvroSource.write(Seq((1L, "a1")).toDF("id", "v").coalesce(1),
+      dir + "/a")
+    // file B: evolved writer with the SAME fields in swapped order
+    AvroSource.write(Seq(("b2", 2L)).toDF("v", "id").coalesce(1),
+      dir + "/b")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir + "/a/part-00000.avro"),
+      new org.apache.hadoop.fs.Path(dir + "/0.avro"))
+    fs.rename(new org.apache.hadoop.fs.Path(dir + "/b/part-00000.avro"),
+      new org.apache.hadoop.fs.Path(dir + "/1.avro"))
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/a"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/b"), true)
+    val rows = AvroSource.read(spark, dir)
+      .select($"id", $"v").as[(Long, String)].collect().sortBy(_._1)
+    // by-index decoding would swap B's columns (or throw); by-name
+    // resolution keeps (2, "b2") intact
+    assert(rows === Array((1L, "a1"), (2L, "b2")))
+  }
+
+  test("an all-empty frame round-trips: write emits a schema-bearing " +
+       "empty container and read returns an empty frame") {
+    val dir = tmp("avro_empty") + "/e"
+    AvroSource.write(Seq((1L, "x")).toDF("id", "v").filter($"id" < 0), dir)
+    val back = AvroSource.read(spark, dir)
+    assert(back.columns.toSeq === Seq("id", "v"))
+    assert(back.count() === 0L)
+  }
 }

@@ -18,17 +18,33 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  test("applyChangeSet: the base snapshot anti-joins against a BROADCAST " +
-       "of the collapsed changeset — no shuffle of the base side") {
+  test("applyChangeSet: with broadcastChanges the base snapshot " +
+       "anti-joins against a BROADCAST of the collapsed changeset — no " +
+       "shuffle of the base side") {
     val base = Tables.customer(spark, sf)
       .select($"c_custkey", $"c_acctbal")
     val changes = Tables.orders(spark, sf).select(
       $"o_custkey".as("c_custkey"), lit("U").as("op"),
       $"o_orderkey".as("seq"), $"o_totalprice".as("c_acctbal"))
     val p = plan(RelationalOps.applyChangeSet(base, changes,
-      Seq("c_custkey")))
+      Seq("c_custkey"), broadcastChanges = true))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("applyChangeSet: the default leaves the anti-join strategy to " +
+       "Catalyst/AQE, which still lands a broadcast when the collapsed " +
+       "changeset is small at runtime") {
+    val base = Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_acctbal")
+    val changes = Tables.orders(spark, sf).select(
+      $"o_custkey".as("c_custkey"), lit("U").as("op"),
+      $"o_orderkey".as("seq"), $"o_totalprice".as("c_acctbal"))
+    val df = RelationalOps.applyChangeSet(base, changes, Seq("c_custkey"))
+    df.write.format("noop").mode("overwrite").save()
+    // AQE's FINAL plan (post-execution) must have converted to broadcast
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
   }
 
   test("bloomDecontaminate: the probe plan has NO join operator — the " +
@@ -52,6 +68,45 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = "(?<!Broadcast)Exchange ".r
       .findAllIn(p.replace("BroadcastExchange", "BX")).length
     assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
+  }
+
+  test("ivfPqTopK plan audit: under PlanMode.explainOnly the returned " +
+       "plan is the real ADC dataflow (broadcast distance-table join + " +
+       "per-pair aggregate), not an opaque checkpoint scan") {
+    val e = Tables.embeddings(spark, sf)
+    val df = PlanMode.explainOnly {
+      graft.ops.SimilarityOps.ivfPqTopK(
+        e.filter($"vec_id" < 10), e.filter($"vec_id" >= 10),
+        k = 5, dim = 64, nCells = 4, cellIters = 1, m = 4,
+        codebookK = 8, pqIters = 1)
+    }
+    val p = plan(df)
+    assert(!p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("pqTopK plan audit: pre-checkpoint ADC shape visible (no cells)") {
+    val e = Tables.embeddings(spark, sf)
+    val df = PlanMode.explainOnly {
+      graft.ops.SimilarityOps.pqTopK(
+        e.filter($"vec_id" < 10), e.filter($"vec_id" >= 10),
+        k = 5, dim = 64, m = 4, codebookK = 8, iters = 1)
+    }
+    val p = plan(df)
+    assert(!p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dupClusters plan audit: under PlanMode.explainOnly the returned " +
+       "plan is one propagate+double round (joins + aggregate), not a " +
+       "checkpoint scan") {
+    val pairs = DedupOps.minhashCandidates(Tables.documents(spark, sf))
+    val df = PlanMode.explainOnly { DedupOps.dupClusters(pairs) }
+    val p = plan(df)
+    assert(!p.contains("Scan ExistingRDD"), p)
+    assert(p.toLowerCase.contains("join"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
   }
 
   test("heavyHitters: the sketch aggregates map-side (partial " +
