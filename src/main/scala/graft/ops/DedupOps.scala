@@ -239,8 +239,9 @@ object DedupOps {
     *
     * Sizing: `numBits = 0` (the default) sizes the bitset FROM THE EVAL
     * SIDE — one cheap distinct-gram count, then the next power of two
-    * >= 16 bits/gram (k=3 at 16 bits/entry keeps the set under ~10% load
-    * and the classical FP rate well under 1%), floored at 64 and capped
+    * >= 16 bits/gram (k=3 at >= 16 bits/entry bounds the load at
+    * 1-e^(-3/16) ~ 17% and the classical FP rate at ~0.5%), floored at
+    * 64 and capped
     * at 2^27 (a 16 MiB plan literal — past that the honest scale path is
     * the broadcast-join [[decontaminate]] or a partitioned filter, not a
     * bigger literal). The doubling rule is integer-exact so an oracle
@@ -310,12 +311,17 @@ object DedupOps {
     * component). Throws `IllegalStateException` if `maxIter` rounds pass
     * without convergence rather than returning a wrong clustering.
     *
-    * Each round's result is eagerly `localCheckpoint`ed: iterative plans
+    * Each round's result is eagerly checkpointed: iterative plans
     * otherwise nest the previous round's plan (twice, with the doubling
     * join), so the logical plan — and Catalyst's analysis cost — grows
     * exponentially with rounds. Checkpointing keeps every round's plan
-    * O(1). On a real cluster, set `spark.sparkContext.setCheckpointDir`
-    * and swap to reliable `checkpoint()` for executor-loss tolerance.
+    * O(1). When the session has a checkpoint directory configured
+    * (`spark.sparkContext.setCheckpointDir` — the cluster posture), each
+    * round uses RELIABLE `checkpoint()`: round state lives in files, so
+    * an executor loss replays nothing and in-memory block lifecycle is
+    * moot. Without one (local dev), rounds fall back to
+    * `localCheckpoint` and the superseded round's blocks are freed
+    * synchronously each iteration.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edgesPlain = pairs
@@ -361,19 +367,27 @@ object DedupOps {
     if (graft.PlanMode.isExplainOnly)
       return roundFrame(seedFrame)
         .select(col("doc_id"), col("cluster_id"))
-    var labels = seedFrame.localCheckpoint(eager = true)
-    // the checkpoint whose blocks the current `labels` lives on; each
-    // round frees the superseded one NOW (blocking) — leaving dead rounds
-    // to driver GC + ContextCleaner lets storage balloon across a long
-    // JVM and the resulting concurrent cleanup can race running tasks
+    val reliable =
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    var labels = ckpt(seedFrame)
+    // local mode: the checkpoint whose blocks the current `labels` lives
+    // on; each round frees the superseded one NOW (blocking) — leaving
+    // dead rounds to driver GC + ContextCleaner lets storage balloon
+    // across a long JVM and the resulting concurrent cleanup can race
+    // running tasks. Reliable mode keeps round state in files, not
+    // storage blocks; superseded checkpoint files are reclaimed by the
+    // ContextCleaner (spark.cleaner.referenceTracking.cleanCheckpoints).
     var current = labels
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      val next = roundFrame(labels).localCheckpoint(eager = true)
+      val next = ckpt(roundFrame(labels))
       val changed = next.filter(col("cluster_id") =!= col("_old"))
         .limit(1).count()
-      CheckpointLifecycle.release(current)
+      if (!reliable) CheckpointLifecycle.release(current)
       current = next
       labels = next.select(col("doc_id"), col("cluster_id"))
       converged = changed == 0

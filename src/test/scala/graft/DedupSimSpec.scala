@@ -359,4 +359,23 @@ class DedupSimSpec extends SparkSpec {
     // hash-checked by its oracle.
     assert(recall >= 0.75, s"recall=$recall (${banded.size}/${exact.size})")
   }
+
+  // keep LAST in the suite: setting a checkpoint dir flips dupClusters
+  // to reliable mode for the rest of this session
+  test("dupClusters under a configured checkpoint dir uses RELIABLE " +
+       "checkpoints (cluster posture) and clusters identically") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val expected = DedupOps.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val out = DedupOps.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === expected)
+    assert(out === Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // reliable round state actually hit the checkpoint directory
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(files > 0, s"no checkpoint files under $dir")
+  }
 }
