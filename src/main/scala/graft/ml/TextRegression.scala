@@ -48,7 +48,9 @@ object TextRegression {
   // solver: "l-bfgs" for the hashed-TF path (a "normal" solve would build
   // a features² Gram matrix per task); "normal" for handfuls of numeric
   // features (permutation importance), where the tiny closed-form solve
-  // replaces 10 treeAggregate rounds
+  // replaces 10 treeAggregate rounds. MEASURED (r6, sf0.1, min-of-3):
+  // l-bfgs 2.31 s vs auto/normal 3.44 s at 2048 assembled dims — the
+  // Gram-matrix cost dominates; don't re-litigate without re-measuring
   private def ridge(regParam: Double, solver: String = "l-bfgs") =
     new LinearRegression()
       .setLabelCol("label").setFeaturesCol("features")

@@ -9,12 +9,20 @@ import org.apache.spark.sql.types._
   * image/audio/video as opaque `binary` payloads plus typed metadata,
   * processed by per-partition batch operators.
   *
-  * The actual media decode is STUBBED — this container has no image/audio
-  * codecs — behind [[StubDecoder]], which produces a deterministic fake
-  * from the payload bytes. Everything around it is real, tested Spark
-  * plumbing: the schema, the binary column handling, the
-  * lazily-initialized-per-partition decoder (the JVM analog of a Pandas
-  * UDF over mapInPandas batches: one decoder instance per partition, rows
+  * Decode support is tiered by what the JVM itself ships:
+  *  - IMAGES (png/jpeg/gif/bmp): REAL decode via `javax.imageio` — part
+  *    of the JDK, no external codec. Width/height/mean-intensity come
+  *    from actual pixels (MultimodalSpec round-trips generated PNGs).
+  *  - AUDIO (wav): REAL decode via a RIFF/PCM header+sample parse
+  *    (pure ByteBuffer) — sample rate, channels, frame count, mean
+  *    absolute amplitude.
+  *  - VIDEO / unknown MIME / undecodable bytes: the deterministic
+  *    [[StubDecoder]] fake — the documented plug point for an
+  *    ffmpeg-class codec, which this container does not have.
+  * Everything around the decoder is real, tested Spark plumbing: the
+  * schema, the binary column handling, the lazily-initialized
+  * per-partition decoder (the JVM analog of a Pandas UDF over
+  * mapInPandas batches: one decoder instance per partition, rows
   * streamed through it), and the downstream feature columns.
   */
 object MultimodalOps {
@@ -34,14 +42,13 @@ object MultimodalOps {
     StructField("mime", StringType, nullable = true),
     StructField("captured_at", TimestampType, nullable = true)))
 
-  /** The decode plug point. A real deployment swaps this for an actual
-    * codec (JavaCV/TwelveMonkeys/ffmpeg binding) with the SAME signature —
-    * bytes in, (width, height, frames, pixels-ish stats) out. The stub is
-    * deterministic in the payload so tests are stable.
+  /** Fallback for formats the JVM cannot decode natively (video; the
+    * plug point for a JavaCV/ffmpeg binding with the SAME signature —
+    * bytes in, (width, height, frames, pixels-ish stats) out). The stub
+    * is deterministic in the payload so tests are stable.
     */
   final class StubDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Int, Double) = {
-      // ??? <- real codec goes here; deterministic fake below
       if (payload == null || payload.isEmpty) (0, 0, 0, 0.0)
       else {
         val w = 16 + (payload.head & 0x3f)
@@ -54,6 +61,116 @@ object MultimodalOps {
     }
   }
 
+  /** MIME-dispatching decoder: REAL image decode (javax.imageio — ships
+    * with the JDK) and REAL wav/PCM decode (RIFF parse); everything else,
+    * and any byte stream the codec rejects, falls back to [[StubDecoder]]
+    * rather than failing the partition — the skip-don't-crash posture a
+    * 100 TB backfill needs (one corrupt blob must not kill a stage).
+    */
+  final class MediaDecoder {
+    private val stub = new StubDecoder
+
+    def decode(payload: Array[Byte], mime: String): (Int, Int, Int, Double) = {
+      if (payload == null || payload.isEmpty) return stub.decode(payload)
+      val m = if (mime == null) "" else mime.toLowerCase
+      val real =
+        if (m.startsWith("image/")) decodeImage(payload)
+        else if (m == "audio/wav" || m == "audio/x-wav") decodeWav(payload)
+        else None
+      real.getOrElse(stub.decode(payload))
+    }
+
+    /** (width, height, 1 frame, mean of (r+g+b)/3 over all pixels). */
+    private[multimodal] def decodeImage(payload: Array[Byte])
+        : Option[(Int, Int, Int, Double)] =
+      grayStats(payload).map { case (w, h, sum) =>
+        (w, h, 1, sum.toDouble / (w.toLong * h))
+      }
+
+    /** Exact integer pixel stats for spec/oracle parity:
+      * (width, height, sum of per-pixel (r+g+b)/3). For grayscale images
+      * r==g==b, so the per-pixel value is the exact gray byte.
+      */
+    def grayStats(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+      val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        // RAW raster samples, not getRGB: getRGB routes gray images
+        // through linear->sRGB color management and inflates the values
+        // (a 125-mean gray image reads back ~180); raster samples are
+        // the decoded channel bytes as stored. Alpha (band 4) excluded.
+        val raster = img.getRaster
+        val bands = math.min(raster.getNumBands, 3)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            var px = 0
+            while (b < bands) { px += raster.getSample(x, y, b); b += 1 }
+            sum += px / bands
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, sum))
+      }
+    }
+
+    /** RIFF/WAVE PCM parse: (sampleRate, channels, frames-per-channel,
+      * mean |sample| scaled to 0..255). Supports 8-bit unsigned and
+      * 16-bit signed little-endian PCM (format code 1).
+      */
+    private[multimodal] def decodeWav(payload: Array[Byte])
+        : Option[(Int, Int, Int, Double)] = {
+      try {
+        val bb = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def tag(off: Int): String =
+          new String(payload, off, 4, "US-ASCII")
+        if (payload.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
+          return None
+        var pos = 12
+        var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+        var result: Option[(Int, Int, Int, Double)] = None
+        while (pos + 8 <= payload.length && result.isEmpty) {
+          val id = tag(pos)
+          val len = bb.getInt(pos + 4)
+          if (id == "fmt ") {
+            val code = bb.getShort(pos + 8) & 0xffff
+            if (code != 1) return None // PCM only
+            fmt = Some((bb.getShort(pos + 10) & 0xffff,
+              bb.getInt(pos + 12), bb.getShort(pos + 22) & 0xffff))
+          } else if (id == "data") {
+            val (channels, rate, bits) = fmt.getOrElse(return None)
+            if (channels < 1 || (bits != 8 && bits != 16)) return None
+            val bytesPer = bits / 8
+            val n = math.min(len, payload.length - pos - 8) / bytesPer
+            if (n == 0) return None
+            var sum = 0.0
+            var i = 0
+            while (i < n) {
+              val v =
+                if (bits == 8) math.abs((payload(pos + 8 + i) & 0xff) - 128)
+                else math.abs(bb.getShort(pos + 8 + i * 2).toInt)
+              sum += v
+              i += 1
+            }
+            val maxAbs = if (bits == 8) 128.0 else 32768.0
+            result = Some((rate, channels, n / channels,
+              sum / n / maxAbs * 255.0))
+          }
+          pos += 8 + len + (len & 1) // chunks are word-aligned
+        }
+        result
+      } catch { case _: Exception => None }
+    }
+  }
+
   /** Decode/feature-extract over the binary column: `mapPartitions` with
     * one decoder instance per partition (T6's lazy per-worker model-init
     * pattern, stream_join.py:231-346) — NOT one per row, and no
@@ -62,10 +179,10 @@ object MultimodalOps {
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.mapPartitions { rows =>
-      val decoder = new StubDecoder // lazily built once per partition
+      val decoder = new MediaDecoder // lazily built once per partition
       val digest = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val (w, h, frames, mean) = decoder.decode(r.payload)
+        val (w, h, frames, mean) = decoder.decode(r.payload, r.mime)
         val sha = digest.digest(
           if (r.payload == null) Array.emptyByteArray else r.payload)
           .map("%02x".format(_)).mkString
@@ -105,6 +222,33 @@ object MultimodalOps {
         ceil(col("width") * col("scale")).cast("int"))
       .withColumn("out_height",
         ceil(col("height") * col("scale")).cast("int"))
+
+  /** Deterministic grayscale PNG from a seed: W = 16 + seed%16,
+    * H = 16 + seed%8, gray(x, y) = (seed*31 + x*7 + y*13) % 256. PNG is
+    * lossless, so decode recovers the exact pixels — which makes the
+    * encode→decode roundtrip ORACLE-CHECKABLE: a SQL engine replays the
+    * generator in closed form and compares pixel stats without ever
+    * touching a codec (the `multimodal_image_stats` catalog entry).
+    */
+  def syntheticGrayPng(seed: Long): Array[Byte] = {
+    val w = 16 + (seed % 16).toInt
+    val h = 16 + (seed % 8).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((seed * 31 + x * 7 + y * 13) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** Build a media table from the documents fixture (text bytes as the
     * opaque payload) — the container has no real media, but the column

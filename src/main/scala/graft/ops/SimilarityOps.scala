@@ -831,6 +831,59 @@ object SimilarityOps {
     (math.min(bandsFor(r), maxSigBits.toLong).toInt, r)
   }
 
+  /** Cell-restricted embedding near-dup — the PRE-CLUSTERING scale path
+    * past banded sign-LSH: the [[cosineNearDupPairsBucketed]] candidate
+    * volume grows with n²/2^sigBits once the 30-bit signature budget
+    * binds (measured exponent 0.84 at 10x data), while k-means cells
+    * keep growing with the corpus (nClusters is a free parameter, not a
+    * bit budget). Vectors are assigned to their nearest trained
+    * centroid (the exact 1e-6-quantized argmin — identical trajectory
+    * to [[kmeansCentroids]], so an oracle replays the cells) and only
+    * same-cell pairs are cosine-verified at `threshold`.
+    *
+    * Recall tradeoff: pairs STRADDLING a cell boundary are missed
+    * (exact duplicates always co-assign — distance ties break by cid).
+    * This is a HIGH-similarity tool: near-identical vectors land in the
+    * same cell (DedupSimSpec pins recall 1.0 on a synthetic >=0.99
+    * near-dup corpus), while at a LOW floor most weakly-similar pairs
+    * straddle cells (measured 285/920 = 0.31 at floor 0.3 with 8 cells
+    * on the sf0.001 corpus — the catalog entry at that floor is an
+    * oracle-checkable correctness fixture, not a recall claim). Raise
+    * recall with fewer/larger cells, or union with the banded form
+    * (standard multi-probe posture).
+    */
+  def cosineNearDupPairsIvf(vecs: DataFrame, threshold: Double,
+                            nClusters: Int, iters: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroidArrays(vecs, nClusters, iters, idCol, vecCol)
+    val cdf = broadcast(cents.toDF("_cid", "_qc"))
+    val qv = transform(col(vecCol),
+      v => round(v.cast("double") * 1e6).cast("long"))
+    val dist = aggregate(
+      zip_with(col("_qv"), col("_qc"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val assigned = Rebalance(vecs)
+      .select(col(idCol), col(vecCol).as("_v"),
+        l2Norm(col(vecCol)).as("_n"), qv.as("_qv"))
+      .crossJoin(cdf)
+      .groupBy(col(idCol))
+      .agg(min(struct(dist.as("d"), col("_cid").as("c"))).as("_m"),
+        first(col("_v")).as("_v"), first(col("_n")).as("_n"))
+      .select(col(idCol), col("_v"), col("_n"), col("_m.c").as("_cell"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a._cell") === col("b._cell") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        (dot(col("a._v"), col("b._v")) /
+          (col("a._n") * col("b._n"))).as("_cos"))
+      .filter(col("_cos") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("_cos"), 6).as("cos_sim"))
+  }
+
   def cosineNearDupPairsBucketed(vecs: DataFrame, threshold: Double,
                                  dim: Int, bands: Int = 8, bandBits: Int = 2,
                                  idCol: String = "vec_id",

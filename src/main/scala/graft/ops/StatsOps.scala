@@ -156,13 +156,16 @@ object StatsOps {
       .agg(sum(col(weightCol)).as("_w"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    // per-key totals come from a tiny agg + broadcast join, not a second
-    // whole-partition window pass (which would re-buffer every partition)
-    val totals = perValue.groupBy(col(keyCol))
-      .agg(sum(col("_w")).as("_tw"))
+    // per-key totals as a FULL-frame window over the SAME partitioning
+    // and ordering: both sums share one WindowExec (one sort, one
+    // partition buffer) — a separate totals aggregate would re-scan and
+    // re-aggregate the whole input on a second plan branch (Spark does
+    // not share common subplans), which doubled this operator's cost
+    val wAll = Window.partitionBy(col(keyCol)).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = perValue
       .withColumn("_cw", sum(col("_w")).over(w))
-      .join(broadcast(totals), Seq(keyCol))
+      .withColumn("_tw", sum(col("_w")).over(wAll))
     cum.filter(col("_cw") >= lit(q) * col("_tw"))
       .groupBy(col(keyCol))
       .agg(min(col("_v")).as(s"wq_$valCol"),

@@ -630,6 +630,43 @@ object DedupSimQueries {
         SELECT id_a, id_b, round(c, 6) AS cos_sim
         FROM pairs WHERE c >= 0.4""")),
 
+    // Cell-restricted near-dup (SimilarityOps.cosineNearDupPairsIvf):
+    // the PRE-CLUSTERING scale path past banded LSH — trained k-means
+    // cells (exact quantized argmin, same trajectory as
+    // ivf_kmeans_centroids) restrict candidate pairs to the same cell,
+    // exact cosine verifies. Oracle replays the 2-round Lloyd training
+    // and the within-cell pair join.
+    "cosine_near_dup_ivf" -> Entry(
+      (s, dir) => SimilarityOps.cosineNearDupPairsIvf(
+        Tables.embeddings(s, dir), 0.3, nClusters = 8, iters = 2),
+      Some(s"""
+        WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+                             $qzSql AS qv
+                      FROM embeddings),
+        c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
+                        - 1 AS cid, qv AS qc
+               FROM (SELECT vec_id, qv FROM corp ORDER BY vec_id LIMIT 8)),
+        a1 AS (${kmAssignSql("corp", "c0")}),
+        u1 AS (${kmMeanSql("a1")}),
+        c1 AS (SELECT c0.cid, COALESCE(l.qc, c0.qc) AS qc
+               FROM c0 LEFT JOIN (SELECT cid, list(qc ORDER BY dim) AS qc
+                                  FROM u1 GROUP BY cid) l
+                 ON c0.cid = l.cid),
+        a2 AS (${kmAssignSql("corp", "c1")}),
+        u2 AS (${kmMeanSql("a2")}),
+        c2 AS (SELECT cid, list(qc ORDER BY dim) AS qc
+               FROM u2 GROUP BY cid),
+        ac AS (${kmAssignSql("corp", "c2")}),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_dot_product(a.ev, b.ev) /
+                   (sqrt(list_dot_product(a.ev, a.ev)) *
+                    sqrt(list_dot_product(b.ev, b.ev))) AS c
+          FROM ac a JOIN ac b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, round(c, 6) AS cos_sim
+        FROM pairs WHERE c >= 0.3""")),
+
     // IVF/LSH-bucketed ANN top-k (approximate scale path). The hyperplanes
     // are deterministic, so the oracle embeds them as generated double
     // literals and replays the exact bucket-join + rank.

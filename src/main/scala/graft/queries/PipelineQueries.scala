@@ -207,6 +207,44 @@ object PipelineQueries {
                CAST(ceil(height * least(1.0,
                  32 / CAST(greatest(greatest(width, height), 1) AS DOUBLE)))
                  AS INTEGER) AS out_height
-        FROM feat"""))
+        FROM feat""")),
+
+    // North-star multimodal, REAL codec path: encode a deterministic
+    // grayscale PNG per doc (javax.imageio — ships with the JDK), decode
+    // it back with the SAME MediaDecoder the feature extractor uses, and
+    // emit exact integer pixel stats. PNG is lossless, so the oracle
+    // replays the pixel GENERATOR in closed form and hash-compares —
+    // end-to-end proof the codec path decodes real image bytes, with no
+    // codec on the oracle side. Stats are exact int sums (no ratio
+    // rounding, per the round-on-ratio oracle gotcha).
+    "multimodal_image_stats" -> Entry(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            val dec = new MultimodalOps.MediaDecoder
+            ids.map { id =>
+              val png = MultimodalOps.syntheticGrayPng(id)
+              val (w, h, sum) = dec.grayStats(png).getOrElse(
+                throw new IllegalStateException(s"png decode failed for $id"))
+              (id, w, h, sum, w.toLong * h)
+            }
+          }
+          .toDF("media_id", "width", "height", "intensity_sum", "n_px")
+      },
+      Some("""
+        WITH px AS (
+          SELECT doc_id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+          FROM documents),
+        grid AS (
+          SELECT doc_id, w, h, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+          FROM px, UNNEST(generate_series(0, w - 1)) AS tx(x),
+               UNNEST(generate_series(0, h - 1)) AS ty(y))
+        SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT)
+                 AS intensity_sum,
+               CAST(w * h AS BIGINT) AS n_px
+        FROM grid GROUP BY doc_id, w, h"""))
   )
 }

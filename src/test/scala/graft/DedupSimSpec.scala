@@ -360,6 +360,44 @@ class DedupSimSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall=$recall (${banded.size}/${exact.size})")
   }
 
+  test("cosineNearDupPairsIvf: same-cell pairs are a subset of the exact " +
+       "form with identical scores; full recall on a high-similarity " +
+       "near-dup corpus (the operator's regime)") {
+    // synthetic corpus: 20 deterministic base vectors, each with two
+    // tiny-perturbation copies (cos >= 0.99 to their base and sibling)
+    val rnd = new scala.util.Random(7)
+    val bases = Seq.tabulate(20)(_ => Array.fill(8)(rnd.nextGaussian()))
+    val rows = bases.zipWithIndex.flatMap { case (b, i) =>
+      Seq.tabulate(3) { c =>
+        val v = b.zipWithIndex.map { case (x, d) =>
+          (x + (if (c == 0) 0.0 else 0.01 * ((i + c + d) % 3 - 1))).toFloat
+        }
+        (i * 10L + c, v.toSeq)
+      }
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val ivf = SimilarityOps.cosineNearDupPairsIvf(vecs, 0.99,
+        nClusters = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val exact = SimilarityOps.cosineNearDupPairs(vecs, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // subset with identical verified scores
+    ivf.foreach { case (pair, score) =>
+      assert(exact.contains(pair) && exact(pair) === score, pair)
+    }
+    // every same-base triple is >= 0.99-similar and must be FOUND —
+    // near-identical vectors share the argmin cell
+    bases.indices.foreach { i =>
+      val ids = Seq(i * 10L, i * 10L + 1, i * 10L + 2)
+      ids.combinations(2).foreach { case Seq(a, b) =>
+        assert(ivf.contains((a, b)),
+          s"near-dup pair ($a,$b) missed by cell restriction")
+      }
+    }
+  }
+
   // keep LAST in the suite: setting a checkpoint dir flips dupClusters
   // to reliable mode for the rest of this session
   test("dupClusters under a configured checkpoint dir uses RELIABLE " +

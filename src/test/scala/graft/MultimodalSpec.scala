@@ -1,0 +1,124 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.MultimodalOps
+import graft.multimodal.MultimodalOps.{MediaDecoder, MediaRecord}
+
+/** REAL multimodal decode paths — no external codecs, only what the JDK
+  * ships: javax.imageio for images, a ByteBuffer RIFF/PCM parse for wav.
+  * The stub remains the fallback for video/unknown/undecodable payloads.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pngOf(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, gray(x, y))
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wavOf(samples: Array[Short], channels: Int,
+                    rate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16) // bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("png decode is REAL: imageio recovers exact dimensions and pixel " +
+       "mean from generated images") {
+    val dec = new MediaDecoder
+    val png = pngOf(20, 10, (x, y) => (x * 7 + y * 13) % 256)
+    val (w, h, frames, mean) = dec.decode(png, "image/png")
+    assert((w, h, frames) === ((20, 10, 1)))
+    val expected = (for (y <- 0 until 10; x <- 0 until 20)
+      yield (x * 7 + y * 13) % 256).sum / 200.0
+    assert(math.abs(mean - expected) < 1e-9, s"$mean vs $expected")
+    // exact integer stats (the oracle-checked form)
+    assert(dec.grayStats(png).get ===
+      ((20, 10, (for (y <- 0 until 10; x <- 0 until 20)
+        yield ((x * 7 + y * 13) % 256).toLong).sum)))
+  }
+
+  test("jpeg decode works off the same imageio path (dimensions exact; " +
+       "mean within lossy-codec tolerance)") {
+    val img = new java.awt.image.BufferedImage(32, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 32)
+      img.setRGB(x, y, 0x808080) // uniform mid-gray
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val (w, h, frames, mean) = new MediaDecoder().decode(
+      bos.toByteArray, "image/jpeg")
+    assert((w, h, frames) === ((32, 16, 1)))
+    assert(math.abs(mean - 128.0) < 4.0, s"mean=$mean") // lossy but close
+  }
+
+  test("wav decode is REAL: RIFF/PCM parse recovers rate, channels, " +
+       "frame count, and mean |amplitude|") {
+    val samples = Array[Short](0, 16384, -16384, 32767, -32768, 0)
+    val wav = wavOf(samples, channels = 2, rate = 8000)
+    val (rate, channels, frames, mean) = new MediaDecoder()
+      .decode(wav, "audio/wav")
+    assert((rate, channels, frames) === ((8000, 2, 3)))
+    val expAbs = samples.map(s => math.abs(s.toInt)).sum / 6.0 / 32768.0 * 255.0
+    assert(math.abs(mean - expAbs) < 1e-9, s"$mean vs $expAbs")
+  }
+
+  test("undecodable or unknown payloads fall back to the stub instead of " +
+       "failing the partition (skip-don't-crash)") {
+    val dec = new MediaDecoder
+    val junk = "not an image at all".getBytes("UTF-8")
+    val stub = new MultimodalOps.StubDecoder
+    assert(dec.decode(junk, "image/png") === stub.decode(junk))
+    assert(dec.decode(junk, "video/mp4") === stub.decode(junk))
+    assert(dec.decode(junk, null) === stub.decode(junk))
+    // truncated wav header
+    assert(dec.decode("RIFFxxxx".getBytes, "audio/wav") ===
+      stub.decode("RIFFxxxx".getBytes))
+  }
+
+  test("extractFeatures routes by MIME: real png dimensions for image " +
+       "rows, stub features for video rows — one decoder per partition") {
+    val png = pngOf(24, 12, (x, y) => (x + y) % 256)
+    val junk = "0123456789abcdef".getBytes("UTF-8")
+    val media = Seq(
+      MediaRecord(1L, "image", png, "image/png", null),
+      MediaRecord(2L, "video", junk, "video/mp4", null))
+      .toDS()
+    val out = MultimodalOps.extractFeatures(media)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).width === 24 && out(1L).height === 12)
+    val stubbed = new MultimodalOps.StubDecoder().decode(junk)
+    assert((out(2L).width, out(2L).height, out(2L).n_frames,
+      out(2L).mean_intensity) === stubbed)
+  }
+
+  test("syntheticGrayPng round-trips exactly (the multimodal_image_stats " +
+       "contract: closed-form generator stats == decoded stats)") {
+    val dec = new MediaDecoder
+    Seq(0L, 7L, 123L, 4999L).foreach { id =>
+      val (w, h, sum) = dec.grayStats(MultimodalOps.syntheticGrayPng(id)).get
+      val ew = 16 + (id % 16).toInt
+      val eh = 16 + (id % 8).toInt
+      val esum = (for (y <- 0 until eh; x <- 0 until ew)
+        yield (id * 31 + x * 7 + y * 13) % 256).sum
+      assert((w, h, sum) === ((ew, eh, esum)))
+    }
+  }
+}
