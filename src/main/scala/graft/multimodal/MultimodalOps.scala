@@ -126,7 +126,22 @@ object MultimodalOps {
       * 16-bit signed little-endian PCM (format code 1).
       */
     private[multimodal] def decodeWav(payload: Array[Byte])
-        : Option[(Int, Int, Int, Double)] = {
+        : Option[(Int, Int, Int, Double)] =
+      wavParse(payload).map { case (rate, channels, bits, n, absSum) =>
+        val maxAbs = if (bits == 8) 128.0 else 32768.0
+        (rate, channels, n / channels, absSum.toDouble / n / maxAbs * 255.0)
+      }
+
+    /** Exact integer PCM stats for spec/oracle parity:
+      * (sampleRate, channels, frames-per-channel, sum of |sample|). */
+    def pcmStats(payload: Array[Byte]): Option[(Int, Int, Int, Long)] =
+      wavParse(payload).map { case (rate, channels, _, n, absSum) =>
+        (rate, channels, n / channels, absSum)
+      }
+
+    /** (rate, channels, bits, total samples, exact |sample| sum). */
+    private def wavParse(payload: Array[Byte])
+        : Option[(Int, Int, Int, Int, Long)] = {
       try {
         val bb = java.nio.ByteBuffer.wrap(payload)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -136,7 +151,7 @@ object MultimodalOps {
           return None
         var pos = 12
         var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
-        var result: Option[(Int, Int, Int, Double)] = None
+        var result: Option[(Int, Int, Int, Int, Long)] = None
         while (pos + 8 <= payload.length && result.isEmpty) {
           val id = tag(pos)
           val len = bb.getInt(pos + 4)
@@ -151,7 +166,7 @@ object MultimodalOps {
             val bytesPer = bits / 8
             val n = math.min(len, payload.length - pos - 8) / bytesPer
             if (n == 0) return None
-            var sum = 0.0
+            var sum = 0L
             var i = 0
             while (i < n) {
               val v =
@@ -160,9 +175,7 @@ object MultimodalOps {
               sum += v
               i += 1
             }
-            val maxAbs = if (bits == 8) 128.0 else 32768.0
-            result = Some((rate, channels, n / channels,
-              sum / n / maxAbs * 255.0))
+            result = Some((rate, channels, bits, n, sum))
           }
           pos += 8 + len + (len & 1) // chunks are word-aligned
         }
@@ -248,6 +261,31 @@ object MultimodalOps {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Deterministic 16-bit mono PCM wav from a seed: 64 + seed%64 frames
+    * at 8 kHz, sample(i) = ((seed*7919 + i*104729) % 65536) - 32768.
+    * PCM is raw, so [[MediaDecoder.pcmStats]] recovers the exact
+    * samples — the `multimodal_audio_stats` oracle replays the generator
+    * in closed form, codec-free (same pattern as [[syntheticGrayPng]]).
+    */
+  def syntheticPcmWav(seed: Long): Array[Byte] = {
+    val n = 64 + (seed % 64).toInt
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(8000 * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((seed * 7919 + i.toLong * 104729) % 65536) - 32768).toShort)
+      i += 1
+    }
+    bb.array()
   }
 
   /** Build a media table from the documents fixture (text bytes as the

@@ -245,6 +245,39 @@ object PipelineQueries {
                CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT)
                  AS intensity_sum,
                CAST(w * h AS BIGINT) AS n_px
-        FROM grid GROUP BY doc_id, w, h"""))
+        FROM grid GROUP BY doc_id, w, h""")),
+
+    // Audio twin of multimodal_image_stats: deterministic 16-bit mono
+    // PCM wavs per doc, parsed back with the SAME RIFF/PCM decoder the
+    // feature extractor uses; exact |sample| sums, so the oracle replays
+    // the sample generator in closed form — codec-free end-to-end proof
+    // of the real audio decode path.
+    "multimodal_audio_stats" -> Entry(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            val dec = new MultimodalOps.MediaDecoder
+            ids.map { id =>
+              val wav = MultimodalOps.syntheticPcmWav(id)
+              val (rate, channels, frames, absSum) =
+                dec.pcmStats(wav).getOrElse(
+                  throw new IllegalStateException(s"wav parse failed for $id"))
+              (id, rate, channels, frames, absSum)
+            }
+          }
+          .toDF("media_id", "sample_rate", "channels", "n_frames", "abs_sum")
+      },
+      Some("""
+        WITH n AS (
+          SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+        smp AS (
+          SELECT doc_id, n, CAST(i AS BIGINT) AS i
+          FROM n, UNNEST(generate_series(0, n - 1)) AS t(i))
+        SELECT doc_id AS media_id, CAST(8000 AS INTEGER) AS sample_rate,
+               CAST(1 AS INTEGER) AS channels, CAST(n AS INTEGER) AS n_frames,
+               CAST(sum(abs((doc_id * 7919 + i * 104729) % 65536 - 32768))
+                 AS BIGINT) AS abs_sum
+        FROM smp GROUP BY doc_id, n"""))
   )
 }

@@ -109,6 +109,19 @@ class MultimodalSpec extends SparkSpec {
       out(2L).mean_intensity) === stubbed)
   }
 
+  test("syntheticPcmWav round-trips exactly (the multimodal_audio_stats " +
+       "contract: closed-form generator stats == parsed stats)") {
+    val dec = new MediaDecoder
+    Seq(0L, 3L, 63L, 4999L).foreach { id =>
+      val (rate, channels, frames, absSum) =
+        dec.pcmStats(MultimodalOps.syntheticPcmWav(id)).get
+      val en = 64 + (id % 64).toInt
+      val esum = (0 until en).map(i =>
+        math.abs((id * 7919 + i.toLong * 104729) % 65536 - 32768)).sum
+      assert((rate, channels, frames, absSum) === ((8000, 1, en, esum)))
+    }
+  }
+
   test("syntheticGrayPng round-trips exactly (the multimodal_image_stats " +
        "contract: closed-form generator stats == decoded stats)") {
     val dec = new MediaDecoder
