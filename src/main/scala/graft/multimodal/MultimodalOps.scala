@@ -223,6 +223,77 @@ object MultimodalOps {
       .filter(octet_length(col("frame_bytes")) > 0)
   }
 
+  /** REAL image resize (binary -> binary): nearest-neighbor downscale to
+    * `maxSide` with EXACT INTEGER arithmetic — output dims
+    * `(side*maxSide + m - 1) / m` (integer ceil, m = max(w, h); floats
+    * like 16.0/20 are not exactly representable and a float ceil can
+    * round a 16.000000000000004 up to 17) and source index
+    * `sx = x*w/ow` (integer floor). Deterministic and engine-replayable,
+    * so the resize is oracle-checkable end-to-end
+    * (`multimodal_resize_stats` replays generator∘sampling in SQL).
+    * Images already within `maxSide` pass through unchanged; undecodable
+    * payloads return None (caller keeps the original — skip-don't-crash).
+    * Grayscale stays single-band; color re-encodes as RGB.
+    */
+  def resizeImageNN(payload: Array[Byte], maxSide: Int): Option[Array[Byte]] = {
+    require(maxSide >= 1)
+    val img = try javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val m = math.max(w, h)
+      if (m <= maxSide) Some(payload)
+      else {
+        val ow = (w * maxSide + m - 1) / m
+        val oh = (h * maxSide + m - 1) / m
+        val srcRaster = img.getRaster
+        val gray = srcRaster.getNumBands == 1
+        val out = new java.awt.image.BufferedImage(ow, oh,
+          if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+          else java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val outRaster = out.getRaster
+        val bands = math.min(srcRaster.getNumBands, outRaster.getNumBands)
+        var y = 0
+        while (y < oh) {
+          val sy = y * h / oh
+          var x = 0
+          while (x < ow) {
+            val sx = x * w / ow
+            var b = 0
+            while (b < bands) {
+              outRaster.setSample(x, y, b, srcRaster.getSample(sx, sy, b))
+              b += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    }
+  }
+
+  /** Corpus-scale resize pass: one decoder per partition, image rows
+    * rewritten in place, non-image / undecodable rows passed through
+    * untouched. The binary->binary shape a 100 TB thumbnail backfill
+    * runs. */
+  def resizeImages(media: Dataset[MediaRecord], maxSide: Int)
+      : Dataset[MediaRecord] = {
+    implicit val enc = Encoders.product[MediaRecord]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val isImage = r.mime != null && r.mime.toLowerCase.startsWith("image/")
+        if (!isImage || r.payload == null) r
+        else resizeImageNN(r.payload, maxSide)
+          .map(p => r.copy(payload = p)).getOrElse(r)
+      }
+    }
+  }
+
   /** "Resize" metadata transform: pure column math on the typed metadata
     * (scale factors etc.) — decode-free, fully codegen'd.
     */

@@ -278,6 +278,52 @@ object PipelineQueries {
                CAST(1 AS INTEGER) AS channels, CAST(n AS INTEGER) AS n_frames,
                CAST(sum(abs((doc_id * 7919 + i * 104729) % 65536 - 32768))
                  AS BIGINT) AS abs_sum
-        FROM smp GROUP BY doc_id, n"""))
+        FROM smp GROUP BY doc_id, n""")),
+
+    // REAL resize: synthetic PNG -> nearest-neighbor downscale to max
+    // side 16 (integer-exact output dims and source sampling) -> decode
+    // the RESIZED image back. The oracle replays generator∘NN-sampling
+    // in closed form — the whole encode/resize/re-encode/decode chain is
+    // hash-checked without a codec on the oracle side.
+    "multimodal_resize_stats" -> Entry(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            val dec = new MultimodalOps.MediaDecoder
+            ids.map { id =>
+              val png = MultimodalOps.syntheticGrayPng(id)
+              val resized = MultimodalOps.resizeImageNN(png, 16).getOrElse(
+                throw new IllegalStateException(s"resize failed for $id"))
+              val (w, h, sum) = dec.grayStats(resized).getOrElse(
+                throw new IllegalStateException(s"decode failed for $id"))
+              (id, w, h, sum, w.toLong * h)
+            }
+          }
+          .toDF("media_id", "width", "height", "intensity_sum", "n_px")
+      },
+      Some("""
+        WITH px AS (
+          SELECT doc_id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+          FROM documents),
+        dim AS (SELECT doc_id, w, h, greatest(w, h) AS m FROM px),
+        o AS (SELECT doc_id, w, h,
+                     CASE WHEN m <= 16 THEN w
+                          ELSE (w * 16 + m - 1) // m END AS ow,
+                     CASE WHEN m <= 16 THEN h
+                          ELSE (h * 16 + m - 1) // m END AS oh
+              FROM dim),
+        grid AS (
+          SELECT doc_id, w, h, ow, oh,
+                 CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+          FROM o, UNNEST(generate_series(0, ow - 1)) AS tx(x),
+               UNNEST(generate_series(0, oh - 1)) AS ty(y))
+        SELECT doc_id AS media_id, CAST(ow AS INTEGER) AS width,
+               CAST(oh AS INTEGER) AS height,
+               CAST(sum((doc_id * 31 + ((x * w) // ow) * 7 +
+                         ((y * h) // oh) * 13) % 256) AS BIGINT)
+                 AS intensity_sum,
+               CAST(ow * oh AS BIGINT) AS n_px
+        FROM grid GROUP BY doc_id, ow, oh"""))
   )
 }

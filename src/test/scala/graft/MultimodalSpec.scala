@@ -109,6 +109,33 @@ class MultimodalSpec extends SparkSpec {
       out(2L).mean_intensity) === stubbed)
   }
 
+  test("resizeImageNN: integer-exact output dims and source sampling; " +
+       "within-budget images pass through; corpus-scale resizeImages " +
+       "rewrites image rows only") {
+    val dec = new MediaDecoder
+    // 20x10 downscaled to max side 16: ow = (20*16+19)/20 = 16,
+    // oh = (10*16+19)/20 = 8; out(x,y) = in(x*20/16, y*10/8)
+    val png = pngOf(20, 10, (x, y) => (x * 7 + y * 13) % 256)
+    val resized = MultimodalOps.resizeImageNN(png, 16).get
+    val (w, h, sum) = dec.grayStats(resized).get
+    assert((w, h) === ((16, 8)))
+    val esum = (for (y <- 0 until 8; x <- 0 until 16)
+      yield (((x * 20 / 16) * 7 + (y * 10 / 8) * 13) % 256).toLong).sum
+    assert(sum === esum)
+    // already small -> unchanged bytes
+    val small = pngOf(8, 8, (x, y) => x + y)
+    assert(MultimodalOps.resizeImageNN(small, 16).get eq small)
+    // dataset pass: image rows resized, video rows untouched
+    val media = Seq(
+      MediaRecord(1L, "image", png, "image/png", null),
+      MediaRecord(2L, "video", png, "video/mp4", null))
+      .toDS()
+    val out = MultimodalOps.resizeImages(media, 16)
+      .collect().map(r => r.media_id -> r.payload).toMap
+    assert(dec.grayStats(out(1L)).get._1 === 16)
+    assert(java.util.Arrays.equals(out(2L), png)) // non-image untouched
+  }
+
   test("syntheticPcmWav round-trips exactly (the multimodal_audio_stats " +
        "contract: closed-form generator stats == parsed stats)") {
     val dec = new MediaDecoder
