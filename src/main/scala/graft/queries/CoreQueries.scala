@@ -272,6 +272,33 @@ object CoreQueries {
                round(sum(l_quantity), 2) AS qty,
                max(CAST(l_shipdate AS TIMESTAMP)) AS last_ship
         FROM lineitem WHERE l_linenumber = 1
+        GROUP BY 1""")),
+
+    // S9: ORC interchange roundtrip — same write-once Scratch discipline
+    // as the Avro entry (the bench loop times the READ path, not repeated
+    // archive rewrites). Exercises Spark's native vectorized ORC
+    // reader/writer end-to-end; the oracle replays the aggregate over the
+    // identical rows from the parquet table.
+    "s9_orc_roundtrip" -> Entry(
+      (s, dir) => {
+        val archive = Scratch.materialize("orc", dir) { path =>
+          graft.sources.Sources.writeOrc(
+            Tables.lineitem(s, dir).filter(col("l_linenumber") === 2),
+            new java.io.File(path, "lineitem").toString)
+        } + "/lineitem"
+        graft.sources.Sources.orc(s, archive)
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"),
+            round(sum(col("l_quantity")), 2).as("qty"),
+            min(col("l_shipdate")).as("first_ship"))
+      },
+      Some("""
+        SELECT l_linestatus, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS revenue,
+               round(sum(l_quantity), 2) AS qty,
+               min(CAST(l_shipdate AS TIMESTAMP)) AS first_ship
+        FROM lineitem WHERE l_linenumber = 2
         GROUP BY 1"""))
   )
 }

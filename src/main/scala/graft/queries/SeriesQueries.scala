@@ -259,6 +259,34 @@ object SeriesQueries {
                       ORDER BY CAST(ts AS TIMESTAMP), value),
                  (acc, x) -> ${0.2} * x + ${1 - 0.2} * acc), 6)
                  AS ewma_last
-        FROM events GROUP BY 1"""))
+        FROM events GROUP BY 1""")),
+
+    // W-rolling: pandas groupby().rolling(5, min_periods=1) mean/std/
+    // min/max over the per-supplier shipment series. Exactness: quantities
+    // are integer-valued, so every 5-row frame sum is IEEE-exact in any
+    // accumulation order and the std algebra (see WindowOps.rollingStats)
+    // evaluates to the same bits in Spark and DuckDB; one-row frames give
+    // NULL std in both.
+    "w_rolling_stats" -> Entry(
+      (s, dir) => WindowOps.rollingStats(Tables.lineitem(s, dir),
+        "l_suppkey", Seq("l_shipdate", "l_orderkey", "l_linenumber"),
+        "l_quantity", 5),
+      Some("""
+        SELECT l_suppkey, CAST(l_shipdate AS TIMESTAMP) AS l_shipdate,
+               l_orderkey, l_linenumber,
+               count(*) OVER w AS roll_n,
+               sum(l_quantity) OVER w AS roll_sum,
+               sum(l_quantity) OVER w / count(*) OVER w AS roll_mean,
+               min(l_quantity) OVER w AS roll_min,
+               max(l_quantity) OVER w AS roll_max,
+               sqrt((sum(l_quantity * l_quantity) OVER w
+                     - (sum(l_quantity) OVER w) * (sum(l_quantity) OVER w)
+                       / count(*) OVER w)
+                    / nullif(count(*) OVER w - 1, 0)) AS roll_std
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_suppkey
+                     ORDER BY CAST(l_shipdate AS TIMESTAMP), l_orderkey,
+                              l_linenumber
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"""))
   )
 }

@@ -30,6 +30,19 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC scan — second columnar interchange format alongside parquet and
+    * the Avro archive path. Spark's native vectorized ORC reader gives the
+    * same pushdown/pruning contract as parquet (`PushedFilters` +
+    * `ReadSchema` reach the scan), so warehouse exports in ORC drop into
+    * every downstream operator unchanged. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink (snappy, Spark's default). Splittable stripes — a 100 TB
+    * archive re-reads with full parallelism, like the parquet path. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** K2/K3 equivalent: partitioned parquet sink (idempotent overwrite per
     * partition directory = the engine's at-least-once batch write, T8). */
   def writeParquet(df: DataFrame, path: String,

@@ -1,0 +1,64 @@
+package graft
+
+
+import graft.ops.WindowOps
+
+/** Rolling frame statistics (pandas groupby().rolling(n, min_periods=1)
+  * analog): hand-computed values on a tiny fixture, NULL-std on one-row
+  * frames, and the one-WindowExec plan contract (every statistic shares
+  * the frame spec, so Spark must evaluate all six in a single window
+  * operator — one shuffle + one sort, no per-stat re-scan).
+  */
+class RollingStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    // key a: ordered values 2, 4, 9
+    ("a", 1L, 2.0), ("a", 2L, 4.0), ("a", 3L, 9.0),
+    // key b: single row -> one-row frame
+    ("b", 1L, 7.0)
+  ).toDF("k", "seq", "v")
+
+  test("rolling mean/std/min/max match hand-computed frames") {
+    val out = WindowOps.rollingStats(fixture, "k", Seq("seq"), "v", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+
+    val a3 = out(("a", 3L)) // frame {2,4,9}
+    assert(a3.getAs[Long]("roll_n") === 3L)
+    assert(a3.getAs[Double]("roll_sum") === 15.0)
+    assert(a3.getAs[Double]("roll_mean") === 5.0)
+    assert(a3.getAs[Double]("roll_min") === 2.0)
+    assert(a3.getAs[Double]("roll_max") === 9.0)
+    // sample std of {2,4,9}: sqrt(((4+16+81) - 225/3) / 2) = sqrt(13)
+    assert(math.abs(a3.getAs[Double]("roll_std") - math.sqrt(13.0)) < 1e-12)
+
+    val a2 = out(("a", 2L)) // frame {2,4}
+    assert(a2.getAs[Double]("roll_mean") === 3.0)
+    assert(math.abs(a2.getAs[Double]("roll_std") - math.sqrt(2.0)) < 1e-12)
+  }
+
+  test("one-row frame yields NULL std (not NaN) and n=1") {
+    val out = WindowOps.rollingStats(fixture, "k", Seq("seq"), "v", 3)
+    val b = out.filter($"k" === "b").collect().head
+    assert(b.getAs[Long]("roll_n") === 1L)
+    assert(b.isNullAt(b.fieldIndex("roll_std")),
+      s"one-row std must be NULL, got ${b.get(b.fieldIndex("roll_std"))}")
+    // first row of key a is also a one-row frame
+    val a1 = out.filter($"k" === "a" && $"seq" === 1L).collect().head
+    assert(a1.isNullAt(a1.fieldIndex("roll_std")))
+  }
+
+  test("all six statistics evaluate in a single WindowExec") {
+    // string-match the executed plan (AdaptiveSparkPlanExec hides its
+    // initial plan from collect() until execution, same idiom as
+    // PlanShapeSpec): exactly one Window operator, one Exchange.
+    val plan = WindowOps.rollingStats(fixture, "k", Seq("seq"), "v", 5)
+      .queryExecution.executedPlan.toString
+    def count(needle: String) =
+      plan.sliding(needle.length).count(_ == needle)
+    assert(count("Window [") === 1,
+      s"expected one shared Window operator:\n$plan")
+    assert(count("Exchange ") === 1,
+      s"expected a single shuffle on the key:\n$plan")
+  }
+}

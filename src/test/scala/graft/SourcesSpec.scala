@@ -53,6 +53,25 @@ class SourcesSpec extends SparkSpec {
       .collect().head.getDouble(0) === 21.0)
   }
 
+  test("orc roundtrips schema and rows; filter pushes to the scan (S9)") {
+    val dir = Files.createTempDirectory("orcsrc").toString
+    val df = Seq((1L, "ETH", 10.5), (2L, "SOL", 5.25), (3L, "ETH", 11.0))
+      .toDF("id", "symbol", "price")
+    Sources.writeOrc(df, s"$dir/t")
+
+    val back = Sources.orc(spark, s"$dir/t")
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.count() === 3)
+    assert(back.filter($"symbol" === "ETH").agg(sum($"price"))
+      .collect().head.getDouble(0) === 21.5)
+
+    // pushdown contract: the predicate reaches the ORC scan
+    val plan = back.filter($"id" > 1L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"),
+      s"filter should push into the ORC scan:\n$plan")
+  }
+
   test("multiLine JSON array file parses to one row per element (S5)") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("jsonarr")
