@@ -171,4 +171,75 @@ object StatsOps {
       .agg(min(col("_v")).as(s"wq_$valCol"),
         max(col("_tw")).as("total_weight"))
   }
+
+  /** [[weightedQuantile]] for LOW-cardinality keys: the direct form's
+    * cumulative-sum window gives each key exactly ONE task, so with a
+    * handful of groups (returnflag has 3) the heavy sort runs at
+    * 3-way parallelism no matter how large the cluster — the classic
+    * "window partition = unit of parallelism" scale wall.
+    *
+    * This form restores full parallelism with a two-level scan over a
+    * `width_bucket` range partition of the value axis (monotone in the
+    * value, so per-bucket subtotals + a tiny bucket-level cumsum equal
+    * the global running sum):
+    *   1. per-(key,value) weight pre-aggregation (same as direct);
+    *   2. per-(key,bucket) subtotals — a fully parallel hash aggregate;
+    *   3. bucket-level cumsum over keys x `buckets` rows (trivial);
+    *      the quantile bucket is the first whose cum reaches q.Sw;
+    *   4. the in-bucket cumsum re-sorts only ~1/`buckets` of one key's
+    *      values (offset by the prior buckets' cumulative), and the
+    *      smallest qualifying value wins — identical semantics to the
+    *      direct form.
+    * At 100 TB the two heavy stages (1, 2) are hash aggregates that
+    * partial-combine map-side; no task ever sorts a whole key.
+    *
+    * Preconditions: key cardinality bounded (per-key bounds/targets ride
+    * a broadcast join — same bounded fan-in posture as the codebook
+    * broadcasts); weights integer-valued if bit-exact parity with a
+    * serial scan matters (frame sums are then exact in any accumulation
+    * order; fractional weights can flip a tie-adjacent pick). For
+    * high-cardinality keys use [[weightedQuantile]] — each key's slice is
+    * small there, so per-key tasks are the right parallelism unit.
+    */
+  def weightedQuantileBucketed(df: DataFrame, keyCol: String,
+                               valCol: String, weightCol: String,
+                               q: Double, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    val pv = Rebalance(df)
+      .groupBy(col(keyCol), col(valCol).as("_v"))
+      .agg(sum(col(weightCol)).as("_w"))
+    val stats = pv.groupBy(col(keyCol))
+      .agg(min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
+        sum(col("_w")).as("_tw"))
+    // monotone range partition of the value axis; single-valued keys and
+    // the v == hi edge (width_bucket's overflow bucket) clamp into range
+    val bucketOf = when(col("_lo") === col("_hi"), lit(1))
+      .otherwise(least(greatest(width_bucket(col("_v"), col("_lo"),
+        col("_hi"), lit(buckets)), lit(1)), lit(buckets)))
+    val bucketed = pv.join(broadcast(stats), Seq(keyCol))
+      .withColumn("_b", bucketOf)
+      .select(col(keyCol), col("_v"), col("_w"), col("_b"))
+    val perBucket = bucketed.groupBy(col(keyCol), col("_b"))
+      .agg(sum(col("_w")).as("_bw"))
+    val wB = Window.partitionBy(col(keyCol)).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cumB = perBucket
+      .join(broadcast(stats.select(col(keyCol), col("_tw"))), Seq(keyCol))
+      .withColumn("_cb", sum(col("_bw")).over(wB))
+    val qBucket = cumB.filter(col("_cb") >= lit(q) * col("_tw"))
+      .groupBy(col(keyCol)).agg(min(col("_b")).as("_qb"))
+    val pick = cumB.join(broadcast(qBucket), Seq(keyCol))
+      .filter(col("_b") === col("_qb"))
+      .select(col(keyCol), col("_qb"),
+        (col("_cb") - col("_bw")).as("_prior"), col("_tw"))
+    val wIn = Window.partitionBy(col(keyCol)).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed.join(broadcast(pick), Seq(keyCol))
+      .filter(col("_b") === col("_qb"))
+      .withColumn("_cw", col("_prior") + sum(col("_w")).over(wIn))
+      .filter(col("_cw") >= lit(q) * col("_tw"))
+      .groupBy(col(keyCol))
+      .agg(min(col("_v")).as(s"wq_$valCol"),
+        max(col("_tw")).as("total_weight"))
+  }
 }

@@ -219,8 +219,12 @@ object StatsQueries {
     // weights: every partial/running sum is exactly representable, so
     // the cumulative-weight threshold compares identically in both
     // engines regardless of each engine's summation association.
+    // Bucketed form: l_returnflag has 3 values, so the direct window
+    // cumsum would cap the heavy sort at 3 tasks cluster-wide; the
+    // width_bucket two-level scan keeps every stage fully parallel
+    // (semantics identical — WeightedQuantileSpec pins parity).
     "a8_weighted_median" -> Entry(
-      (s, dir) => graft.ops.StatsOps.weightedQuantile(
+      (s, dir) => graft.ops.StatsOps.weightedQuantileBucketed(
         Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice",
         "l_quantity", 0.5),
       Some("""
