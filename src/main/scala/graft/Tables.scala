@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -13,7 +13,22 @@ import org.apache.spark.sql.types.LongType
   */
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** The generated parquet stores time columns as timestamp-without-
+    * timezone (isAdjustedToUTC=false), which Spark 4 surfaces as
+    * TIMESTAMP_NTZ. Half the datetime function surface (`unix_millis`,
+    * `window`, …) is TIMESTAMP-only, so normalize at the loader: under the
+    * engine's fixed UTC session the NTZ->TIMESTAMP cast is a pure type
+    * relabel (identical wall-clock values, identical oracle results). The
+    * cast sits directly on the scan, so pushdown/pruning are unaffected.
+    */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

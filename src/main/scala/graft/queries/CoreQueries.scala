@@ -1,9 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
 import graft.Tables
 import graft.ops.{MetricOps, RelationalOps}
-import graft.sources.{AvroSource, Scratch}
+import graft.sources.{AvroSource, Scratch, Sources}
 import Catalog.Entry
 
 /** Scans, projections, filters, explodes, joins, sorts, set ops, datetime
@@ -299,6 +300,66 @@ object CoreQueries {
                round(sum(l_quantity), 2) AS qty,
                min(CAST(l_shipdate AS TIMESTAMP)) AS first_ship
         FROM lineitem WHERE l_linenumber = 2
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // S4: quarantining ingest end-to-end — a dirty JSON-lines archive
+    // (clean file + file with malformed records + not-actually-gzip file,
+    // the reference's validate-then-load shape, batch_to_mongo.py:60-106)
+    // is read through the pre-scan + PERMISSIVE split, and BOTH sides are
+    // aggregated in one plan: good-side count/sums prove the clean rows
+    // survive byte-exact, bad-side count proves every malformed record
+    // (and only those) was quarantined, and n_bad_files carries the
+    // file-level report. The aggregate-only-on-either-side shape is
+    // exactly what the raw-JSON-datasource variant of this read could not
+    // run (corrupt-column-only pruning restriction — see Sources.scala).
+    "s4_quarantine_stats" -> Entry(
+      (s, dir) => {
+        val fix = Scratch.materialize("jsonq", dir) { path =>
+          val rows = Tables.documents(s, dir)
+            .select(col("doc_id").as("id"), col("n_chars"))
+            .filter(col("id") < 200).orderBy("id")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          val d = new java.io.File(path); d.mkdirs()
+          def write(name: String, lines: Seq[String]): Unit = {
+            val w = new java.io.PrintWriter(
+              new java.io.File(d, name), "UTF-8")
+            try lines.foreach(w.println) finally w.close()
+          }
+          write("clean.json", rows.filter(_._1 % 2 == 0)
+            .map { case (i, n) => s"""{"id":$i,"nchars":$n}""" })
+          // every odd id divisible by 3 becomes a truncated record
+          write("mixed.json", rows.filter(_._1 % 2 == 1)
+            .map { case (i, n) =>
+              if (i % 3 == 0) s"""{"id":$i,"nchars":"""
+              else s"""{"id":$i,"nchars":$n}""" })
+          val gz = new java.io.FileOutputStream(
+            new java.io.File(d, "corrupt.json.gz"))
+          try gz.write("this is not a gzip stream".getBytes("UTF-8"))
+          finally gz.close()
+        }
+        val schema = new StructType()
+          .add("id", LongType).add("nchars", LongType)
+        val (parsed, report) =
+          Sources.jsonQuarantinedWithReport(s, schema, fix)
+        val (good, bad) = Sources.splitQuarantine(parsed)
+        good.agg(count(lit(1)).as("n_good"),
+            sum(col("id")).as("sum_id"),
+            sum(col("nchars")).as("sum_nchars"))
+          .crossJoin(bad.agg(count(lit(1)).as("n_bad_records")))
+          .withColumn("n_bad_files", lit(report.size.toLong))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id AS id, n_chars FROM documents WHERE doc_id < 200)
+        SELECT
+          (SELECT count(*) FROM d
+             WHERE id % 2 = 0 OR id % 3 <> 0) AS n_good,
+          (SELECT CAST(sum(id) AS BIGINT) FROM d
+             WHERE id % 2 = 0 OR id % 3 <> 0) AS sum_id,
+          (SELECT CAST(sum(n_chars) AS BIGINT) FROM d
+             WHERE id % 2 = 0 OR id % 3 <> 0) AS sum_nchars,
+          (SELECT count(*) FROM d
+             WHERE id % 2 = 1 AND id % 3 = 0) AS n_bad_records,
+          CAST(1 AS BIGINT) AS n_bad_files"""))
   )
 }

@@ -72,6 +72,62 @@ class SourcesSpec extends SparkSpec {
       s"filter should push into the ORC scan:\n$plan")
   }
 
+  test("quarantining JSON read splits clean/corrupt records and reports " +
+      "corrupt files (S4)") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jsonq")
+    Files.writeString(Paths.get(dir.toString, "clean.json"),
+      """{"id": 1, "n": 10}
+        |{"id": 2, "n": 20}
+        |""".stripMargin)
+    Files.writeString(Paths.get(dir.toString, "mixed.json"),
+      """{"id": 3, "n": 30}
+        |{"id": 4, "n":
+        |not json at all
+        |
+        |{"id": 5, "n": "oops"}
+        |{"id": 6, "n": 60}
+        |""".stripMargin)
+    // .gz extension, not gzip bytes: the reference's magic-sniff case
+    Files.write(Paths.get(dir.toString, "corrupt.json.gz"),
+      "definitely not gzip".getBytes("UTF-8"))
+
+    val schema = new StructType().add("id", LongType).add("n", LongType)
+    val (parsed, report) =
+      Sources.jsonQuarantinedWithReport(spark, schema, dir.toString)
+    val (good, bad) = Sources.splitQuarantine(parsed)
+
+    // file-level: exactly the fake-gzip file, with a magic-byte reason
+    assert(report.map(_._1.stripPrefix("file:")) ===
+      Seq(Paths.get(dir.toString, "corrupt.json.gz").toString))
+    assert(report.head._2.contains("magic"), report.head._2)
+
+    // aggregate-only on each side of the split: this is the plan shape
+    // the raw-JSON-datasource read could not run (pruning down to only
+    // the corrupt-record column is disallowed) — it must just work here
+    assert(good.count() === 4L) // ids 1,2,3,6; blank line dropped
+    assert(bad.count() === 3L)  // truncated, garbage, type-mismatch
+
+    assert(good.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L, 6L))
+    assert(good.agg(sum($"n")).collect().head.getLong(0) === 120L)
+
+    // quarantined rows keep raw text + provenance
+    val badRows = bad.select("_src_file", "_corrupt_record")
+      .as[(String, String)].collect().toSeq
+    assert(badRows.forall(_._1.endsWith("mixed.json")))
+    assert(badRows.map(_._2).exists(_.contains("not json at all")))
+    // PERMISSIVE keeps partially-parsed fields on the quarantined side
+    assert(bad.filter($"_corrupt_record".contains("oops"))
+      .select("id").as[Long].head() === 5L)
+
+    // good+bad aggregated in one plan (the s4_quarantine_stats shape)
+    val stats = good.agg(count(lit(1)).as("n_good"))
+      .crossJoin(bad.agg(count(lit(1)).as("n_bad")))
+      .collect().head
+    assert((stats.getLong(0), stats.getLong(1)) === ((4L, 3L)))
+  }
+
   test("multiLine JSON array file parses to one row per element (S5)") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("jsonarr")
