@@ -117,19 +117,25 @@ object CorpusOps {
     */
   def repetitionSignals(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    val words = split(col(textCol), " ")
-    val n = size(words)
+    // bind the split ONCE as a projected attribute: `transform` lambda
+    // bodies are interpreted (no codegen, no common-subexpression
+    // elimination), so an `element_at(split(text), …)` inside them would
+    // re-split the document on every element visit — O(words²) per doc
+    val ws = col("_ws")
+    val n = size(ws)
     def ngrams(k: Int): Column =
       transform(sequence(lit(1), n - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(o => element_at(words, i + o)): _*))
+        i => concat_ws(" ", (0 until k).map(o => element_at(ws, i + o)): _*))
     def dupFrac(arr: Column, total: Column): Column =
       lit(1.0) - size(array_distinct(arr)).cast("double") /
         total.cast("double")
-    docs.filter(length(col(textCol)) > 0).select(
-      col(idCol), n.as("n_words"),
-      dupFrac(words, n).as("dup_word_frac"),
-      when(n >= 2, dupFrac(ngrams(2), n - 1)).as("dup_2gram_frac"),
-      when(n >= 3, dupFrac(ngrams(3), n - 2)).as("dup_3gram_frac"))
+    docs.filter(length(col(textCol)) > 0)
+      .select(col(idCol), split(col(textCol), " ").as("_ws"))
+      .select(
+        col(idCol), n.as("n_words"),
+        dupFrac(ws, n).as("dup_word_frac"),
+        when(n >= 2, dupFrac(ngrams(2), n - 1)).as("dup_2gram_frac"),
+        when(n >= 3, dupFrac(ngrams(3), n - 2)).as("dup_3gram_frac"))
   }
 
   /** Corpus-wide exact segment dedup (the MassiveText / RefinedWeb

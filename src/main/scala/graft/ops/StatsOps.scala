@@ -205,37 +205,71 @@ object StatsOps {
                                valCol: String, weightCol: String,
                                q: Double, buckets: Int = 256): DataFrame = {
     require(buckets >= 2, s"buckets=$buckets must be >= 2")
-    val pv = Rebalance(df)
-      .groupBy(col(keyCol), col(valCol).as("_v"))
-      .agg(sum(col(weightCol)).as("_w"))
-    val stats = pv.groupBy(col(keyCol))
+    // Spark does NOT share common subplans: every DataFrame reference is
+    // a fresh evaluation of its whole subtree. The first cut of this
+    // operator derived stats / per-bucket totals / the final in-bucket
+    // pass all from one per-(key,value) pre-aggregate, which therefore
+    // re-scanned AND re-shuffled the input ~5x. This form runs three
+    // stages over the raw input (four physical scans — the bucket stage
+    // re-embeds the bounds scan), each pruned to 3 columns and each a
+    // map-side partial aggregate, with ONE small shuffle: the per-value
+    // collapse of the ~1/`buckets` slice holding the quantile. No
+    // Rebalance here: the per-row work is numeric compare/accumulate
+    // (not the hash/regex loads Rebalance exists for), and a repartition
+    // would run a full shuffle of the input once per branch.
+    val raw = df
+      .select(col(keyCol), col(valCol).as("_v"),
+        col(weightCol).as("_w"))
+
+    // scan 1: per-key bounds + total weight (no distinct-value shuffle —
+    // aggregates the raw rows directly)
+    val stats = raw.groupBy(col(keyCol))
       .agg(min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
         sum(col("_w")).as("_tw"))
+
     // monotone range partition of the value axis; single-valued keys and
-    // the v == hi edge (width_bucket's overflow bucket) clamp into range
+    // the v == hi edge (width_bucket's overflow bucket) clamp into range.
+    // Bucket id is a pure function of (_v, _lo, _hi), so assigning it on
+    // the raw scan here and again on scan 3 yields identical ids.
     val bucketOf = when(col("_lo") === col("_hi"), lit(1))
       .otherwise(least(greatest(width_bucket(col("_v"), col("_lo"),
         col("_hi"), lit(buckets)), lit(1)), lit(buckets)))
-    val bucketed = pv.join(broadcast(stats), Seq(keyCol))
+
+    // scan 2: per-(key, bucket) weight subtotals — fully parallel hash
+    // aggregate straight off the raw rows (bucketing doesn't need the
+    // per-value collapse)
+    val perBucket = raw.join(broadcast(stats), Seq(keyCol))
       .withColumn("_b", bucketOf)
-      .select(col(keyCol), col("_v"), col("_w"), col("_b"))
-    val perBucket = bucketed.groupBy(col(keyCol), col("_b"))
-      .agg(sum(col("_w")).as("_bw"))
+      .groupBy(col(keyCol), col("_b"))
+      .agg(sum(col("_w")).as("_bw"), max(col("_tw")).as("_tw"))
+
+    // bucket-level cumsum over keys x `buckets` rows (trivial); the
+    // quantile bucket is the FIRST whose cum reaches q.Sw — selected via
+    // row_number over the qualifying rows, so the cumsum subtree is
+    // evaluated once (a min-bucket join-back would re-evaluate it)
     val wB = Window.partitionBy(col(keyCol)).orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val cumB = perBucket
-      .join(broadcast(stats.select(col(keyCol), col("_tw"))), Seq(keyCol))
-      .withColumn("_cb", sum(col("_bw")).over(wB))
-    val qBucket = cumB.filter(col("_cb") >= lit(q) * col("_tw"))
-      .groupBy(col(keyCol)).agg(min(col("_b")).as("_qb"))
-    val pick = cumB.join(broadcast(qBucket), Seq(keyCol))
-      .filter(col("_b") === col("_qb"))
-      .select(col(keyCol), col("_qb"),
+    val cumB = perBucket.withColumn("_cb", sum(col("_bw")).over(wB))
+    val qualifying = cumB.filter(col("_cb") >= lit(q) * col("_tw"))
+    val pick = qualifying
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("_b"))))
+      .filter(col("_rn") === 1)
+      .select(col(keyCol), col("_b").as("_qb"),
         (col("_cb") - col("_bw")).as("_prior"), col("_tw"))
+
+    // scan 3: only the quantile bucket's slice (~1/`buckets` of the
+    // data) is collapsed per-value and cumsum'd — the one shuffle+sort,
+    // bounded and key-parallel
     val wIn = Window.partitionBy(col(keyCol)).orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    bucketed.join(broadcast(pick), Seq(keyCol))
+    raw.join(broadcast(stats.select(col(keyCol), col("_lo"), col("_hi"))),
+        Seq(keyCol))
+      .withColumn("_b", bucketOf)
+      .join(broadcast(pick), Seq(keyCol))
       .filter(col("_b") === col("_qb"))
+      .groupBy(col(keyCol), col("_v"), col("_prior"), col("_tw"))
+      .agg(sum(col("_w")).as("_w"))
       .withColumn("_cw", col("_prior") + sum(col("_w")).over(wIn))
       .filter(col("_cw") >= lit(q) * col("_tw"))
       .groupBy(col(keyCol))

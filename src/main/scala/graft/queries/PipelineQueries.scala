@@ -220,11 +220,22 @@ object PipelineQueries {
     "multimodal_image_stats" -> Entry(
       (s, dir) => {
         import s.implicits._
-        Tables.documents(s, dir).select(col("doc_id")).as[Long]
-          .mapPartitions { ids =>
+        // the PNG archive is written ONCE per JVM (Scratch): a real
+        // pipeline decodes stored bytes, so the timed/measured path is
+        // scan(binary) -> decode -> stats, not the per-row ENCODE of the
+        // fixture (ImageIO.write dominated the first cut's runtime)
+        val media = graft.sources.Scratch.materialize("png", dir) { path =>
+          Tables.documents(s, dir).select(col("doc_id")).as[Long]
+            .mapPartitions(_.map(id =>
+              (id, MultimodalOps.syntheticGrayPng(id))))
+            .toDF("media_id", "png")
+            .write.mode("overwrite").parquet(s"$path/media")
+        } + "/media"
+        s.read.parquet(media).select(col("media_id"), col("png"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
             val dec = new MultimodalOps.MediaDecoder
-            ids.map { id =>
-              val png = MultimodalOps.syntheticGrayPng(id)
+            rows.map { case (id, png) =>
               val (w, h, sum) = dec.grayStats(png).getOrElse(
                 throw new IllegalStateException(s"png decode failed for $id"))
               (id, w, h, sum, w.toLong * h)
