@@ -37,6 +37,14 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // pay collection OUTSIDE the timers: ~300 query executions in one
+      // JVM accrue garbage (broadcast blocks, codegen classes, shuffle
+      // buffers) faster than the ContextCleaner's weak-ref GC cadence
+      // reclaims it, and a major GC landing mid-query shows up as a
+      // random 3-10x single-query inflation that min-of-N can't mask
+      // when both passes are taxed. One forced full GC per query keeps
+      // the timed windows collection-quiet.
+      System.gc()
     }
 
     // optional dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 benches a subset

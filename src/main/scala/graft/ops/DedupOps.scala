@@ -86,6 +86,23 @@ object DedupOps {
     exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
+  /** Per-(doc, band) LSH band hashes — the shared banding stage behind
+    * [[minhashCandidates]] and the on-disk [[writeMinhashIndex]] /
+    * [[minhashIndexProbe]] pair. Output: (idCol, band, band_hash).
+    */
+  def minhashBands(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", shingleWords: Int = 3,
+                   k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sig = minhashSignatures(docs, idCol, textCol, shingleWords, k)
+    val bandCols = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("band_hash"))
+    }
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("kv"))
+      .select(col(idCol), col("kv.band"), col("kv.band_hash"))
+  }
+
   /** MinHash + LSH near-dup candidate pairs: signature of k hashes split
     * into `bands` bands; docs sharing any band hash become a candidate
     * pair. Output: (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
@@ -95,15 +112,7 @@ object DedupOps {
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", shingleWords: Int = 3,
                         k: Int = 16, bands: Int = 4): DataFrame = {
-    val rows = k / bands
-    val sig = minhashSignatures(docs, idCol, textCol, shingleWords, k)
-    val bandCols = (0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
-      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("band_hash"))
-    }
-    val banded = sig.select(col(idCol),
-        explode(array(bandCols: _*)).as("kv"))
-      .select(col(idCol), col("kv.band"), col("kv.band_hash"))
+    val banded = minhashBands(docs, idCol, textCol, shingleWords, k, bands)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -111,6 +120,63 @@ object DedupOps {
         col("a.band_hash") === col("b.band_hash") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Bucket id for the on-disk MinHash index layout: band × 16 + the
+    * band hash's first hex digit — one int partition column, 16·`bands`
+    * directories, uniform by construction (md5 digits are uniform). The
+    * prefix width is the scale dial: one hex digit keeps directory
+    * listing trivial at test scale; a 100 TB corpus widens it (2-3
+    * digits → 256-4096 buckets/band) so each directory stays a bounded
+    * scan unit — the pruning math is unchanged.
+    */
+  private def minhashBucket: Column =
+    (col("band") * 16 +
+      conv(substring(col("band_hash"), 1, 1), 16, 10).cast("int"))
+      .as("bucket")
+
+  /** Materialize a corpus's MinHash-LSH index: per-(doc, band) hashes
+    * written as parquet PARTITIONED BY the [[minhashBucket]] id. This is
+    * the incremental-ingest layout: deduplicating a new batch against a
+    * 100 TB indexed corpus re-reads only the bucket directories the
+    * batch's own band hashes name — never the corpus text, never the
+    * full index ([[minhashIndexProbe]]). Same physical discipline as the
+    * vector-side [[SimilarityOps.writeIvfIndex]].
+    */
+  def writeMinhashIndex(corpus: DataFrame, path: String,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        shingleWords: Int = 3, k: Int = 16,
+                        bands: Int = 4): Unit =
+    minhashBands(corpus, idCol, textCol, shingleWords, k, bands)
+      .withColumn("bucket", minhashBucket)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Probe a written MinHash index with a NEW batch: candidate near-dup
+    * pairs between batch docs and indexed corpus docs (within-batch pairs
+    * are [[minhashCandidates]]'s job). The batch's distinct bucket ids —
+    * a driver-side list bounded by min(batch·bands, 16·bands) — become
+    * static partition filters on the index scan, and the batch's band
+    * rows ride a broadcast hash join, so probe cost scales with the
+    * BATCH, not the corpus. Output: (doc_new, doc_corpus,
+    * n_shared_bands). Signature params must match the index write.
+    */
+  def minhashIndexProbe(spark: org.apache.spark.sql.SparkSession,
+                        path: String, batch: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        shingleWords: Int = 3, k: Int = 16,
+                        bands: Int = 4): DataFrame = {
+    val probe = minhashBands(batch, idCol, textCol, shingleWords, k, bands)
+      .withColumn("bucket", minhashBucket)
+    val buckets: Array[Int] = probe.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0))
+    val idx = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf).toSeq: _*))
+    idx.join(
+        broadcast(probe.select(col(idCol).as("doc_new"), col("band"),
+          col("band_hash"), col("bucket"))),
+        Seq("bucket", "band", "band_hash"))
+      .groupBy(col("doc_new"), col(idCol).as("doc_corpus"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 

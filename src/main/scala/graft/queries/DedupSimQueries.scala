@@ -338,6 +338,48 @@ object DedupSimQueries {
          AND a.doc_id < b.doc_id
         GROUP BY 1, 2""")),
 
+    // Incremental dedup against an ON-DISK MinHash index: the corpus's
+    // band hashes are materialized once as bucket-partitioned parquet
+    // (Scratch: write-once per JVM, so the bench times the PROBE), and a
+    // new batch is checked for near-dups against it via partition-pruned
+    // scan + broadcast join — probe cost scales with the batch, never the
+    // corpus (DedupOps.writeMinhashIndex/minhashIndexProbe; the 100 TB
+    // ingest path). Oracle replays the banding for both sides and joins.
+    "minhash_index_probe" -> Entry(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val idx = graft.sources.Scratch.materialize("mhidx", dir) { path =>
+          DedupOps.writeMinhashIndex(
+            docs.filter(col("doc_id") % 10 =!= 0), s"$path/idx")
+        } + "/idx"
+        DedupOps.minhashIndexProbe(s, idx,
+          docs.filter(col("doc_id") % 10 === 0))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            array_to_string(list_slice(ws, CAST(i AS INTEGER),
+              CAST(i AS INTEGER) + 2), ' ') AS s
+          FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 1)))
+            AS t(i)),
+        mh AS (
+          SELECT doc_id, CAST(h AS INTEGER) AS h,
+                 min(md5(CAST(h AS VARCHAR) || '|' || s)) AS minh
+          FROM sh, UNNEST(generate_series(0, 15)) AS ht(h)
+          GROUP BY 1, 2),
+        bands AS (
+          SELECT doc_id, h // 4 AS band,
+                 md5(string_agg(minh, '|' ORDER BY h)) AS band_hash
+          FROM mh GROUP BY 1, 2)
+        SELECT a.doc_id AS doc_new, b.doc_id AS doc_corpus,
+               count(*) AS n_shared_bands
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        GROUP BY 1, 2""")),
+
     // Exact word-2-gram Jaccard similarity pairs above a floor —
     // the LSH verification stage, bounded to a doc subset. Join-key
     // shingles are df-capped at 50 (DedupOps.ngramJaccardPairs maxDf):

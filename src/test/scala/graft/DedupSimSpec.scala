@@ -36,6 +36,44 @@ class DedupSimSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_shared_bands") === 4L)
   }
 
+  test("minhash index probe: batch-vs-corpus pairs match the self-join " +
+      "restricted to cross pairs; the index scan partition-prunes") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "completely different words nothing in common at all here now"),
+      (5L, "yet another unrelated document about distributed query engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again today"),
+      (11L, "fresh text that matches nothing previously indexed at all")
+    ).toDF("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    DedupOps.writeMinhashIndex(corpus, s"$dir/idx")
+    val probe = DedupOps.minhashIndexProbe(spark, s"$dir/idx", batch)
+
+    // ground truth: self-join over the union, keep only batch-vs-corpus
+    val expected = DedupOps
+      .minhashCandidates(corpus.unionByName(batch))
+      .filter(col("doc_a") < 10 && col("doc_b") >= 10)
+      .select(col("doc_b").as("doc_new"), col("doc_a").as("doc_corpus"),
+        col("n_shared_bands"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.map(_._1) === Set(10L)) // only the true near-dup hits
+
+    // the probe must scan only the batch's buckets, not the whole index:
+    // the parquet scan's PartitionFilters carry a non-empty predicate on
+    // the bucket partition column
+    val plan = probe.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
+      .getOrElse(fail(s"no PartitionFilters in plan:\n$plan"))
+    assert(pf.contains("bucket") && !pf.contains("PartitionFilters: []"),
+      s"index scan should partition-prune on bucket:\n$pf")
+  }
+
   test("ngram jaccard: identical docs = 1.0") {
     val df = Seq(
       (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u"))
