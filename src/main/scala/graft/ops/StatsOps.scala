@@ -47,7 +47,10 @@ object StatsOps {
     // still surface — with n=0 and null stats, exactly like the
     // percentile-based summaryStats. Non-null rows keep ranks 1.._n.
     val w = Window.partitionBy(col(keyCol)).orderBy(col("_v").asc_nulls_last)
-    val ranked = Rebalance(df)
+    // no Rebalance: the window's own exchange hash-partitions by key
+    // whatever the input layout, so a round-robin repartition here is a
+    // second full shuffle of the input for nothing
+    val ranked = df
       .select(col(keyCol), col(valCol).as("_v"))
       .withColumn("_rn", row_number().over(w))
       .withColumn("_n",

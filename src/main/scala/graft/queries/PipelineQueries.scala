@@ -14,6 +14,25 @@ import Catalog.Entry
   */
 object PipelineQueries {
 
+  /** Deterministic PNG archive (media_id, png bytes), written ONCE per
+    * JVM (Scratch): a real pipeline decodes stored bytes, so the
+    * image-entry timed paths are scan(binary) -> decode/resize -> stats,
+    * not the per-row ENCODE of the fixture (ImageIO.write dominated the
+    * first cut of both image entries). Shared by multimodal_image_stats
+    * and multimodal_resize_stats.
+    */
+  private def pngArchive(s: org.apache.spark.sql.SparkSession,
+                         dir: String): String = {
+    import s.implicits._
+    graft.sources.Scratch.materialize("png", dir) { path =>
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, MultimodalOps.syntheticGrayPng(id))))
+        .toDF("media_id", "png")
+        .write.mode("overwrite").parquet(s"$path/media")
+    } + "/media"
+  }
+
   def defs: Map[String, Entry] = Map(
 
     // X5 + A5 + A12 + K4: per-key ARIMA(p,d,q) trainer (Hannan–Rissanen
@@ -220,18 +239,8 @@ object PipelineQueries {
     "multimodal_image_stats" -> Entry(
       (s, dir) => {
         import s.implicits._
-        // the PNG archive is written ONCE per JVM (Scratch): a real
-        // pipeline decodes stored bytes, so the timed/measured path is
-        // scan(binary) -> decode -> stats, not the per-row ENCODE of the
-        // fixture (ImageIO.write dominated the first cut's runtime)
-        val media = graft.sources.Scratch.materialize("png", dir) { path =>
-          Tables.documents(s, dir).select(col("doc_id")).as[Long]
-            .mapPartitions(_.map(id =>
-              (id, MultimodalOps.syntheticGrayPng(id))))
-            .toDF("media_id", "png")
-            .write.mode("overwrite").parquet(s"$path/media")
-        } + "/media"
-        s.read.parquet(media).select(col("media_id"), col("png"))
+        s.read.parquet(pngArchive(s, dir))
+          .select(col("media_id"), col("png"))
           .as[(Long, Array[Byte])]
           .mapPartitions { rows =>
             val dec = new MultimodalOps.MediaDecoder
@@ -299,11 +308,12 @@ object PipelineQueries {
     "multimodal_resize_stats" -> Entry(
       (s, dir) => {
         import s.implicits._
-        Tables.documents(s, dir).select(col("doc_id")).as[Long]
-          .mapPartitions { ids =>
+        s.read.parquet(pngArchive(s, dir))
+          .select(col("media_id"), col("png"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
             val dec = new MultimodalOps.MediaDecoder
-            ids.map { id =>
-              val png = MultimodalOps.syntheticGrayPng(id)
+            rows.map { case (id, png) =>
               val resized = MultimodalOps.resizeImageNN(png, 16).getOrElse(
                 throw new IllegalStateException(s"resize failed for $id"))
               val (w, h, sum) = dec.grayStats(resized).getOrElse(
