@@ -150,6 +150,11 @@ object DedupOps {
                         bands: Int = 4): Unit =
     minhashBands(corpus, idCol, textCol, shingleWords, k, bands)
       .withColumn("bucket", minhashBucket)
+      // cluster rows by bucket before the partitioned write: otherwise
+      // every input partition spills a file into every bucket directory
+      // (files = partitions × buckets, all tiny) and probe-side listing/
+      // footer overhead swamps the pruning win
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** Probe a written MinHash index with a NEW batch: candidate near-dup
