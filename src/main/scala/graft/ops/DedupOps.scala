@@ -147,7 +147,7 @@ object DedupOps {
   def writeMinhashIndex(corpus: DataFrame, path: String,
                         idCol: String = "doc_id", textCol: String = "text",
                         shingleWords: Int = 3, k: Int = 16,
-                        bands: Int = 4): Unit =
+                        bands: Int = 4, mode: String = "overwrite"): Unit =
     minhashBands(corpus, idCol, textCol, shingleWords, k, bands)
       .withColumn("bucket", minhashBucket)
       // cluster rows by bucket before the partitioned write: otherwise
@@ -155,7 +155,7 @@ object DedupOps {
       // (files = partitions × buckets, all tiny) and probe-side listing/
       // footer overhead swamps the pruning win
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      .write.mode(mode).partitionBy("bucket").parquet(path)
 
   /** Probe a written MinHash index with a NEW batch: candidate near-dup
     * pairs between batch docs and indexed corpus docs (within-batch pairs
@@ -230,6 +230,45 @@ object DedupOps {
         (col("sz_a") + col("sz_b") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
+
+  /** Duplicated n-gram coverage — per-document fraction of its distinct
+    * word n-grams that also occur in at least `minDf` documents corpus-wide.
+    * This is the standard corpus-quality signal for boilerplate-heavy pages
+    * (C4/RefinedWeb-style "duplicate n-gram fraction" filters): a doc whose
+    * grams are mostly shared with the rest of the corpus is template text
+    * even when no single whole-doc duplicate exists.
+    *
+    * Scale shape: grams travel as 60-bit md5-derived longs, never strings.
+    * Document frequency is a window count over the gram hash — ONE
+    * evaluation of the explode+md5 projection and one shuffle to
+    * h-partitioning, where the equivalent df-aggregate+join form would
+    * re-evaluate the explode per reference (Spark shares no common
+    * subplans) and shuffle it twice. The window's in-partition sort is
+    * over narrow (long, long) rows, far cheaper than a second md5 pass.
+    * Two shuffles total (window partitioning, per-doc agg). Collision
+    * bound ≈ n_distinct_grams² / 2⁶¹ — negligible below ~10⁸ grams; widen
+    * the key to two longs past that.
+    *
+    * Reference analog: the duplicate/spam text-quality filtering over tweet
+    * text (/root/reference/dataflow/stream_join.py spam heuristics), lifted
+    * to the corpus level.
+    */
+  def dupNgramCoverage(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", n: Int = 3,
+                       minDf: Int = 2): DataFrame = {
+    val grams = Rebalance(docs)
+      .select(col(idCol), explode(wordShingles(textCol, n)).as("g"))
+      .select(col(idCol),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+    // wordShingles is distinct per doc, so the per-h count == distinct-doc df
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    grams.withColumn("df", count(lit(1)).over(byGram))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_gram_frac",
+        col("n_dup_grams").cast("double") / col("n_grams"))
   }
 
   /** SimHash (64-bit) from word shingles: per-bit majority vote over

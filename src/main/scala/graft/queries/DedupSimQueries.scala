@@ -418,6 +418,31 @@ object DedupSimQueries {
         WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
                 >= 0.05""")),
 
+    // Duplicated n-gram coverage per doc (C4/RefinedWeb boilerplate
+    // signal). Grams travel as 60-bit md5-prefix longs on BOTH engines,
+    // so the df counts and the ratio are exact (ratio of exact ints —
+    // identical IEEE division).
+    "dup_ngram_coverage" -> Entry(
+      (s, dir) => DedupOps.dupNgramCoverage(
+        Tables.documents(s, dir), n = 3, minDf = 2),
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                 ('0x' || substr(md5(array_to_string(list_slice(ws,
+                    CAST(i AS INTEGER), CAST(i AS INTEGER) + 2), ' ')),
+                    1, 15))::UBIGINT AS h
+               FROM d, UNNEST(generate_series(1, greatest(len(ws) - 2, 1)))
+                 AS t(i)),
+        df AS (SELECT h, count(*) AS df FROM sh GROUP BY 1)
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_grams,
+               CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) AS dup_gram_frac
+        FROM sh JOIN df USING (h)
+        GROUP BY 1""")),
+
     // SimHash 64-bit signatures — md5-derived hash, so the exact signature
     // is replayed in SQL (bit votes from hex-nibble parsing).
     "dedup_simhash" -> Entry(

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.DedupOps
+
+/** Continuous-ingest near-duplicate filtering against the on-disk MinHash
+  * index — the streaming face of [[graft.ops.DedupOps.minhashIndexProbe]].
+  *
+  * Each micro-batch of new documents is
+  *   1. probed against the indexed corpus (partition-pruned bucket scans +
+  *      a broadcast of the batch's own band rows — the corpus text is never
+  *      re-read, only the bucket directories the batch's hashes name),
+  *   2. self-checked for within-batch near-dups (min-id representative
+  *      survives), and
+  *   3. survivors are appended to `outPath` while their band rows extend
+  *      the index, so batch N+1 deduplicates against batch N's survivors.
+  *
+  * Probe cost scales with the MICRO-BATCH, not the corpus — the shape that
+  * holds when the indexed corpus is 100 TB and the ingest is a trickle.
+  * Each batch appends one file per touched bucket directory; a periodic
+  * [[graft.ops.DedupOps.writeMinhashIndex]] rewrite (mode=overwrite) is the
+  * compaction story, same as any LSM-flavored layout.
+  *
+  * Delivery: at-least-once. A replayed batch re-appends the same survivor
+  * rows and band rows (both keyed by doc_id), so downstream consumers
+  * dedupe exactly by id — the same contract as the reference's replayed
+  * blob ingestion (batch_to_mongo.py processed-state replay).
+  *
+  * The index must be bootstrapped with a non-empty corpus first (an empty
+  * parquet write carries no `bucket` partition column, so the probe's
+  * partition filter would not resolve).
+  */
+object StreamingDedup {
+
+  def run(spark: SparkSession, docsStream: DataFrame, indexPath: String,
+          outPath: String, checkpoint: String, idCol: String = "doc_id",
+          textCol: String = "text", shingleWords: Int = 3, k: Int = 16,
+          bands: Int = 4, minBands: Int = 1,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val survivors = dedupBatch(spark, batch, indexPath, idCol, textCol,
+          shingleWords, k, bands, minBands)
+        survivors.write.mode("append").parquet(outPath)
+        DedupOps.writeMinhashIndex(survivors, indexPath, idCol, textCol,
+          shingleWords, k, bands, mode = "append")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** One batch's survivors: drop docs near-duplicating the indexed corpus,
+    * then keep only the min-id representative of each within-batch
+    * candidate group. Exposed for batch-mode reuse and testing.
+    */
+  def dedupBatch(spark: SparkSession, batch: DataFrame, indexPath: String,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 shingleWords: Int = 3, k: Int = 16, bands: Int = 4,
+                 minBands: Int = 1): DataFrame = {
+    val dupVsCorpus = DedupOps
+      .minhashIndexProbe(spark, indexPath, batch, idCol, textCol,
+        shingleWords, k, bands)
+      .filter(col("n_shared_bands") >= minBands)
+      .select(col("doc_new").as(idCol)).distinct()
+    val dupInBatch = DedupOps
+      .minhashCandidates(batch, idCol, textCol, shingleWords, k, bands)
+      .filter(col("n_shared_bands") >= minBands)
+      .select(col("doc_b").as(idCol)).distinct()
+    batch.join(dupVsCorpus, Seq(idCol), "left_anti")
+      .join(dupInBatch, Seq(idCol), "left_anti")
+  }
+}

@@ -23,6 +23,26 @@ class DedupSimSpec extends SparkSpec {
     assert(en.getAs[Double]("dup_rate") === 1.0 / 3.0)
   }
 
+  test("dup n-gram coverage: shared template grams are flagged, unique " +
+      "grams are not") {
+    val df = Seq(
+      // docs 1/2 share the same 6-word template prefix; each adds a
+      // distinct 3-word tail. doc 3 is entirely unique.
+      (1L, "click here to read more now unique tail one"),
+      (2L, "click here to read more now different ending words"),
+      (3L, "completely original content with no shared grams at all")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dupNgramCoverage(df, n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_grams"),
+         r.getAs[Double]("dup_gram_frac"))).toMap
+    // 9 words -> 7 trigrams; the 6-word shared prefix yields 4 shared
+    // trigrams ("click here to" .. "read more now")
+    assert(out(1L) === ((7L, 4L, 4.0 / 7.0)))
+    assert(out(2L) === ((7L, 4L, 4.0 / 7.0)))
+    assert(out(3L) === ((7L, 0L, 0.0)))
+  }
+
   test("minhash LSH: identical docs share all bands, disjoint docs none") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again today"),

@@ -435,4 +435,62 @@ class StreamingSpec extends SparkSpec {
       assert(!b2.keySet.exists(_._1 == "B"), "B had no batch-2 data")
     } finally q.stop()
   }
+
+  test("streaming minhash dedup: corpus dups dropped, index grows so " +
+      "later batches see earlier survivors") {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.DedupOps
+    import graft.streaming.StreamingDedup
+    val root = Files.createTempDirectory("graft_sdedup").toString
+    val in = s"$root/in"; val out = s"$root/out"
+    val idx = s"$root/idx"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "completely different words nothing in common at all here now"))
+      .toDF("doc_id", "text")
+    DedupOps.writeMinhashIndex(corpus, idx)
+
+    def writeFile(name: String, docs: Seq[(Long, String)]): Unit =
+      Files.write(Paths.get(in, name), docs.map { case (id, t) =>
+        s"""{"doc_id": $id, "text": "$t"}"""
+      }.mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+
+    // batch 1: a corpus dup (10), a fresh doc (11)
+    writeFile("f1.json", Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again today"),
+      (11L, "fresh text that matches nothing previously indexed at all")))
+    val stream = graft.streaming.StreamingMetrics.fileStream(
+      spark, schema, in)
+    val q = StreamingDedup.run(spark, stream, idx, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      q.processAllAvailable()
+      // batch 2: a dup of batch-1 survivor 11 (20), an in-batch identical
+      // pair (21/22 -> min id 21 survives), and a fresh doc (23)
+      writeFile("f2.json", Seq(
+        (20L, "fresh text that matches nothing previously indexed at all"),
+        (21L, "brand new sentence appearing twice within this micro batch"),
+        (22L, "brand new sentence appearing twice within this micro batch"),
+        (23L, "yet another unrelated document about distributed query engines")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept === Array(11L, 21L, 23L))
+    // the index now covers corpus + survivors: a probe for 11's text hits
+    val probe = Seq((99L,
+      "fresh text that matches nothing previously indexed at all"))
+      .toDF("doc_id", "text")
+    val hits = DedupOps.minhashIndexProbe(spark, idx, probe)
+      .select("doc_corpus").collect().map(_.getLong(0))
+    assert(hits.contains(11L))
+  }
 }
