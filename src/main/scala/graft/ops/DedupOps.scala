@@ -271,6 +271,84 @@ object DedupOps {
         col("n_dup_grams").cast("double") / col("n_grams"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    * local-fingerprinting algorithm): positional word n-gram hashes, a
+    * sliding window of `w` consecutive hashes, and the minimum hash of
+    * each window selected (leftmost on ties — any fixed rule preserves
+    * the guarantee). Any passage of ≥ w+n-1 shared words between two
+    * documents is GUARANTEED to contribute at least one common
+    * fingerprint — the passage-level dup signal whole-doc MinHash can't
+    * give (a doc that merely embeds a long quoted chunk still collides on
+    * that chunk's fingerprints).
+    *
+    * Engine-portable selection: the window minimum is taken over the
+    * string `md5-prefix(gram) ++ zero-padded position`, so tie-breaks and
+    * the selected fingerprint replay exactly in SQL with no numeric hash
+    * parsing. Scale shape: grams are built in the array domain and
+    * posexploded to (doc, pos, key) rows — the array expression must be
+    * referenced EXACTLY once (a sibling `size(gramArr)` in the explode's
+    * select re-evaluates the interpreted transform per output row: O(L²)
+    * per doc, measured 20×). Full-window detection reuses the sliding
+    * frame itself: `count` over the SAME window spec as the min shares
+    * one WindowExec, so the whole selection is one shuffle + one window
+    * pass (a lead()-built gram variant measured slower). Distinct
+    * fingerprints out — density ~2/(w+1) of positions.
+    * Output: (idCol, fp).
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", n: Int = 4,
+                         w: Int = 4): DataFrame = {
+    val words = split(col(textCol), " ")
+    val gramArr = transform(
+      sequence(lit(0), greatest(size(words) - n, lit(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(n))))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos")).rowsBetween(0, w - 1)
+    Rebalance(docs)
+      .select(col(idCol), posexplode(gramArr).as(Seq("pos", "g")))
+      .select(col(idCol), col("pos"),
+        concat(substring(md5(col("g")), 1, 15),
+          lpad(col("pos").cast("string"), 8, "0")).as("key"))
+      .withColumn("sel", min(col("key")).over(win))
+      .withColumn("frame_n", count(lit(1)).over(win))
+      // full windows only; pos 0 also kept so a short doc (fewer than w
+      // grams) still fingerprints from its one truncated window
+      .filter(col("frame_n") === w || col("pos") === 0)
+      .select(col(idCol), substring(col("sel"), 1, 15).as("fp"))
+      .distinct()
+  }
+
+  /** Passage-level near-dup pairs from shared winnowing fingerprints:
+    * docs sharing ≥ `minShared` selected fingerprints. Fingerprints with
+    * document frequency > `maxDf` are dropped entirely (same
+    * quadratic-hot-key economics as [[ngramJaccardPairs]] — a boilerplate
+    * passage shared by f docs costs f²/2 pair rows).
+    *
+    * Because `maxDf` bounds each fingerprint's doc list, pairs come from
+    * ONE `collect_list` aggregate over the fingerprint frame plus a
+    * bounded in-array pair expansion — not a self-join, which would
+    * re-evaluate the whole fingerprint pipeline once per join side plus
+    * once for the hot-list filter (Spark shares no common subplans;
+    * measured ~2× on this op). The expansion lambdas are interpreted but
+    * run on ≤ maxDf-element arrays, and most fingerprints are singletons.
+    * Output: (doc_a, doc_b, n_shared).
+    */
+  def winnowDupPairs(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", n: Int = 4, w: Int = 4,
+                     minShared: Int = 1, maxDf: Int = 1000): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, n, w)
+    val byFp = fps.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col(idCol))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+    byFp
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SimHash (64-bit) from word shingles: per-bit majority vote over
     * 64-bit shingle hashes (first 16 md5-hex chars big-endian — engine-
     * portable, so the signature itself is oracle-checkable). Computed by

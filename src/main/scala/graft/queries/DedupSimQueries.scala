@@ -443,6 +443,36 @@ object DedupSimQueries {
         FROM sh JOIN df USING (h)
         GROUP BY 1""")),
 
+    // Winnowing passage-dup pairs (MOSS fingerprinting): the window-min
+    // selection runs over md5-prefix++position STRINGS, so tie-breaks and
+    // the selected fingerprints replay exactly in SQL.
+    "winnow_dup_pairs" -> Entry(
+      (s, dir) => DedupOps.winnowDupPairs(
+        Tables.documents(s, dir), n = 4, w = 4, minShared = 1, maxDf = 50),
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        g AS (SELECT doc_id, CAST(i AS INTEGER) - 1 AS pos,
+                substr(md5(array_to_string(list_slice(ws,
+                  CAST(i AS INTEGER), CAST(i AS INTEGER) + 3), ' ')), 1, 15)
+                  || lpad(CAST(CAST(i AS INTEGER) - 1 AS VARCHAR), 8, '0')
+                  AS key
+              FROM d, UNNEST(generate_series(1, greatest(len(ws) - 3, 1)))
+                AS t(i)),
+        w AS (SELECT doc_id, pos,
+                min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+                count(*) OVER (PARTITION BY doc_id) AS n_pos
+              FROM g),
+        fp AS (SELECT DISTINCT doc_id, substr(sel, 1, 15) AS fp
+               FROM w WHERE pos <= greatest(n_pos - 4, 0)),
+        hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 50),
+        kept AS (SELECT doc_id, fp FROM fp
+                 WHERE fp NOT IN (SELECT fp FROM hot))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2""")),
+
     // SimHash 64-bit signatures — md5-derived hash, so the exact signature
     // is replayed in SQL (bit votes from hex-nibble parsing).
     "dedup_simhash" -> Entry(

@@ -43,6 +43,30 @@ class DedupSimSpec extends SparkSpec {
     assert(out(3L) === ((7L, 0L, 0.0)))
   }
 
+  test("winnowing: a shared passage of >= w+n-1 words guarantees a " +
+      "common fingerprint; disjoint docs share none") {
+    // n=4, w=4 -> guarantee threshold 7 words; embed a 10-word passage
+    // at DIFFERENT positions in two otherwise-unrelated docs
+    val passage = "large language models memorize rare training " +
+      "examples verbatim sometimes"
+    val df = Seq(
+      (1L, s"alpha beta gamma $passage delta epsilon"),
+      (2L, s"$passage zeta eta theta iota kappa unrelated trailing words"),
+      (3L, "completely original content with no shared passages at " +
+        "all in this document here")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.winnowDupPairs(df, n = 4, w = 4)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+
+    // per-doc fingerprint density ~ 2/(w+1) of positions, never zero
+    val fps = DedupOps.winnowFingerprints(df, n = 4, w = 4)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("count")).toMap
+    assert(fps.keySet === Set(1L, 2L, 3L))
+    assert(fps.values.forall(_ >= 1L))
+  }
+
   test("minhash LSH: identical docs share all bands, disjoint docs none") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again today"),
