@@ -248,7 +248,12 @@ object DedupOps {
     * over narrow (long, long) rows, far cheaper than a second md5 pass.
     * Two shuffles total (window partitioning, per-doc agg). Collision
     * bound ≈ n_distinct_grams² / 2⁶¹ — negligible below ~10⁸ grams; widen
-    * the key to two longs past that.
+    * the key to two longs past that. Skew note: a pathologically hot gram
+    * (a boilerplate phrase in 10⁸ docs) lands its whole partition on one
+    * task under window partitioning (AQE does not split window skew); the
+    * df-aggregate+join form (slower here: partial aggregation absorbs the
+    * skew map-side) or a known-boilerplate pre-filter is the escape hatch
+    * at that regime.
     *
     * Reference analog: the duplicate/spam text-quality filtering over tweet
     * text (/root/reference/dataflow/stream_join.py spam heuristics), lifted

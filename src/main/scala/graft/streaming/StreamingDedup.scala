@@ -42,11 +42,19 @@ object StreamingDedup {
           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docsStream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val survivors = dedupBatch(spark, batch, indexPath, idCol, textCol,
-          shingleWords, k, bands, minBands)
-        survivors.write.mode("append").parquet(outPath)
-        DedupOps.writeMinhashIndex(survivors, indexPath, idCol, textCol,
-          shingleWords, k, bands, mode = "append")
+        // the micro-batch feeds the probe, the in-batch self-check AND the
+        // anti-join (3 evaluations), survivors feed sink + index (2) —
+        // cache both for the batch's scope, release before the next batch
+        val b = batch.persist()
+        try {
+          val survivors = dedupBatch(spark, b, indexPath, idCol, textCol,
+            shingleWords, k, bands, minBands).persist()
+          try {
+            survivors.write.mode("append").parquet(outPath)
+            DedupOps.writeMinhashIndex(survivors, indexPath, idCol, textCol,
+              shingleWords, k, bands, mode = "append")
+          } finally survivors.unpersist(blocking = true)
+        } finally b.unpersist(blocking = true)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

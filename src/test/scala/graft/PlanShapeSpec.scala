@@ -123,4 +123,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.indexOf("ObjectHashAggregate", firstExchange) > firstExchange,
       p)
   }
+
+  test("winnowDupPairs: NO join operator anywhere — pairs come from one " +
+       "collect_list expansion, and the fingerprint pipeline has exactly " +
+       "one Window pass (min and frame-count share the WindowExec)") {
+    val p = plan(DedupOps.winnowDupPairs(
+      Tables.documents(spark, sf), n = 4, w = 4, maxDf = 50))
+    assert(!p.contains("Join"), p)
+    assert(p.sliding("Window ".length).count(_ == "Window ") <= 1 &&
+      p.contains("Window"), p)
+  }
+
+  test("dupNgramCoverage: no join — df is a window count over the gram " +
+       "hash, so the shingle explode appears exactly once") {
+    val p = plan(DedupOps.dupNgramCoverage(Tables.documents(spark, sf)))
+    assert(!p.contains("Join"), p)
+    assert(p.sliding("Generate".length).count(_ == "Generate") === 1, p)
+  }
 }
