@@ -172,6 +172,74 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprints (one pass, no explode/window/shuffle): the
+    * per-position word n-gram hash is the first 15 md5-hex chars (= first
+    * 60 digest bits); each length-`w` window of consecutive positions
+    * selects its minimum by (hash, position) — identical selection and
+    * tie-breaks to [[graft.ops.DedupOps.winnowFingerprintsDeclarative]]'s
+    * window-min over `hex15 ++ zero-padded-pos` strings, which
+    * TextHashExprSpec pins. Output: distinct selected fingerprints as
+    * 15-hex-char strings, first-selection order. Window starts are
+    * 0..max(nPos-w, 0), so a doc with fewer than w grams still selects
+    * from its one truncated window. O(L·w) with w small; the direct scan
+    * beats a deque at these widths.
+    */
+  def winnowFps(text: UTF8String, n: Int, w: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val last = math.max(words.length - n, 0)
+    val nPos = last + 1
+    val h = new Array[Long](nPos)
+    val md = md5Local.get()
+    val tmp = new Array[Byte](16)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= last) {
+      sb.setLength(0)
+      val end = math.min(i + n, words.length) - 1
+      var j = i
+      while (j <= end) {
+        sb.append(words(j))
+        if (j < end) sb.append(' ')
+        j += 1
+      }
+      md.reset()
+      md.update(sb.toString.getBytes(StandardCharsets.UTF_8))
+      md.digest(tmp, 0, 16)
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (tmp(b) & 0xFFL); b += 1 }
+      h(i) = (v << 4) | ((tmp(7) >> 4) & 0xFL)
+      i += 1
+    }
+    val sel = new java.util.LinkedHashSet[java.lang.Long]
+    val lastStart = math.max(nPos - w, 0)
+    var s = 0
+    while (s <= lastStart) {
+      val end = math.min(s + w - 1, nPos - 1)
+      var best = s
+      var j = s + 1
+      // strict < keeps the earliest position on ties — the leftmost rule
+      while (j <= end) { if (h(j) < h(best)) best = j; j += 1 }
+      sel.add(h(best))
+      s += 1
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    i = 0
+    while (it.hasNext) {
+      val v = it.next().longValue()
+      val cs = new Array[Byte](15)
+      var c = 0
+      while (c < 15) {
+        cs(c) = HEX(((v >>> (4 * (14 - c))) & 0xFL).toInt).toByte
+        c += 1
+      }
+      out(i) = UTF8String.fromBytes(cs)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** (min, max) md5-hex over every character `len`-gram of the text —
     * codepoint windows computed from a single UTF-8 offset scan (no
     * per-window substring walk), hashing byte slices in place.
@@ -261,6 +329,24 @@ case class MinHashSigs(child: Expression, shingleWords: Int, k: Int)
       : Expression = copy(child = newChild)
 }
 
+/** winnow_fps(text, n, w): distinct winnowing fingerprints (15-hex). */
+case class WinnowFps(child: Expression, n: Int, w: Int)
+    extends TextHashExpr {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override def nullSafeEval(t: Any): Any =
+    HashKernels.winnowFps(t.asInstanceOf[UTF8String], n, w)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.winnowFps($c, $n, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** md5_minmax(text, len): struct(fp_min, fp_max) over character len-grams. */
 case class Md5MinMaxShingles(child: Expression, shingleLen: Int)
     extends TextHashExpr {
@@ -291,4 +377,7 @@ object TextHashFunctions {
 
   def md5_minmax(text: Column, shingleLen: Int): Column =
     Bridge.column(Md5MinMaxShingles(Bridge.expression(text), shingleLen))
+
+  def winnow_fps(text: Column, n: Int, w: Int): Column =
+    Bridge.column(WinnowFps(Bridge.expression(text), n, w))
 }

@@ -286,23 +286,41 @@ object DedupOps {
     * give (a doc that merely embeds a long quoted chunk still collides on
     * that chunk's fingerprints).
     *
-    * Engine-portable selection: the window minimum is taken over the
-    * string `md5-prefix(gram) ++ zero-padded position`, so tie-breaks and
-    * the selected fingerprint replay exactly in SQL with no numeric hash
-    * parsing. Scale shape: grams are built in the array domain and
-    * posexploded to (doc, pos, key) rows — the array expression must be
-    * referenced EXACTLY once (a sibling `size(gramArr)` in the explode's
-    * select re-evaluates the interpreted transform per output row: O(L²)
-    * per doc, measured 20×). Full-window detection reuses the sliding
-    * frame itself: `count` over the SAME window spec as the min shares
-    * one WindowExec, so the whole selection is one shuffle + one window
-    * pass (a lead()-built gram variant measured slower). Distinct
-    * fingerprints out — density ~2/(w+1) of positions.
-    * Output: (idCol, fp).
+    * Engine-portable selection: the minimum is by (15-char md5 prefix,
+    * position), the order the string `hex15(gram) ++ zero-padded pos`
+    * induces — so tie-breaks and the selected fingerprints replay exactly
+    * in SQL. A per-doc fingerprint set is a pure scalar function of the
+    * text, so the scale-right shape is the one-pass native kernel
+    * ([[graft.functions.WinnowFps]], doGenCode): a narrow codegen'd
+    * projection + explode, no shuffle, no window pass
+    * ([[winnowFingerprintsDeclarative]] is the SQL-shaped twin; kernel
+    * parity pinned by TextHashExprSpec). Density ~2/(w+1) of positions.
+    * Output: (idCol, fp), distinct per doc.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text", n: Int = 4,
-                         w: Int = 4): DataFrame = {
+                         w: Int = 4): DataFrame =
+    Rebalance(docs).select(col(idCol),
+      explode(graft.functions.TextHashFunctions
+        .winnow_fps(col(textCol), n, w)).as("fp"))
+
+  /** Declarative winnowing twin (posexplode + window-min): the
+    * oracle-shaped reference implementation the native kernel must match
+    * fingerprint-for-fingerprint (TextHashExprSpec parity). Retained as
+    * the form a SQL-only user would write; costs a shuffle + window pass
+    * the kernel doesn't.
+    *
+    * Hard-won structure notes: the gram array expression must be
+    * referenced EXACTLY once (a sibling `size(gramArr)` in the explode's
+    * select re-evaluates the interpreted transform per OUTPUT row — O(L²)
+    * per doc, measured 20×); full-window detection reuses the sliding
+    * frame itself (`count` over the SAME window spec as the min shares
+    * one WindowExec); a lead()-built gram variant measured slower than
+    * the transform lambda.
+    */
+  def winnowFingerprintsDeclarative(
+      docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 4, w: Int = 4): DataFrame = {
     val words = split(col(textCol), " ")
     val gramArr = transform(
       sequence(lit(0), greatest(size(words) - n, lit(0))),

@@ -124,14 +124,14 @@ class PlanShapeSpec extends SparkSpec {
       p)
   }
 
-  test("winnowDupPairs: NO join operator anywhere — pairs come from one " +
-       "collect_list expansion, and the fingerprint pipeline has exactly " +
-       "one Window pass (min and frame-count share the WindowExec)") {
+  test("winnowDupPairs: NO join and NO window operator — fingerprints " +
+       "come from the one-pass native kernel, pairs from one " +
+       "collect_list expansion") {
     val p = plan(DedupOps.winnowDupPairs(
       Tables.documents(spark, sf), n = 4, w = 4, maxDf = 50))
     assert(!p.contains("Join"), p)
-    assert(p.sliding("Window ".length).count(_ == "Window ") <= 1 &&
-      p.contains("Window"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("winnow_fps"), p)
   }
 
   test("dupNgramCoverage: no join — df is a window count over the gram " +

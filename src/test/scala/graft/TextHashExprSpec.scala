@@ -39,6 +39,19 @@ class TextHashExprSpec extends SparkSpec {
     assert(native === decl)
   }
 
+  test("native winnowing fingerprints match the declarative window-min " +
+       "selection exactly (incl. on real corpus docs)") {
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sets(DedupOps.winnowFingerprints(docs)) ===
+      sets(DedupOps.winnowFingerprintsDeclarative(docs)))
+    // real corpus slice: longer docs, many windows, tie opportunities
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(60)
+    assert(sets(DedupOps.winnowFingerprints(corpus)) ===
+      sets(DedupOps.winnowFingerprintsDeclarative(corpus)))
+  }
+
   test("native fingerprint matches declarative min/max md5 exactly") {
     val native = TextOps.fingerprint(docs).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
