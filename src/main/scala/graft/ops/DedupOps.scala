@@ -157,6 +157,31 @@ object DedupOps {
       .repartition(col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(path)
 
+  /** Compact an appended MinHash index back to one file per bucket
+    * directory. Streaming ingestion ([[graft.streaming.StreamingDedup]])
+    * appends one file per touched bucket per micro-batch — LSM-style
+    * write amplification that erodes the probe's
+    * one-bounded-scan-per-bucket economics; periodic compaction restores
+    * it. The rewrite clusters rows by bucket (one output file per
+    * directory), lands in a sibling temp dir, then swaps via
+    * delete+rename — the swap is NOT atomic for concurrent probes; at
+    * 100 TB compact bucket directories individually (same two-phase
+    * write-then-rename per bucket) so probes only ever miss the bucket
+    * mid-swap.
+    */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit = {
+    val tmp = path + "_compact_tmp"
+    spark.read.parquet(path)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   /** Probe a written MinHash index with a NEW batch: candidate near-dup
     * pairs between batch docs and indexed corpus docs (within-batch pairs
     * are [[minhashCandidates]]'s job). The batch's distinct bucket ids —

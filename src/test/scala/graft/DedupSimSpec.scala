@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import graft.ops.{DedupOps, SimilarityOps}
 
@@ -65,6 +67,42 @@ class DedupSimSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("count")).toMap
     assert(fps.keySet === Set(1L, 2L, 3L))
     assert(fps.values.forall(_ >= 1L))
+  }
+
+  test("minhash index compaction: appended batches collapse to one file " +
+      "per bucket and probe results are unchanged") {
+    import java.nio.file.{Files, Paths}
+    val idx = Files.createTempDirectory("graft_mhidx").toString + "/idx"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "completely different words nothing in common at all here now"))
+      .toDF("doc_id", "text")
+    DedupOps.writeMinhashIndex(corpus, idx)
+    // identical text -> identical band hashes -> same 4 bucket dirs get a
+    // second file
+    DedupOps.writeMinhashIndex(
+      Seq((5L, "the quick brown fox jumps over the lazy dog again today"))
+        .toDF("doc_id", "text"), idx, mode = "append")
+
+    def bucketFiles(): Map[String, Int] =
+      Files.list(Paths.get(idx)).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("bucket="))
+        .map(p => p.getFileName.toString ->
+          Files.list(p).iterator().asScala
+            .count(_.getFileName.toString.endsWith(".parquet"))).toMap
+    val probe = Seq((99L,
+      "the quick brown fox jumps over the lazy dog again today"))
+      .toDF("doc_id", "text")
+    def probeHits() = DedupOps.minhashIndexProbe(spark, idx, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+    assert(bucketFiles().values.exists(_ > 1),
+      "appends should leave multiple files in shared buckets")
+    val before = probeHits()
+    DedupOps.compactMinhashIndex(spark, idx)
+    assert(bucketFiles().values.forall(_ === 1), bucketFiles().toString)
+    assert(probeHits() === before)
   }
 
   test("minhash LSH: identical docs share all bands, disjoint docs none") {
