@@ -72,12 +72,13 @@ object StreamingDedup {
       .minhashIndexProbe(spark, indexPath, batch, idCol, textCol,
         shingleWords, k, bands)
       .filter(col("n_shared_bands") >= minBands)
-      .select(col("doc_new").as(idCol)).distinct()
+      .select(col("doc_new").as(idCol))
     val dupInBatch = DedupOps
       .minhashCandidates(batch, idCol, textCol, shingleWords, k, bands)
       .filter(col("n_shared_bands") >= minBands)
-      .select(col("doc_b").as(idCol)).distinct()
-    batch.join(dupVsCorpus, Seq(idCol), "left_anti")
-      .join(dupInBatch, Seq(idCol), "left_anti")
+      .select(col("doc_b").as(idCol))
+    // one anti-join against the unioned drop set (anti-join semantics
+    // don't need the distinct)
+    batch.join(dupVsCorpus.union(dupInBatch), Seq(idCol), "left_anti")
   }
 }
