@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{DotProduct, InterleaveBits, Md5MinMaxShingles,
-  MinHashSigs, SimHash64}
+  MinHashSigs, SimHash64, WinnowFps}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSigsDescriptor)
     ext.injectFunction(GraftExtensions.md5MinMaxDescriptor)
     ext.injectFunction(GraftExtensions.interleaveBitsDescriptor)
+    ext.injectFunction(GraftExtensions.winnowFpsDescriptor)
     // whole-operator extension: plans graft.plans.TopKPerGroup as
     // partial-heap -> shuffle -> final-heap (see TopKOps.topKPerGroup,
     // which also self-registers on sessions built without extensions)
@@ -65,4 +66,10 @@ object GraftExtensions {
     new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
     (exprs: Seq[Expression]) =>
       InterleaveBits(exprs(0), exprs(1), intArg(exprs(2))))
+
+  val winnowFpsDescriptor: FunctionDescriptor = (
+    FunctionIdentifier("winnow_fps"),
+    new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+    (exprs: Seq[Expression]) =>
+      WinnowFps(exprs(0), intArg(exprs(1)), intArg(exprs(2))))
 }

@@ -73,6 +73,20 @@ class TextHashExprSpec extends SparkSpec {
     assert(desc._1.funcName === "simhash64")
   }
 
+  test("winnow_fps survives nulls and has an extension descriptor") {
+    val withNull = Seq((1L, "a b c d e f g h"), (2L, null))
+      .toDF("doc_id", "text")
+    val out = withNull
+      .select($"doc_id",
+        TextHashFunctions.winnow_fps($"text", 4, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getSeq[String](1)))).toMap
+    assert(out(2L) === None)
+    assert(out(1L).get.nonEmpty)
+    assert(graft.GraftExtensions.winnowFpsDescriptor._1.funcName
+      === "winnow_fps")
+  }
+
   test("interpreted eval path (no codegen) agrees with codegen") {
     // force the interpreted path by evaluating the expression directly
     import org.apache.spark.sql.graftbridge.Bridge
