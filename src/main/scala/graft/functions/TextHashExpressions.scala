@@ -185,6 +185,10 @@ object HashKernels {
     * beats a deque at these widths.
     */
   def winnowFps(text: UTF8String, n: Int, w: Int): ArrayData = {
+    // SQL-reachable via GraftExtensions: fail as an argument error, not an
+    // executor-side ArrayIndexOutOfBounds deep in a codegen stage
+    require(n >= 1 && w >= 1,
+      s"winnow_fps requires n >= 1 and w >= 1, got n=$n w=$w")
     val words = text.toString.split(" ", -1)
     val last = math.max(words.length - n, 0)
     val nPos = last + 1

@@ -111,8 +111,16 @@ object DedupOps {
     */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", shingleWords: Int = 3,
-                        k: Int = 16, bands: Int = 4): DataFrame = {
-    val banded = minhashBands(docs, idCol, textCol, shingleWords, k, bands)
+                        k: Int = 16, bands: Int = 4): DataFrame =
+    minhashCandidatesBands(
+      minhashBands(docs, idCol, textCol, shingleWords, k, bands), idCol)
+
+  /** [[minhashCandidates]] from a precomputed (idCol, band, band_hash)
+    * frame — callers that also probe an index ([[graft.streaming.StreamingDedup]])
+    * compute the signatures once, persist, and feed both consumers.
+    */
+  def minhashCandidatesBands(banded: DataFrame,
+                             idCol: String = "doc_id"): DataFrame = {
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -164,10 +172,14 @@ object DedupOps {
     * one-bounded-scan-per-bucket economics; periodic compaction restores
     * it. The rewrite clusters rows by bucket (one output file per
     * directory), lands in a sibling temp dir, then swaps via
-    * delete+rename — the swap is NOT atomic for concurrent probes; at
+    * delete+rename. SINGLE-WRITER contract: quiesce appenders
+    * (StreamingDedup) for the swap — an append landing between the scan
+    * and the delete is silently dropped, and one landing between delete
+    * and rename would make the rename nest the temp dir inside the new
+    * directory. The swap is also not atomic for concurrent probes; at
     * 100 TB compact bucket directories individually (same two-phase
-    * write-then-rename per bucket) so probes only ever miss the bucket
-    * mid-swap.
+    * write-then-rename per bucket, same quiesce window) so probes only
+    * ever miss the one bucket mid-swap.
     */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String): Unit = {
@@ -175,11 +187,16 @@ object DedupOps {
     spark.read.parquet(path)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    // the PATH's filesystem, not defaultFS (index may live off-cluster)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // rename reports several failure modes via `false`, not an exception;
+    // past the delete a silent false would strand the index — fail loudly
+    require(fs.rename(src, dst),
+      s"compactMinhashIndex: rename $tmp -> $path failed after the old " +
+        "index was deleted; the compacted index remains at the temp path")
   }
 
   /** Probe a written MinHash index with a NEW batch: candidate near-dup
@@ -195,9 +212,19 @@ object DedupOps {
                         path: String, batch: DataFrame,
                         idCol: String = "doc_id", textCol: String = "text",
                         shingleWords: Int = 3, k: Int = 16,
-                        bands: Int = 4): DataFrame = {
-    val probe = minhashBands(batch, idCol, textCol, shingleWords, k, bands)
-      .withColumn("bucket", minhashBucket)
+                        bands: Int = 4): DataFrame =
+    minhashIndexProbeBands(spark, path,
+      minhashBands(batch, idCol, textCol, shingleWords, k, bands), idCol)
+
+  /** [[minhashIndexProbe]] from a precomputed (idCol, band, band_hash)
+    * frame (see [[minhashCandidatesBands]]). NOTE: evaluates `banded`
+    * twice (driver-side bucket collect + broadcast join side) — persist
+    * it when the signatures are nontrivial.
+    */
+  def minhashIndexProbeBands(spark: org.apache.spark.sql.SparkSession,
+                             path: String, banded: DataFrame,
+                             idCol: String = "doc_id"): DataFrame = {
+    val probe = banded.withColumn("bucket", minhashBucket)
     val buckets: Array[Int] = probe.select(col("bucket")).distinct()
       .collect().map(_.getInt(0))
     val idx = spark.read.parquet(path)

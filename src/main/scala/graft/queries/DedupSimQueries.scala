@@ -453,8 +453,9 @@ object DedupSimQueries {
     // min id. Oracle replays the same MinHash banding as dedup_minhash_lsh.
     "stream_dedup_apply" -> Entry(
       (s, dir) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_sda").toString
+        // ephemeral root: deleted with the scratch space at JVM exit (a
+        // bench soak must not accumulate an index copy per pass)
+        val root = graft.sources.Scratch.ephemeral("sda")
         // the loop APPENDS to its index, so each invocation needs a
         // private copy — build the pristine index once per JVM (Scratch),
         // then filesystem-copy it (ms) instead of re-running the Spark
@@ -467,11 +468,14 @@ object DedupSimQueries {
         locally {
           import java.nio.file.{Files, Path, Paths}
           val src = Paths.get(srcIdx); val dst = Paths.get(idx)
-          val it = Files.walk(src).iterator()
-          while (it.hasNext) {
-            val p: Path = it.next()
-            Files.copy(p, dst.resolve(src.relativize(p).toString))
-          }
+          val walk = Files.walk(src)
+          try {
+            val it = walk.iterator()
+            while (it.hasNext) {
+              val p: Path = it.next()
+              Files.copy(p, dst.resolve(src.relativize(p).toString))
+            }
+          } finally walk.close()
         }
         val sch = s.read.parquet(s"$dir/documents.parquet").schema
         // the %5 slice bounds the in-batch self-join while keeping the

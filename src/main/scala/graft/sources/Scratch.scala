@@ -59,4 +59,17 @@ object Scratch {
     }
     path
   }
+
+  /** A fresh per-invocation temp directory, deleted with the rest of the
+    * scratch space at JVM exit (one shared shutdown hook — per-invocation
+    * hooks would accumulate). For catalog entries that need a PRIVATE
+    * mutable workspace per bench pass (e.g. an index the query appends
+    * to), where `materialize`'s write-once contract doesn't fit.
+    */
+  def ephemeral(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$prefix")
+    val path = dir.toString
+    done.synchronized { hookInstalled; done += path }
+    path
+  }
 }

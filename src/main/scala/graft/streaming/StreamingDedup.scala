@@ -42,19 +42,26 @@ object StreamingDedup {
           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docsStream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        // the micro-batch feeds the probe, the in-batch self-check AND the
-        // anti-join (3 evaluations), survivors feed sink + index (2) —
-        // cache both for the batch's scope, release before the next batch
+        // one signature pass per batch: the banded frame feeds the index
+        // probe (bucket collect + broadcast side) AND the in-batch
+        // self-join; the raw batch feeds the final anti-join; survivors
+        // feed sink + index append. All three persist for the batch's
+        // scope and release before the next batch.
         val b = batch.persist()
+        val banded = DedupOps.minhashBands(b, idCol, textCol,
+          shingleWords, k, bands).persist()
         try {
-          val survivors = dedupBatch(spark, b, indexPath, idCol, textCol,
-            shingleWords, k, bands, minBands).persist()
+          val survivors = survivorsOf(spark, b, banded, indexPath, idCol,
+            minBands).persist()
           try {
             survivors.write.mode("append").parquet(outPath)
             DedupOps.writeMinhashIndex(survivors, indexPath, idCol, textCol,
               shingleWords, k, bands, mode = "append")
           } finally survivors.unpersist(blocking = true)
-        } finally b.unpersist(blocking = true)
+        } finally {
+          banded.unpersist(blocking = true)
+          b.unpersist(blocking = true)
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -62,19 +69,27 @@ object StreamingDedup {
 
   /** One batch's survivors: drop docs near-duplicating the indexed corpus,
     * then keep only the min-id representative of each within-batch
-    * candidate group. Exposed for batch-mode reuse and testing.
+    * candidate group. Exposed for batch-mode reuse and testing; computes
+    * the banded signatures unpersisted — the streaming loop above manages
+    * the persist lifecycle itself via [[survivorsOf]].
     */
   def dedupBatch(spark: SparkSession, batch: DataFrame, indexPath: String,
                  idCol: String = "doc_id", textCol: String = "text",
                  shingleWords: Int = 3, k: Int = 16, bands: Int = 4,
-                 minBands: Int = 1): DataFrame = {
+                 minBands: Int = 1): DataFrame =
+    survivorsOf(spark, batch,
+      DedupOps.minhashBands(batch, idCol, textCol, shingleWords, k, bands),
+      indexPath, idCol, minBands)
+
+  private def survivorsOf(spark: SparkSession, batch: DataFrame,
+                          banded: DataFrame, indexPath: String,
+                          idCol: String, minBands: Int): DataFrame = {
     val dupVsCorpus = DedupOps
-      .minhashIndexProbe(spark, indexPath, batch, idCol, textCol,
-        shingleWords, k, bands)
+      .minhashIndexProbeBands(spark, indexPath, banded, idCol)
       .filter(col("n_shared_bands") >= minBands)
       .select(col("doc_new").as(idCol))
     val dupInBatch = DedupOps
-      .minhashCandidates(batch, idCol, textCol, shingleWords, k, bands)
+      .minhashCandidatesBands(banded, idCol)
       .filter(col("n_shared_bands") >= minBands)
       .select(col("doc_b").as(idCol))
     // one anti-join against the unioned drop set (anti-join semantics
