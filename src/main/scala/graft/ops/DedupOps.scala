@@ -170,34 +170,12 @@ object DedupOps {
     * appends one file per touched bucket per micro-batch — LSM-style
     * write amplification that erodes the probe's
     * one-bounded-scan-per-bucket economics; periodic compaction restores
-    * it. The rewrite clusters rows by bucket (one output file per
-    * directory), lands in a sibling temp dir, then swaps via
-    * delete+rename. SINGLE-WRITER contract: quiesce appenders
-    * (StreamingDedup) for the swap — an append landing between the scan
-    * and the delete is silently dropped, and one landing between delete
-    * and rename would make the rename nest the temp dir inside the new
-    * directory. The swap is also not atomic for concurrent probes; at
-    * 100 TB compact bucket directories individually (same two-phase
-    * write-then-rename per bucket, same quiesce window) so probes only
-    * ever miss the one bucket mid-swap.
+    * it. Swap semantics, writer-quiesce contract, and the 100 TB
+    * per-bucket variant: [[IndexMaintenance.compactBucketed]].
     */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-                          path: String): Unit = {
-    val tmp = path + "_compact_tmp"
-    spark.read.parquet(path)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val src = new org.apache.hadoop.fs.Path(tmp)
-    // the PATH's filesystem, not defaultFS (index may live off-cluster)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(dst, true)
-    // rename reports several failure modes via `false`, not an exception;
-    // past the delete a silent false would strand the index — fail loudly
-    require(fs.rename(src, dst),
-      s"compactMinhashIndex: rename $tmp -> $path failed after the old " +
-        "index was deleted; the compacted index remains at the temp path")
-  }
+                          path: String): Unit =
+    IndexMaintenance.compactBucketed(spark, path)
 
   /** Probe a written MinHash index with a NEW batch: candidate near-dup
     * pairs between batch docs and indexed corpus docs (within-batch pairs

@@ -350,13 +350,30 @@ object SimilarityOps {
   /** Materialize the IVF index: the corpus written as parquet PARTITIONED
     * BY the sign-LSH bucket. This is the physical layout that turns probes
     * into partition-pruned scans — the difference between "filter 100 TB"
-    * and "read 1/2^bits of it".
+    * and "read 1/2^bits of it". Rows are clustered by bucket before the
+    * write (one file per directory per batch, not partitions × buckets
+    * tiny files — same discipline as the MinHash index).
     */
   def writeIvfIndex(corpus: DataFrame, path: String, dim: Int, bits: Int,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): Unit =
+                    vecCol: String = "embedding",
+                    mode: String = "overwrite"): Unit =
     corpus.withColumn("bucket", lshBucket(col(vecCol), dim, bits))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      .repartition(col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(path)
+
+  /** Incrementally add vectors to a written IVF index. The sign-LSH
+    * bucket is a STATELESS function of (vector, dim, bits) — no trained
+    * quantizer to version — so appended vectors land in exactly the
+    * bucket directories a probe for them will prune to; `dim`/`bits`
+    * must match the index write. Periodic
+    * [[graft.ops.IndexMaintenance.compactBucketed]] folds the per-batch
+    * files back to one per bucket.
+    */
+  def appendIvfIndex(newVecs: DataFrame, path: String, dim: Int, bits: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit =
+    writeIvfIndex(newVecs, path, dim, bits, idCol, vecCol, mode = "append")
 
   /** Probe a written IVF index. The probe set (own bucket + optional
     * hamming-1 neighbors per query) is computed from the query vectors —

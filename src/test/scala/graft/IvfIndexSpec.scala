@@ -46,6 +46,44 @@ class IvfIndexSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("incremental append: new vectors land in probe-able buckets; " +
+      "compaction folds files and preserves probe results") {
+    import java.nio.file.Paths
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("ivf_idx_app").toString
+    SimilarityOps.writeIvfIndex(vecs(40, seed = 1), dir, dim, bits)
+    // append a batch CONTAINING the query vectors themselves: the probe
+    // must surface them as exact matches (cos_sim 1.0 at rank 1)
+    val queries = vecs(3, seed = 7)
+    SimilarityOps.appendIvfIndex(
+      queries.withColumn("vec_id", col("vec_id") + 500000L),
+      dir, dim, bits)
+
+    // cos_sim ties with colinear corpus vectors are id-tiebroken, so
+    // assert membership-with-similarity-1 rather than rank 1
+    def topHits() = SimilarityOps.ivfIndexTopK(spark, dir, queries, k = 50,
+      dim = dim, bits = bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val hits = topHits()
+    queries.collect().map(_.getLong(0)).foreach { q =>
+      assert(hits.get((q, q + 500000L)).contains(1.0),
+        s"query $q should find its appended clone at cos_sim 1.0")
+    }
+
+    def bucketFiles(): Map[String, Int] =
+      Files.list(Paths.get(dir)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("bucket="))
+        .map(p => p.getFileName.toString ->
+          Files.list(p).iterator().asScala
+            .count(_.getFileName.toString.endsWith(".parquet"))).toMap
+    assert(bucketFiles().values.exists(_ > 1),
+      "append should add files to existing buckets")
+    graft.ops.IndexMaintenance.compactBucketed(spark, dir)
+    assert(bucketFiles().values.forall(_ === 1), bucketFiles().toString)
+    assert(topHits() === hits)
+  }
+
   test("multi-probe reads more buckets but stays pruned") {
     val dir = Files.createTempDirectory("ivf_idx_mp").toString
     SimilarityOps.writeIvfIndex(vecs(60, seed = 1), dir, dim, bits)

@@ -436,6 +436,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming vector dedup: near-dups of indexed vectors dropped, " +
+      "index grows so later batches see earlier survivors") {
+    import java.nio.file.Files
+    import graft.ops.SimilarityOps
+    import graft.streaming.StreamingVecDedup
+    val root = Files.createTempDirectory("graft_svdedup").toString
+    val in = s"$root/in"; val out = s"$root/out"
+    val idx = s"$root/idx"; val ckpt = s"$root/ckpt"
+    val dim = 4; val bits = 2
+
+    def vdf(rows: (Long, Array[Float])*) = rows.toSeq
+      .toDF("vec_id", "embedding")
+    val vA = Array(1f, 0f, 0f, 0f)
+    val vB = Array(0f, 1f, 0f, 0f)
+    val vC = Array(0f, 0f, 1f, 0f)
+    val vD = Array(0f, 0f, 0f, 1f)
+    SimilarityOps.writeIvfIndex(vdf(1L -> vA), idx, dim, bits)
+    Files.createDirectories(java.nio.file.Paths.get(in))
+
+    val stream = spark.readStream
+      .schema(vdf(0L -> vA).schema).parquet(in)
+    val q = StreamingVecDedup.run(spark, stream, idx, out, ckpt,
+      dim, bits, minCos = 0.99,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      // batch 1: a clone of the indexed vector (10, dropped) + fresh (11)
+      vdf(10L -> vA, 11L -> vB).write.mode("append").parquet(in)
+      q.processAllAvailable()
+      // batch 2: a clone of survivor 11 (20, dropped), an in-batch
+      // identical pair (21/22 -> 21 survives), a fresh vector (23)
+      vdf(20L -> vB, 21L -> vC, 22L -> vC, 23L -> vD)
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.read.parquet(out).select("vec_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept === Array(11L, 21L, 23L))
+  }
+
   test("streaming minhash dedup: corpus dups dropped, index grows so " +
       "later batches see earlier survivors") {
     import java.nio.file.{Files, Paths}
