@@ -215,6 +215,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: winnowFps kernel matches an independent naive " +
+       "reference over random word soups, n, and w") {
+    def naive(text: String, n: Int, w: Int): Set[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex15(s: String): String =
+        md.digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+      val words = text.split(" ", -1)
+      val last = math.max(words.length - n, 0)
+      val keys = (0 to last).map { i =>
+        val gram = words.slice(i, math.min(i + n, words.length)).mkString(" ")
+        hex15(gram) + f"$i%08d"
+      }
+      val lastStart = math.max(keys.length - w, 0)
+      (0 to lastStart).map { s =>
+        keys.slice(s, math.min(s + w, keys.length)).min.take(15)
+      }.toSet
+    }
+    val word = Gen.oneOf("a", "bb", "ccc", "dd", "e", "ff")
+    val textGen = for {
+      len <- Gen.choose(0, 30)
+      ws <- Gen.listOfN(len, word)
+    } yield ws.mkString(" ")
+    val caseGen = Gen.zip(textGen, Gen.choose(1, 4), Gen.choose(1, 5))
+    samples(caseGen, 150).foreach { case (text, n, w) =>
+      val got = graft.functions.HashKernels
+        .winnowFps(org.apache.spark.unsafe.types.UTF8String.fromString(text),
+          n, w)
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSet
+      assert(got === naive(text, n, w), s"text='$text' n=$n w=$w")
+    }
+  }
+
   test("property: ewmaLast stays within the series' [min, max]") {
     val serGen = Gen.listOfN(25, Gen.choose(-50.0, 50.0))
     samples(serGen, 8).foreach { vals =>
