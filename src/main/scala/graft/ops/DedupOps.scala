@@ -281,9 +281,11 @@ object DedupOps {
     * the key to two longs past that. Skew note: a pathologically hot gram
     * (a boilerplate phrase in 10⁸ docs) lands its whole partition on one
     * task under window partitioning (AQE does not split window skew); the
-    * df-aggregate+join form (slower here: partial aggregation absorbs the
-    * skew map-side) or a known-boilerplate pre-filter is the escape hatch
-    * at that regime.
+    * df-aggregate+join form (measured SLOWER end-to-end at both sf0.1
+    * [1.9 vs 1.3 s] and sf1 [14.3 vs ~7 s] — the join re-evaluates the
+    * explode and shuffles it twice — but its partial aggregation absorbs
+    * per-key skew map-side) or a known-boilerplate pre-filter is the
+    * escape hatch at that regime.
     *
     * Reference analog: the duplicate/spam text-quality filtering over tweet
     * text (/root/reference/dataflow/stream_join.py spam heuristics), lifted
