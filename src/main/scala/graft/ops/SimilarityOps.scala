@@ -444,6 +444,39 @@ object SimilarityOps {
     * and PQ training both use the exact quantized-long argmin, so the
     * whole index build and search replay in the oracle.
     */
+  /** Two-stage ANN serving — the standard IVF-PQ pattern: [[ivfPqTopK]]'s
+    * ADC ranking nominates `rerankR` candidates per query, and ONLY those
+    * ids are re-scored with exact cosine against the raw vectors. At
+    * 100 TB the re-rank is a broadcast of |Q|·R candidate ids into one
+    * corpus scan (a broadcast semi-join fetch, never a shuffle of the
+    * corpus), recovering the ranking fidelity ADC quantization loses for
+    * the cost of touching R true vectors per query.
+    */
+  def ivfPqRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                      rerankR: Int, dim: Int, nCells: Int, cellIters: Int,
+                      m: Int, codebookK: Int, pqIters: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val cand = ivfPqTopK(queries, corpus, rerankR, dim, nCells, cellIters,
+      m, codebookK, pqIters, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"))
+    val scored = c
+      .join(broadcast(cand.join(broadcast(q), Seq("query_id"))),
+        Seq("corpus_id"))
+      .withColumn("cos_sim", dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cos_sim"), 6).as("cos_sim"), col("rnk"))
+  }
+
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
                 nCells: Int, cellIters: Int, m: Int, codebookK: Int,
                 pqIters: Int, idCol: String = "vec_id",

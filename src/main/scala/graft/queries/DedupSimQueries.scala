@@ -102,6 +102,42 @@ object DedupSimQueries {
     * to be defined; emits `enc` (corpus codes: vec_id, sub, cid) and
     * `qd` (query distance table: query_id, sub, cid, d).
     */
+  /** IVF-PQ replay through the ADC ranking — the shared prelude of
+    * `ivfpq_topk` and `ivfpq_rerank_topk` (ends with CTE `ranked`).
+    */
+  private lazy val ivfpqRankedCte: String = s"""
+        WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+                             $qzSql AS qv
+                      FROM embeddings WHERE vec_id >= 10),
+        qry AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+                       $qzSql AS qv
+                FROM embeddings WHERE vec_id < 10),
+        cc0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
+                         - 1 AS cid, qv AS qc
+                FROM (SELECT vec_id, qv FROM corp ORDER BY vec_id LIMIT 4)),
+        ca1 AS (${kmAssignSql("corp", "cc0")}),
+        cu1 AS (${kmMeanSql("ca1")}),
+        cc1 AS (SELECT cid, list(qc ORDER BY dim) AS qc
+                FROM cu1 GROUP BY cid),
+        cellc AS (SELECT vec_id, cid AS cell
+                  FROM (${kmAssignSql("corp", "cc1")})),
+        cellq AS (SELECT vec_id, cid AS cell
+                  FROM (${kmAssignSql("qry", "cc1")})),
+        cq AS (SELECT vec_id, qv FROM corp),
+        qq AS (SELECT vec_id, qv FROM qry),
+        $pqPipelineSql,
+        adc AS (SELECT qd.query_id, enc.vec_id AS corpus_id,
+                       sum(qd.d) AS dist
+                FROM enc JOIN qd ON enc.sub = qd.sub AND enc.cid = qd.cid
+                JOIN cellc ON cellc.vec_id = enc.vec_id
+                JOIN cellq ON cellq.vec_id = qd.query_id
+                          AND cellq.cell = cellc.cell
+                GROUP BY 1, 2),
+        ranked AS (SELECT query_id, corpus_id, dist,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, corpus_id) AS rnk
+                   FROM adc)"""
+
   private def pqDistSql(a: String, b: String, subLen: Int): String =
     s"list_sum(list_transform(generate_series(1, $subLen), i -> " +
       s"($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]) * " +
@@ -648,7 +684,8 @@ object DedupSimQueries {
     // North-star billion-scale ANN layout: IVF-PQ — trained coarse cells
     // (1 Lloyd round, 4 cells) restrict candidates, PQ codes carry the
     // distances (SimilarityOps.ivfPqTopK). Oracle = the coarse-quantizer
-    // replay composed with the PQ replay, joined on cell equality.
+    // replay composed with the PQ replay, joined on cell equality
+    // (ivfpqRankedCte, shared with the re-rank entry below).
     "ivfpq_topk" -> Entry(
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
@@ -657,43 +694,47 @@ object DedupSimQueries {
           k = 5, dim = 64, nCells = 4, cellIters = 1, m = 4,
           codebookK = 8, pqIters = 1)
       },
-      Some(s"""
-        WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
-                             $qzSql AS qv
-                      FROM embeddings WHERE vec_id >= 10),
-        qry AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
-                       $qzSql AS qv
-                FROM embeddings WHERE vec_id < 10),
-        cc0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
-                         - 1 AS cid, qv AS qc
-                FROM (SELECT vec_id, qv FROM corp ORDER BY vec_id LIMIT 4)),
-        ca1 AS (${kmAssignSql("corp", "cc0")}),
-        cu1 AS (${kmMeanSql("ca1")}),
-        cc1 AS (SELECT cid, list(qc ORDER BY dim) AS qc
-                FROM cu1 GROUP BY cid),
-        cellc AS (SELECT vec_id, cid AS cell
-                  FROM (${kmAssignSql("corp", "cc1")})),
-        cellq AS (SELECT vec_id, cid AS cell
-                  FROM (${kmAssignSql("qry", "cc1")})),
-        cq AS (SELECT vec_id, qv FROM corp),
-        qq AS (SELECT vec_id, qv FROM qry),
-        $pqPipelineSql,
-        adc AS (SELECT qd.query_id, enc.vec_id AS corpus_id,
-                       sum(qd.d) AS dist
-                FROM enc JOIN qd ON enc.sub = qd.sub AND enc.cid = qd.cid
-                JOIN cellc ON cellc.vec_id = enc.vec_id
-                JOIN cellq ON cellq.vec_id = qd.query_id
-                          AND cellq.cell = cellc.cell
-                GROUP BY 1, 2),
-        ranked AS (SELECT query_id, corpus_id, dist,
-                          row_number() OVER (PARTITION BY query_id
-                            ORDER BY dist, corpus_id) AS rnk
-                   FROM adc)
+      Some(s"""$ivfpqRankedCte
         SELECT query_id, corpus_id,
                round(CAST(dist AS DOUBLE) / 1000000000000, 6)
                  AS approx_dist,
                CAST(rnk AS INTEGER) AS rnk
         FROM ranked WHERE rnk <= 5""")),
+
+    // Two-stage serving: the ADC ranking nominates 20 candidates per
+    // query, exact cosine over the raw vectors re-ranks to top 5 — the
+    // standard fidelity-recovery pattern on top of IVF-PQ. The oracle
+    // reuses the full training/ADC replay and re-scores the candidate
+    // set with the same exact-cosine idiom as knn_cosine_topk.
+    "ivfpq_rerank_topk" -> Entry(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilarityOps.ivfPqRerankTopK(
+          e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+          k = 5, rerankR = 20, dim = 64, nCells = 4, cellIters = 1,
+          m = 4, codebookK = 8, pqIters = 1)
+      },
+      Some(s"""$ivfpqRankedCte,
+        cand AS (SELECT query_id, corpus_id FROM ranked WHERE rnk <= 20),
+        qraw AS (SELECT vec_id AS query_id,
+                        CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 10),
+        craw AS (SELECT vec_id AS corpus_id,
+                        CAST(embedding AS DOUBLE[]) AS cv
+                 FROM embeddings WHERE vec_id >= 10),
+        ex AS (SELECT cand.query_id, cand.corpus_id,
+                      list_dot_product(qv, cv) /
+                        (sqrt(list_dot_product(qv, qv)) *
+                         sqrt(list_dot_product(cv, cv))) AS cos_raw
+               FROM cand JOIN qraw USING (query_id)
+                         JOIN craw USING (corpus_id)),
+        rr AS (SELECT query_id, corpus_id, cos_raw,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_raw DESC, corpus_id) AS rrnk
+               FROM ex)
+        SELECT query_id, corpus_id, round(cos_raw, 6) AS cos_sim,
+               CAST(rrnk AS INTEGER) AS rnk
+        FROM rr WHERE rrnk <= 5""")),
 
     "knn_cosine_topk" -> Entry(
       (s, dir) => {
