@@ -152,6 +152,54 @@ object StatsOps {
     * both spillable; no per-group buffering, so hot groups can't OOM an
     * executor (same posture as [[summaryStatsSorted]]).
     */
+  /** Distribution drift between two labeled populations of the same
+    * frame: Population Stability Index per group over fixed-width bins —
+    * the standard ingest-monitoring statistic (PSI < 0.1 stable, > 0.25
+    * drifted). Bins are fixed [lo, hi)/nBins with clamping (deterministic
+    * on both engines — no engine-private quantile sketch), bin shares are
+    * Laplace-smoothed ((n_i + 0.5) / (N + 0.5·nBins)) so empty bins stay
+    * defined, and the final PSI is rounded to 6 (ln is the one
+    * transcendental — both engines evaluate it on identical doubles).
+    *
+    * One aggregation pass: (group, side, bin) counts with map-side
+    * partials, then a tiny per-group fold — no window, no join back to
+    * the data. Output: (groupCol, psi, n_ref, n_cur).
+    */
+  def psiDrift(df: DataFrame, groupCol: String, sideCol: String,
+               refSide: String, valCol: String, lo: Double, hi: Double,
+               nBins: Int): DataFrame = {
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(
+      floor((col(valCol) - lo) / width).cast("int"), lit(0)), lit(nBins - 1))
+    val counts = df
+      .groupBy(col(groupCol),
+        (col(sideCol) === refSide).as("_is_ref"), bin.as("_bin"))
+      .agg(count(lit(1)).as("_n"))
+    val perSide = counts.groupBy(col(groupCol), col("_is_ref"))
+      .agg(sum(col("_n")).as("_tot"),
+        collect_list(struct(col("_bin"), col("_n"))).as("_bins"))
+    // smoothed share per bin, folded to PSI in one small per-group pass
+    def share(binsCol: Column, totCol: Column, b: Int): Column = {
+      val n = coalesce(filter(binsCol, x => x.getField("_bin") === b)
+        .getItem(0).getField("_n"), lit(0L))
+      (n.cast("double") + 0.5) / (totCol.cast("double") + 0.5 * nBins)
+    }
+    val ref = perSide.filter(col("_is_ref"))
+      .select(col(groupCol), col("_tot").as("n_ref"),
+        col("_bins").as("_rb"))
+    val cur = perSide.filter(!col("_is_ref"))
+      .select(col(groupCol), col("_tot").as("n_cur"),
+        col("_bins").as("_cb"))
+    val psi = (0 until nBins).map { b =>
+      val p = share(col("_rb"), col("n_ref"), b)
+      val q = share(col("_cb"), col("n_cur"), b)
+      (p - q) * log(p / q)
+    }.reduce(_ + _)
+    ref.join(cur, Seq(groupCol))
+      .select(col(groupCol), round(psi, 6).as("psi"),
+        col("n_ref"), col("n_cur"))
+  }
+
   def weightedQuantile(df: DataFrame, keyCol: String, valCol: String,
                        weightCol: String, q: Double): DataFrame = {
     val perValue = Rebalance(df)

@@ -258,6 +258,46 @@ object StatsQueries {
                                ORDER BY value, event_id) AS decile
         FROM events""")),
 
+    // Ingest drift monitoring: PSI per lang between even/odd doc_id
+    // populations over fixed-width n_chars bins. Deterministic binning +
+    // Laplace smoothing on both engines; psi rounded 6 (ln is the one
+    // transcendental; summation-order ulps are far below the rounding).
+    "psi_drift" -> Entry(
+      (s, dir) => graft.ops.StatsOps.psiDrift(
+        Tables.documents(s, dir)
+          .withColumn("side", (col("doc_id") % 2).cast("string")),
+        groupCol = "lang", sideCol = "side", refSide = "0",
+        valCol = "n_chars", lo = 0.0, hi = 600.0, nBins = 12),
+      Some("""
+        WITH d AS (SELECT lang, doc_id % 2 = 0 AS is_ref,
+                     least(greatest(CAST(floor(n_chars / 50.0) AS INTEGER),
+                       0), 11) AS bin
+                   FROM documents),
+        counts AS (SELECT lang, is_ref, bin, count(*) AS n
+                   FROM d GROUP BY 1, 2, 3),
+        tot AS (SELECT lang, is_ref, CAST(sum(n) AS BIGINT) AS tot
+                FROM counts GROUP BY 1, 2),
+        grid AS (SELECT lang, is_ref, tot, CAST(b AS INTEGER) AS b
+                 FROM tot, UNNEST(generate_series(0, 11)) AS g(b)),
+        sm AS (SELECT grid.lang, grid.is_ref, grid.b,
+                 (COALESCE(counts.n, 0) + 0.5)
+                   / (grid.tot + 0.5 * 12) AS share
+               FROM grid LEFT JOIN counts
+                 ON counts.lang = grid.lang
+                AND counts.is_ref = grid.is_ref AND counts.bin = grid.b),
+        psi AS (SELECT r.lang,
+                       sum((r.share - c.share) * ln(r.share / c.share))
+                         AS psi
+                FROM sm r JOIN sm c
+                  ON r.lang = c.lang AND r.b = c.b
+                 AND r.is_ref AND NOT c.is_ref
+                GROUP BY 1)
+        SELECT p.lang, round(psi, 6) AS psi, tr.tot AS n_ref,
+               tc.tot AS n_cur
+        FROM psi p
+        JOIN tot tr ON tr.lang = p.lang AND tr.is_ref
+        JOIN tot tc ON tc.lang = p.lang AND NOT tc.is_ref""")),
+
     "a15_corr" -> Entry(
       (s, dir) => StatsOps.corrBy(Tables.lineitem(s, dir),
         "l_returnflag", "l_quantity", "l_extendedprice"),

@@ -46,4 +46,26 @@ class SummaryStatsParitySpec extends SparkSpec {
     assert(z.getAs[Long]("n") === 0L)
     assert(z.isNullAt(z.fieldIndex("median")))
   }
+
+  test("psiDrift: identical populations score ~0, a shifted one scores " +
+       "high, hand-computed two-bin case matches") {
+    // group "same": ref and cur identical -> psi == 0 exactly (shares
+    // equal, ln(1) = 0). group "moved": all mass moves bins.
+    val rows =
+      (1 to 20).map(i => ("same", if (i % 2 == 0) "0" else "1",
+        (i % 5) * 2.0)) ++
+      (1 to 10).map(_ => ("moved", "0", 1.0)) ++
+      (1 to 10).map(_ => ("moved", "1", 9.0))
+    val df = rows.toDF("g", "side", "v")
+    val out = StatsOps.psiDrift(df, "g", "side", "0", "v",
+        lo = 0.0, hi = 10.0, nBins = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("same") === 0.0)
+    // hand-computed: p = (10.5/11, 0.5/11), q = (0.5/11, 10.5/11)
+    val p = 10.5 / 11; val q = 0.5 / 11
+    val expect = BigDecimal((p - q) * math.log(p / q) +
+      (q - p) * math.log(q / p))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("moved") === expect)
+  }
 }
