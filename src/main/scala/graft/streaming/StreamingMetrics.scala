@@ -120,6 +120,42 @@ object StreamingMetrics {
         col("session_window.end").as("session_end"), col(keyCol),
         col("n_events"), col("sum_value"))
 
+  /** Speed-layer drift alarm: per-window PSI of a streamed value column
+    * against a REFERENCE bin-share vector (precomputed from a batch
+    * snapshot via [[graft.ops.StatsOps.psiDrift]]'s binning — same
+    * fixed-width clamped bins, same Laplace smoothing). The per-bin
+    * counts are conditional aggregates of ONE windowed aggregation (a
+    * chained second aggregation is not allowed in streaming), so the op
+    * runs in append mode with watermark-bounded O(windows × nBins)
+    * state, and the PSI is a plain projection over the finished window
+    * row with the reference shares inlined as literals.
+    */
+  def psiDriftStream(events: DataFrame, refShares: Seq[Double], lo: Double,
+                     hi: Double, windowDur: String, watermark: String,
+                     timeCol: String = "ts",
+                     valCol: String = "value"): DataFrame = {
+    val nBins = refShares.length
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(
+      floor((col(valCol) - lo) / width).cast("int"), lit(0)),
+      lit(nBins - 1))
+    val counts = (0 until nBins).map(b =>
+      count(when(bin === b, 1)).as(s"_b$b"))
+    val agg = events.withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), windowDur))
+      .agg(counts.head, counts.tail: _*)
+    val total = (0 until nBins).map(b => col(s"_b$b")).reduce(_ + _)
+    val psi = (0 until nBins).map { b =>
+      val qs = (col(s"_b$b").cast("double") + 0.5) /
+        (total.cast("double") + 0.5 * nBins)
+      val ps = lit(refShares(b))
+      (ps - qs) * log(ps / qs)
+    }.reduce(_ + _)
+    agg.select(col("window.start").as("window_start"),
+      col("window.end").as("window_end"), total.as("n_events"),
+      round(psi, 6).as("psi"))
+  }
+
   /** T7/S4: incremental file ingestion — the Structured Streaming file
     * source replaces the reference's hand-rolled processed-blob state file
     * (batch_to_mongo.py:22-57: list blobs, skip processed, persist JSON).

@@ -436,6 +436,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI drift alarm: a reference-shaped window scores " +
+      "near zero, a shifted window scores high") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // reference: uniform over [0, 10) in 2 bins -> smoothed shares 0.5/0.5
+    val out = StreamingMetrics.psiDriftStream(mem.toDF(),
+      refShares = Seq(0.5, 0.5), lo = 0.0, hi = 10.0,
+      windowDur = "30 seconds", watermark = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("drift").start()
+    try {
+      // window :00 balanced (4 low + 4 high), window :30 all-high
+      val w0 = (1 to 4).map(i => Ev(ts("2024-01-01 00:00:05"), "A", 2.0)) ++
+        (1 to 4).map(i => Ev(ts("2024-01-01 00:00:10"), "A", 8.0))
+      val w1 = (1 to 8).map(i => Ev(ts("2024-01-01 00:00:35"), "A", 9.0))
+      mem.addData(w0: _*); q.processAllAvailable()
+      mem.addData(w1: _*); q.processAllAvailable()
+      // advance the watermark so both windows finalize
+      mem.addData(Ev(ts("2024-01-01 00:02:00"), "A", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("drift").collect()
+      .map(r => r.getAs[Timestamp]("window_start").toString ->
+        r.getAs[Double]("psi")).toMap
+    val balanced = rows("2024-01-01 00:00:00.0")
+    val shifted = rows("2024-01-01 00:00:30.0")
+    assert(math.abs(balanced) < 0.01, s"balanced window psi $balanced")
+    assert(shifted > 1.0, s"shifted window psi $shifted")
+  }
+
   test("streaming vector dedup: near-dups of indexed vectors dropped, " +
       "index grows so later batches see earlier survivors") {
     import java.nio.file.Files
