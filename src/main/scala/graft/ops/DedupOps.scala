@@ -454,15 +454,14 @@ object DedupOps {
   def decontaminate(train: DataFrame, test: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
                     n: Int = 5): DataFrame = {
-    // per-doc array_distinct BEFORE the explode: repetitive docs emit
-    // each gram once, shrinking both the distinct shuffle and the join
-    // probe stream at zero semantic cost (doc ids are distinct'd after)
+    // wordShingles is already per-doc distinct, so repetitive docs emit
+    // each gram once into the explode — no extra dedup pass needed here
     val testGrams = test
-      .select(explode(array_distinct(wordShingles(textCol, n))).as("g"))
+      .select(explode(wordShingles(textCol, n)).as("g"))
       .distinct()
     val contaminated = Rebalance(train)
       .select(col(idCol),
-        explode(array_distinct(wordShingles(textCol, n))).as("g"))
+        explode(wordShingles(textCol, n)).as("g"))
       .join(broadcast(testGrams), Seq("g"))
       .select(col(idCol)).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")

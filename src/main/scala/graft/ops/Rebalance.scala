@@ -12,6 +12,11 @@ import org.apache.spark.sql.DataFrame
 object Rebalance {
   def apply(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // toRdd is the plan's InternalRow RDD (cached on the QueryExecution):
+    // partition count without the deserializer lineage that `df.rdd`
+    // would wrap around every downstream use
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 }

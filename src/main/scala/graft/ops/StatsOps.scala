@@ -164,6 +164,13 @@ object StatsOps {
     * One aggregation pass: (group, side, bin) counts with map-side
     * partials, then a tiny per-group fold — no window, no join back to
     * the data. Output: (groupCol, psi, n_ref, n_cur).
+    *
+    * Groups present in only ONE population — e.g. a lang that vanished
+    * entirely from current ingest, the strongest drift signal there is —
+    * still emit a row: the sides meet in a full-outer join, the missing
+    * side reports n=0 and psi comes out null (PSI against an absent
+    * population is undefined; null is the monitorable sentinel, a
+    * silently-dropped row is not).
     */
   def psiDrift(df: DataFrame, groupCol: String, sideCol: String,
                refSide: String, valCol: String, lo: Double, hi: Double,
@@ -195,9 +202,13 @@ object StatsOps {
       val q = share(col("_cb"), col("n_cur"), b)
       (p - q) * log(p / q)
     }.reduce(_ + _)
-    ref.join(cur, Seq(groupCol))
+    // full outer: one-sided groups surface with psi=null + n=0 on the
+    // absent side (share() yields null when the side's total is null,
+    // which nulls the whole PSI sum) instead of vanishing from output
+    ref.join(cur, Seq(groupCol), "full_outer")
       .select(col(groupCol), round(psi, 6).as("psi"),
-        col("n_ref"), col("n_cur"))
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
   }
 
   def weightedQuantile(df: DataFrame, keyCol: String, valCol: String,

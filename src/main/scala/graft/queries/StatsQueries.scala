@@ -291,12 +291,16 @@ object StatsQueries {
                 FROM sm r JOIN sm c
                   ON r.lang = c.lang AND r.b = c.b
                  AND r.is_ref AND NOT c.is_ref
-                GROUP BY 1)
-        SELECT p.lang, round(psi, 6) AS psi, tr.tot AS n_ref,
-               tc.tot AS n_cur
-        FROM psi p
-        JOIN tot tr ON tr.lang = p.lang AND tr.is_ref
-        JOIN tot tc ON tc.lang = p.lang AND NOT tc.is_ref""")),
+                GROUP BY 1),
+        langs AS (SELECT DISTINCT lang FROM d)
+        -- full-outer semantics: a lang present in only one population
+        -- still emits a row (psi NULL, absent side n=0)
+        SELECT l.lang, round(p.psi, 6) AS psi,
+               COALESCE(tr.tot, 0) AS n_ref, COALESCE(tc.tot, 0) AS n_cur
+        FROM langs l
+        LEFT JOIN psi p ON p.lang = l.lang
+        LEFT JOIN tot tr ON tr.lang = l.lang AND tr.is_ref
+        LEFT JOIN tot tc ON tc.lang = l.lang AND NOT tc.is_ref""")),
 
     "a15_corr" -> Entry(
       (s, dir) => StatsOps.corrBy(Tables.lineitem(s, dir),

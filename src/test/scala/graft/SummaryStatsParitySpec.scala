@@ -68,4 +68,26 @@ class SummaryStatsParitySpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out("moved") === expect)
   }
+
+  test("psiDrift: a group present in only one population still emits a " +
+       "row (psi null, absent side n=0)") {
+    val rows =
+      (1 to 6).map(i => ("both", if (i % 2 == 0) "0" else "1", i * 1.0)) ++
+      (1 to 4).map(i => ("gone", "0", i * 1.0)) ++  // vanished from cur
+      (1 to 3).map(i => ("new", "1", i * 1.0))      // never in ref
+    val df = rows.toDF("g", "side", "v")
+    val out = StatsOps.psiDrift(df, "g", "side", "0", "v",
+        lo = 0.0, hi = 10.0, nBins = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("both", "gone", "new"),
+      "one-sided groups must not be dropped")
+    val gone = out("gone")
+    assert(gone.isNullAt(gone.fieldIndex("psi")))
+    assert(gone.getAs[Long]("n_ref") === 4L)
+    assert(gone.getAs[Long]("n_cur") === 0L)
+    val nw = out("new")
+    assert(nw.isNullAt(nw.fieldIndex("psi")))
+    assert(nw.getAs[Long]("n_ref") === 0L)
+    assert(nw.getAs[Long]("n_cur") === 3L)
+  }
 }
