@@ -11,6 +11,111 @@ import Catalog.Entry
   */
 object SeriesQueries {
 
+  /** DuckDB replay of [[graft.ops.TaOps.taSnapshot]] with the catalog's
+    * parameters (SMA-20, RSI-14, MACD 12/26/9, VWAP-24h): the same fold
+    * element struct doubles as the accumulator, so `list_reduce` (which
+    * seeds from the first element) walks the identical IEEE op sequence
+    * as Spark's `aggregate`.
+    *
+    * Two DuckDB traps this replay dodges (both measured, DuckDB 1.0):
+    *   - `list_reduce` + `struct_pack` evaluates the pack fields
+    *     SEQUENTIALLY, overwriting the accumulator in place — a later
+    *     field referencing `acc.x` sees the NEW x. The pack is therefore
+    *     ordered so every `acc.*` reference is to a not-yet-overwritten
+    *     field (sig first, recomputing ef'/es' from the old state; prev
+    *     last) — an order that is also correct under functional
+    *     evaluation, so a fixed DuckDB keeps passing.
+    *   - 17-digit decimal literals promote to a double via integer/10^17
+    *     at runtime, which does NOT always equal the shortest-repr parse
+    *     (measured on 1−2/13). Constants are therefore spelled as double
+    *     fractions — `CAST(2 AS DOUBLE)/13` — the exact IEEE ops the
+    *     Scala side runs.
+    */
+  private lazy val taOracleSql: String = {
+    // smoothing constants as double-fraction SQL, mirroring TaOps'
+    // aF = 2.0/(fast+1) etc. for the catalog params 12/26/9/14
+    val aF = "(CAST(2 AS DOUBLE)/13)"; val omF = "(1 - CAST(2 AS DOUBLE)/13)"
+    val aS = "(CAST(2 AS DOUBLE)/27)"; val omS = "(1 - CAST(2 AS DOUBLE)/27)"
+    val aG = "(CAST(2 AS DOUBLE)/10)"; val omG = "(1 - CAST(2 AS DOUBLE)/10)"
+    val aW = "(CAST(1 AS DOUBLE)/14)"; val omW = "(1 - CAST(1 AS DOUBLE)/14)"
+    s"""
+      WITH e AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS t,
+               CAST(value AS DOUBLE) AS v,
+               CAST(CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+                    AS BIGINT) AS DOUBLE) AS w
+        FROM events),
+      g AS (
+        SELECT event_type,
+               list(struct_pack(t := t, v := v, w := w) ORDER BY t, v, w)
+                 AS series,
+               count(*) AS n_points
+        FROM e GROUP BY 1),
+      f AS (
+        SELECT event_type, series, n_points,
+               series[CAST(n_points AS INTEGER)] AS last_e,
+               list_reduce(
+                 list_transform(series, x -> struct_pack(
+                   sig := CAST(0.0 AS DOUBLE),
+                   ef := x.v, es := x.v,
+                   au := CAST(NULL AS DOUBLE),
+                   ad := CAST(NULL AS DOUBLE),
+                   prev := x.v)),
+                 (acc, x) -> struct_pack(
+                   sig := $aG * (($aF * x.prev + $omF * acc.ef)
+                                 - ($aS * x.prev + $omS * acc.es))
+                          + $omG * acc.sig,
+                   ef := $aF * x.prev + $omF * acc.ef,
+                   es := $aS * x.prev + $omS * acc.es,
+                   au := CASE WHEN acc.au IS NULL
+                           THEN greatest(x.prev - acc.prev,
+                                         CAST(0.0 AS DOUBLE))
+                           ELSE $aW * greatest(x.prev - acc.prev,
+                                               CAST(0.0 AS DOUBLE))
+                                + $omW * acc.au END,
+                   ad := CASE WHEN acc.ad IS NULL
+                           THEN greatest(acc.prev - x.prev,
+                                         CAST(0.0 AS DOUBLE))
+                           ELSE $aW * greatest(acc.prev - x.prev,
+                                               CAST(0.0 AS DOUBLE))
+                                + $omW * acc.ad END,
+                   prev := x.prev)) AS st
+        FROM g),
+      f2 AS (
+        SELECT event_type, n_points, last_e, st,
+               list_reduce(
+                 list_transform(
+                   series[greatest(CAST(n_points AS INTEGER) - 19, 1)
+                          :CAST(n_points AS INTEGER)],
+                   x -> x.v),
+                 (acc, x) -> acc + x) AS sma_sum,
+               least(n_points, 20) AS sma_n,
+               list_filter(series,
+                 x -> x.t >= last_e.t - INTERVAL 24 HOUR) AS recent
+        FROM f),
+      f3 AS (
+        SELECT event_type, n_points, last_e, st, sma_sum, sma_n,
+               list_reduce(list_transform(recent, x -> x.v * x.w),
+                           (acc, x) -> acc + x) AS sum_pv,
+               list_reduce(list_transform(recent, x -> x.w),
+                           (acc, x) -> acc + x) AS sum_w
+        FROM f2)
+      SELECT event_type, last_e.t AS ts_last, n_points,
+             round(sma_sum / sma_n, 6) AS sma,
+             round(CASE WHEN st.au IS NULL THEN NULL
+                        WHEN st.ad = 0 AND st.au = 0 THEN NULL
+                        WHEN st.ad = 0 THEN CAST(100.0 AS DOUBLE)
+                        ELSE least(greatest(
+                          100 - 100 / (1 + st.au / st.ad),
+                          CAST(0.0 AS DOUBLE)),
+                          CAST(100.0 AS DOUBLE)) END, 6) AS rsi,
+             round(st.ef - st.es, 6) AS macd,
+             round(st.sig, 6) AS macd_signal,
+             round((st.ef - st.es) - st.sig, 6) AS macd_hist,
+             round(sum_pv / nullif(sum_w, 0), 6) AS vwap24
+      FROM f3"""
+  }
+
   def defs: Map[String, Entry] = Map(
 
     // A11: resample-size counts (tweets-per-minute, Milestone3 cells 20-21).
@@ -260,6 +365,18 @@ object SeriesQueries {
                  (acc, x) -> ${0.2} * x + ${1 - 0.2} * acc), 6)
                  AS ewma_last
         FROM events GROUP BY 1""")),
+
+    // TA-indicator snapshot (the reference's TA record type,
+    // coincap/main.py:97-108): per symbol — SMA-20, Wilder RSI-14,
+    // MACD 12/26/9 and trailing-24h VWAP at the latest tick, with volume
+    // parsed out of the JSON props. Both engines run the identical
+    // left-to-right fold (TaOps scaladoc); indicator outputs round 6.
+    "ta_indicators" -> Entry(
+      (s, dir) => graft.ops.TaOps.taSnapshot(
+        Tables.events(s, dir).withColumn("vol",
+          get_json_object(col("props"), "$.k").cast("double")),
+        "event_type", "ts", "value", "vol"),
+      Some(taOracleSql)),
 
     // W-rolling: pandas groupby().rolling(5, min_periods=1) mean/std/
     // min/max over the per-supplier shipment series. Exactness: quantities
