@@ -43,6 +43,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late-data drops are metered, not silent (T4 observability)") {
+    implicit val sql = spark.sqlContext
+    val monitor = new graft.streaming.LateDataMonitor
+    spark.streams.addListener(monitor)
+    val mem = MemoryStream[Ev]
+    val out = StreamingMetrics.windowedMetrics(mem.toDF(), "30 seconds",
+      "30 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("wm_late").start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 00:00:05"), "A", 10.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 00:10:00"), "A", 1.0)) // advances wm
+      q.processAllAvailable()
+      // two late events for the long-closed :00 window -> dropped.
+      // Distinct keys: the drop is metered at the stateful operator,
+      // after map-side partial aggregation, so same-group late rows
+      // collapse to one dropped state update (LateDataMonitor scaladoc)
+      mem.addData(Ev(ts("2024-01-01 00:00:20"), "A", 999.0),
+        Ev(ts("2024-01-01 00:00:25"), "B", 998.0))
+      q.processAllAvailable()
+      // synchronous surface: the query's own progress metering
+      assert(graft.streaming.LateDataMonitor.droppedByWatermark(q) === 2L)
+      // listener surface: progress events arrive on the async bus
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (monitor.droppedRows("wm_late") < 2L &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+      assert(monitor.droppedRows("wm_late") === 2L)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(monitor)
+    }
+  }
+
   test("drift forecaster keeps per-key state across micro-batches (X2/T5)") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[DriftForecaster.Tick]
