@@ -165,6 +165,21 @@ object DedupOps {
       .repartition(col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(path)
 
+  /** Append precomputed (idCol, band, band_hash) rows to a written
+    * MinHash index — the streaming-ingest fast path: the caller already
+    * holds the batch's banded signatures (probe + self-check consumed
+    * them), so the append reuses them instead of re-running the
+    * signature kernel over the survivor text. The rows land as ONE flat
+    * file in the index's L0 delta ([[IndexMaintenance.appendDelta]]) —
+    * a dynamic-partition append into the bucket directories was measured
+    * ~10× slower per micro-batch (one tiny file + committer rename per
+    * touched bucket) and gets worse linearly with bucket width.
+    * [[compactMinhashIndex]] folds the delta into the bucketed base.
+    */
+  def appendMinhashIndexBands(banded: DataFrame, path: String): Unit =
+    IndexMaintenance.appendDelta(
+      banded.withColumn("bucket", minhashBucket), path)
+
   /** Compact an appended MinHash index back to one file per bucket
     * directory. Streaming ingestion ([[graft.streaming.StreamingDedup]])
     * appends one file per touched bucket per micro-batch — LSM-style
@@ -174,8 +189,10 @@ object DedupOps {
     * per-bucket variant: [[IndexMaintenance.compactBucketed]].
     */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-                          path: String): Unit =
-    IndexMaintenance.compactBucketed(spark, path)
+                          path: String, idCol: String = "doc_id"): Unit =
+    // (id, band) uniquely identifies a band row — makes a crash-window
+    // re-fold of delta rows collapse instead of duplicating
+    IndexMaintenance.compactBucketed(spark, path, Seq(idCol, "band"))
 
   /** Probe a written MinHash index with a NEW batch: candidate near-dup
     * pairs between batch docs and indexed corpus docs (within-batch pairs
@@ -205,8 +222,9 @@ object DedupOps {
     val probe = banded.withColumn("bucket", minhashBucket)
     val buckets: Array[Int] = probe.select(col("bucket")).distinct()
       .collect().map(_.getInt(0))
-    val idx = spark.read.parquet(path)
-      .filter(col("bucket").isin(buckets.map(Integer.valueOf).toSeq: _*))
+    // base partition-pruned + L0 delta rows (IndexMaintenance layout)
+    val idx = IndexMaintenance
+      .readBucketed(spark, path, buckets.toIndexedSeq)
     idx.join(
         broadcast(probe.select(col(idCol).as("doc_new"), col("band"),
           col("band_hash"), col("bucket"))),

@@ -364,16 +364,26 @@ object SimilarityOps {
 
   /** Incrementally add vectors to a written IVF index. The sign-LSH
     * bucket is a STATELESS function of (vector, dim, bits) — no trained
-    * quantizer to version — so appended vectors land in exactly the
-    * bucket directories a probe for them will prune to; `dim`/`bits`
-    * must match the index write. Periodic
-    * [[graft.ops.IndexMaintenance.compactBucketed]] folds the per-batch
-    * files back to one per bucket.
+    * quantizer to version — so appended rows carry exactly the bucket a
+    * probe for them will look in; `dim`/`bits` must match the index
+    * write. Each batch lands as ONE flat file in the index's L0 delta
+    * ([[graft.ops.IndexMaintenance.appendDelta]] — probes union it in);
+    * [[compactIvfIndex]] folds the delta back into the bucketed base.
     */
   def appendIvfIndex(newVecs: DataFrame, path: String, dim: Int, bits: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): Unit =
-    writeIvfIndex(newVecs, path, dim, bits, idCol, vecCol, mode = "append")
+    graft.ops.IndexMaintenance.appendDelta(
+      newVecs.withColumn("bucket", lshBucket(col(vecCol), dim, bits)),
+      path)
+
+  /** Fold the IVF index's delta into the bucketed base, one file per
+    * bucket (see [[graft.ops.IndexMaintenance.compactBucketed]]; the id
+    * dedup key makes a crash-window re-fold collapse).
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, idCol: String = "vec_id"): Unit =
+    graft.ops.IndexMaintenance.compactBucketed(spark, path, Seq(idCol))
 
   /** Probe a written IVF index. The probe set (own bucket + optional
     * hamming-1 neighbors per query) is computed from the query vectors —
@@ -395,8 +405,9 @@ object SimilarityOps {
       l2Norm(col(vecCol)).as("qn"), explode(probeSet).as("bucket"))
     val probes: Array[Int] = q.select(col("bucket")).distinct()
       .collect().map(_.getInt(0))
-    val c = spark.read.parquet(path)
-      .filter(col("bucket").isin(probes.map(Integer.valueOf).toSeq: _*))
+    // base partition-pruned + L0 delta rows (IndexMaintenance layout)
+    val c = graft.ops.IndexMaintenance
+      .readBucketed(spark, path, probes.toIndexedSeq)
       .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
         l2Norm(col(vecCol)).as("cn"), col("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))

@@ -509,7 +509,17 @@ object DedupSimQueries {
             val it = walk.iterator()
             while (it.hasNext) {
               val p: Path = it.next()
-              Files.copy(p, dst.resolve(src.relativize(p).toString))
+              val t = dst.resolve(src.relativize(p).toString)
+              // hard-link instead of byte-copy: parquet files are
+              // immutable and the loop only ever ADDS files to the
+              // private copy, so linking is safe and the per-invocation
+              // setup cost drops to directory-entry writes
+              if (Files.isDirectory(p)) Files.createDirectories(t)
+              else try Files.createLink(t, p)
+              catch { case _: UnsupportedOperationException |
+                           _: java.nio.file.FileSystemException =>
+                Files.copy(p, t)
+              }
             }
           } finally walk.close()
         }

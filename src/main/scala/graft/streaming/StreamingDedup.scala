@@ -20,9 +20,11 @@ import graft.ops.DedupOps
   *
   * Probe cost scales with the MICRO-BATCH, not the corpus — the shape that
   * holds when the indexed corpus is 100 TB and the ingest is a trickle.
-  * Each batch appends one file per touched bucket directory; a periodic
-  * [[graft.ops.DedupOps.writeMinhashIndex]] rewrite (mode=overwrite) is the
-  * compaction story, same as any LSM-flavored layout.
+  * Each batch appends ONE flat file to the index's L0 delta
+  * ([[graft.ops.DedupOps.appendMinhashIndexBands]]); probes union the
+  * delta in, and periodic [[graft.ops.DedupOps.compactMinhashIndex]]
+  * folds it into the bucketed base — the classic LSM contract
+  * ([[graft.ops.IndexMaintenance]] scaladoc).
   *
   * Delivery: at-least-once. A replayed batch re-appends the same survivor
   * rows and band rows (both keyed by doc_id), so downstream consumers
@@ -55,8 +57,14 @@ object StreamingDedup {
             minBands).persist()
           try {
             survivors.write.mode("append").parquet(outPath)
-            DedupOps.writeMinhashIndex(survivors, indexPath, idCol, textCol,
-              shingleWords, k, bands, mode = "append")
+            // index append reuses the batch's banded signatures (semi-join
+            // on survivor ids) — the kernel already ran once for the
+            // probe/self-check; re-deriving signatures from survivor text
+            // here would double the batch's CPU cost
+            DedupOps.appendMinhashIndexBands(
+              banded.join(survivors.select(col(idCol)), Seq(idCol),
+                "left_semi"),
+              indexPath)
           } finally survivors.unpersist(blocking = true)
         } finally {
           banded.unpersist(blocking = true)

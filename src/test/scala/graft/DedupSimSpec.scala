@@ -105,6 +105,43 @@ class DedupSimSpec extends SparkSpec {
     assert(probeHits() === before)
   }
 
+  test("minhash L0 delta: streaming appends land as one flat file, probes" +
+      " see them, compaction folds them into the base and dedups a " +
+      "crash-window re-fold") {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.IndexMaintenance
+    val idx = Files.createTempDirectory("graft_mhdelta").toString + "/idx"
+    val doc = "the quick brown fox jumps over the lazy dog again today"
+    DedupOps.writeMinhashIndex(
+      Seq((1L, "completely different words nothing in common at all here"))
+        .toDF("doc_id", "text"), idx)
+    // streaming-path append of a new doc's band rows -> ONE delta file
+    DedupOps.appendMinhashIndexBands(
+      DedupOps.minhashBands(Seq((5L, doc)).toDF("doc_id", "text")), idx)
+    val delta = Paths.get(IndexMaintenance.deltaPath(idx))
+    assert(Files.list(delta).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet")) === 1)
+
+    val probe = Seq((99L, doc)).toDF("doc_id", "text")
+    def hits() = DedupOps.minhashIndexProbe(spark, idx, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hits() === Set((99L, 5L, 4L)), "probe must see delta rows")
+
+    DedupOps.compactMinhashIndex(spark, idx)
+    assert(!Files.exists(delta), "compaction should clear the delta")
+    assert(hits() === Set((99L, 5L, 4L)))
+
+    // crash-window simulation: the same band rows re-appended (as if the
+    // delta cleanup had been lost) collapse on the next compaction
+    DedupOps.appendMinhashIndexBands(
+      DedupOps.minhashBands(Seq((5L, doc)).toDF("doc_id", "text")), idx)
+    assert(hits() === Set((99L, 5L, 8L)),
+      "duplicated band rows double-count until the next compaction")
+    DedupOps.compactMinhashIndex(spark, idx)
+    assert(hits() === Set((99L, 5L, 4L)),
+      "compaction dedupKeys must collapse the re-folded rows")
+  }
+
   test("minhash LSH: identical docs share all bands, disjoint docs none") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again today"),

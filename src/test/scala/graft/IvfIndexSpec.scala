@@ -77,9 +77,16 @@ class IvfIndexSpec extends SparkSpec {
         .map(p => p.getFileName.toString ->
           Files.list(p).iterator().asScala
             .count(_.getFileName.toString.endsWith(".parquet"))).toMap
-    assert(bucketFiles().values.exists(_ > 1),
-      "append should add files to existing buckets")
-    graft.ops.IndexMaintenance.compactBucketed(spark, dir)
+    // appends land as one flat file in the L0 delta, NOT as a tiny file
+    // per touched bucket directory (IndexMaintenance layout)
+    val delta = Paths.get(graft.ops.IndexMaintenance.deltaPath(dir))
+    assert(Files.list(delta).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet")) === 1,
+      "append should write exactly one delta file")
+    assert(bucketFiles().values.forall(_ === 1),
+      "append must not fan files into the bucket directories")
+    SimilarityOps.compactIvfIndex(spark, dir)
+    assert(!Files.exists(delta), "compaction should clear the delta")
     assert(bucketFiles().values.forall(_ === 1), bucketFiles().toString)
     assert(topHits() === hits)
   }
