@@ -138,19 +138,40 @@ object StatsQueries {
     // graft.functions.TDigestAgg) — O(compression) state per group vs
     // exact percentile's O(group) buffer. Approximate -> rows-only;
     // TDigestSpec pins the error against the exact quartiles.
+    // Oracle strategy (approximate estimates are not SQL-derivable, but
+    // their GUARANTEE is): the entry joins each sketch estimate back to
+    // the raw values and emits whether its exact rank sits within the
+    // t-digest rank-error envelope (1% of n + 1 for discreteness) of the
+    // requested quantile — booleans the oracle pins to TRUE, plus the
+    // exact group count. Any estimator drift breaks the hash; the raw
+    // estimate values stay pinned in TDigestSpec.
     "approx_tdigest_quantiles" -> Entry(
       (s, dir) => {
+        val qsSpec = Seq(0.25, 0.5, 0.75)
         val qs = graft.functions.TDigestAgg.tdigestQuantiles(
-          col("l_extendedprice"), 200.0, Seq(0.25, 0.5, 0.75))
-        Tables.lineitem(s, dir)
+          col("l_extendedprice"), 200.0, qsSpec)
+        val est = Tables.lineitem(s, dir)
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"), qs.as("_qs"))
-          .select(col("l_returnflag"), col("n"),
-            round(col("_qs").getItem(0), 2).as("td_q25"),
-            round(col("_qs").getItem(1), 2).as("td_median"),
-            round(col("_qs").getItem(2), 2).as("td_q75"))
+        val ranks = Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_extendedprice"))
+          .join(broadcast(est), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(first(col("n")).as("n"),
+            qsSpec.indices.map(i =>
+              sum(when(col("l_extendedprice") <= col("_qs").getItem(i),
+                1L).otherwise(0L)).as(s"_r$i")): _*)
+        val okCols = qsSpec.zipWithIndex.map { case (q, i) =>
+          (abs(col(s"_r$i") - lit(q) * col("n")) <=
+            lit(0.01) * col("n") + 1).as(s"rank_ok_q${(q * 100).toInt}")
+        }
+        ranks.select(col("l_returnflag") +: col("n") +: okCols: _*)
       },
-      None),
+      Some("""
+        SELECT l_returnflag, count(*) AS n,
+               TRUE AS rank_ok_q25, TRUE AS rank_ok_q50,
+               TRUE AS rank_ok_q75
+        FROM lineitem GROUP BY 1""")),
 
     // North-star: mergeable Misra-Gries heavy hitters — the A7 top-k
     // family's sketch path for cardinalities too large to count exactly.

@@ -250,6 +250,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: bigramLogProb is invariant to doc order and input " +
+       "partitioning") {
+    // the model build collects truncated vocab/bigram heads with
+    // deterministic (count desc, token) tie-breaks — so neither the row
+    // order of the corpus nor its physical partitioning may move a score
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = for {
+      len <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(len, word)
+    } yield ws.mkString(" ")
+    val corpusGen = Gen.listOfN(12, docGen)
+    samples(corpusGen, 5).foreach { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      def score(rs: Seq[(Long, String)], parts: Int) =
+        graft.ops.TextOps
+          .bigramLogProb(rs.toDF("doc_id", "text").repartition(parts),
+            topV = 3, topB = 4)
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.isNullAt(2), {
+            if (r.isNullAt(2)) 0.0 else r.getDouble(2)
+          })).toMap
+      val base = score(rows, 4)
+      assert(score(rows.reverse, 1) === base, "doc order moved a score")
+      assert(score(new scala.util.Random(42).shuffle(rows), 7) === base,
+        "partitioning moved a score")
+    }
+  }
+
   test("property: ewmaLast stays within the series' [min, max]") {
     val serGen = Gen.listOfN(25, Gen.choose(-50.0, 50.0))
     samples(serGen, 8).foreach { vals =>
