@@ -607,6 +607,124 @@ object SimilarityOps {
     (cellC, pqC)
   }
 
+  /** Materialize the IVF-PQ SERVING index — train once, probe many, the
+    * layout that separates the expensive build from the per-query cost
+    * (FAISS's IVFADC split; every in-query entry above retrains per call
+    * by design, which is the right self-contained-operator contract but
+    * the wrong serving economics). On disk:
+    *   - `cells/`      coarse-cell centroids (cid, dim, centroid) — O(nCells·dim)
+    *   - `codebooks/`  PQ sub-codebooks (sub, cid, dim, centroid) — O(m·k·dim/m)
+    *   - `codes/`      one row per corpus vector (id, codes array<int>),
+    *                   parquet PARTITIONED BY its coarse cell, so probes
+    *                   prune to the queried cells and read m-byte-scale
+    *                   codes instead of raw vectors.
+    * Training/encoding run the exact quantized-integer pipeline of
+    * [[ivfPqTopK]] (same init, argmin, tie and rounding rules), so a
+    * probe over the stored artifacts is bit-identical to the in-query
+    * form — the same DuckDB replay verifies both.
+    */
+  def writeIvfPqIndex(corpus: DataFrame, path: String, dim: Int,
+                      nCells: Int, cellIters: Int, m: Int, codebookK: Int,
+                      pqIters: Int, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qcorpus = Rebalance(corpus)
+      .select(col(idCol).as("_vid"), pqQuant(vecCol).as("_qv")).cache()
+    try {
+      val (cellCents, pqCents) = fusedCellPqTrain(
+        qcorpus, nCells, cellIters, dim, m, codebookK, pqIters)
+      // centroids persist on the same 1e-6 grid they trained on: q/1e6
+      // round-trips exactly through round(x*1e6) (pqEncodeCodes relies
+      // on the same identity)
+      cellCents.flatMap { case (cid, qc) =>
+        qc.zipWithIndex.map { case (q, d) => (cid, d, q / 1e6) }
+      }.toDF("cid", "dim", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/cells")
+      pqCents.toSeq.flatMap { case ((sub, cid), qc) =>
+        qc.zipWithIndex.map { case (q, d) => (sub, cid, d, q / 1e6) }
+      }.toDF("sub", "cid", "dim", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      val cdf = broadcast(cellCents.toDF("_ccid", "_cqc"))
+      val cellDist = aggregate(
+        zip_with(col("_qv"), col("_cqc"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      val cCell = qcorpus.crossJoin(cdf)
+        .groupBy(col("_vid"))
+        .agg(min(struct(cellDist.as("d"), col("_ccid").as("c"))).as("_m"))
+        .select(col("_vid"), col("_m.c").as("cell"))
+      val codes = pqAssign(pqSubFormQ(qcorpus, "_vid", m, dim / m),
+          "_vid", pqCents)
+        .groupBy(col("_vid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("_sub"),
+            col("_m.c").as("_cid")))),
+          e => e.getField("_cid")).as("codes"))
+      codes.join(cCell, Seq("_vid"))
+        .select(col("_vid").as(idCol), col("codes"), col("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    } finally qcorpus.unpersist()
+  }
+
+  /** Probe a written IVF-PQ index: NO training, no raw-vector scan — the
+    * per-query cost is one broadcast distance table (m×codebookK integer
+    * entries per query) against a cell-pruned scan of the stored codes,
+    * map-side-aggregated ADC exactly as [[ivfPqTopK]]'s in-query form.
+    * `dim`/`m` must match the index write. Output and ranking are
+    * bit-identical to [[ivfPqTopK]] under the same build parameters.
+    */
+  def ivfPqIndexTopK(spark: org.apache.spark.sql.SparkSession,
+                     path: String, queries: DataFrame, k: Int, dim: Int,
+                     m: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val cells: Seq[(Int, Seq[Long])] = spark.read.parquet(s"$path/cells")
+      .collect().groupBy(_.getInt(0))
+      .map { case (cid, rs) =>
+        cid -> rs.sortBy(_.getInt(1))
+          .map(r => math.round(r.getDouble(2) * 1e6)).toSeq
+      }.toSeq.sortBy(_._1)
+    val cents: Map[(Int, Int), Seq[Long]] =
+      spark.read.parquet(s"$path/codebooks").collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rs) =>
+          key -> rs.sortBy(_.getInt(2))
+            .map(r => math.round(r.getDouble(3) * 1e6)).toSeq
+        }
+    val q = queries.select(col(idCol).as("_qid"), pqQuant(vecCol).as("_qv"))
+    val cdf = broadcast(cells.toDF("_ccid", "_cqc"))
+    val cellDist = aggregate(
+      zip_with(col("_qv"), col("_cqc"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val qCell = q.crossJoin(cdf)
+      .groupBy(col("_qid"))
+      .agg(min(struct(cellDist.as("d"), col("_ccid").as("c"))).as("_m"),
+        first(col("_qv")).as("_qv"))
+      .select(col("_qid"), col("_m.c").as("cell"), col("_qv"))
+    val probeCells: Array[Int] = qCell.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val qdist = pqSubFormQ(qCell.select(col("_qid"), col("_qv")),
+        "_qid", m, dim / m)
+      .join(pqCentsDF(spark, cents), Seq("_sub"))
+      .select(col("_qid"), col("_sub"), col("_cid"), pqSubDist.as("_d"))
+      .join(qCell.select(col("_qid"), col("cell")), Seq("_qid"))
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf).toSeq: _*))
+      .select(col(idCol).as("_vid"), col("cell"),
+        posexplode(col("codes")).as(Seq("_sub", "_cid")))
+    val adc = codes.join(broadcast(qdist), Seq("cell", "_sub", "_cid"))
+      .groupBy(col("_qid"), col("_vid"))
+      .agg(sum(col("_d")).as("_dist"))
+    val w = Window.partitionBy(col("_qid"))
+      .orderBy(col("_dist"), col("_vid"))
+    adc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("_qid").as("query_id"), col("_vid").as("corpus_id"),
+        round(col("_dist").cast("double") / 1e12, 6).as("approx_dist"),
+        col("rnk"))
+  }
+
   // --- PQ internals shared by pqTopK / ivfPqTopK / pqCodebooks /
   // pqEncodeCodes -----------------------------------------------------
 

@@ -711,6 +711,31 @@ object DedupSimQueries {
                CAST(rnk AS INTEGER) AS rnk
         FROM ranked WHERE rnk <= 5""")),
 
+    // IVF-PQ SERVING path: the index (coarse cells + PQ codebooks +
+    // cell-partitioned codes) is built ONCE per JVM (Scratch) and probes
+    // run train-free against the stored artifacts — the build/serve
+    // split every real ANN deployment uses. Training and encoding replay
+    // the exact ivfPqTopK pipeline, so the SAME oracle verifies the
+    // on-disk round-trip; the bench delta vs ivfpq_topk is the measured
+    // cost of retraining per query.
+    "ivfpq_index_topk" -> Entry(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = graft.sources.Scratch.materialize("ivfpq_idx", dir) {
+          p => SimilarityOps.writeIvfPqIndex(
+            e.filter(col("vec_id") >= 10), p, dim = 64, nCells = 4,
+            cellIters = 1, m = 4, codebookK = 8, pqIters = 1)
+        }
+        SimilarityOps.ivfPqIndexTopK(s, idx,
+          e.filter(col("vec_id") < 10), k = 5, dim = 64, m = 4)
+      },
+      Some(s"""$ivfpqRankedCte
+        SELECT query_id, corpus_id,
+               round(CAST(dist AS DOUBLE) / 1000000000000, 6)
+                 AS approx_dist,
+               CAST(rnk AS INTEGER) AS rnk
+        FROM ranked WHERE rnk <= 5""")),
+
     // Two-stage serving: the ADC ranking nominates 20 candidates per
     // query, exact cosine over the raw vectors re-ranks to top 5 — the
     // standard fidelity-recovery pattern on top of IVF-PQ. The oracle

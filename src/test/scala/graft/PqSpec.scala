@@ -161,4 +161,29 @@ class PqSpec extends SparkSpec {
       assert(got(100L) !== got(101L))
     } finally q.stop()
   }
+
+  test("written IVF-PQ index: train-free probe is bit-identical to the " +
+      "in-query ivfPqTopK and the codes scan partition-prunes") {
+    def vecs(n: Int, seed: Int) = (0 until n).map { i =>
+      (i.toLong + seed * 1000L, (0 until 16).map(d =>
+        (((i * 31 + d * 17 + seed) % 13) - 6).toFloat / 3f))
+    }.toDF("vec_id", "embedding")
+    val corpus = vecs(50, seed = 1)
+    val queries = vecs(5, seed = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    SimilarityOps.writeIvfPqIndex(corpus, dir, dim = 16, nCells = 3,
+      cellIters = 2, m = 4, codebookK = 6, pqIters = 2)
+    val probed = SimilarityOps.ivfPqIndexTopK(spark, dir, queries, k = 5,
+      dim = 16, m = 4)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected cell-pruned codes scan:\n$plan")
+    val inQuery = SimilarityOps.ivfPqTopK(queries, corpus, k = 5,
+      dim = 16, nCells = 3, cellIters = 2, m = 4, codebookK = 6,
+      pqIters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1),
+        r.getDouble(2))).toMap
+    assert(rows(probed) === rows(inQuery))
+  }
 }
