@@ -185,6 +185,44 @@ object CorpusOps {
           " ").as("kept_text"))
   }
 
+  /** Paragraph-boundary exact dedup — [[segmentDedup]]'s natural-boundary
+    * twin (the C4/RefinedWeb line-and-paragraph pass as published: dedup
+    * units are the document's OWN paragraphs, not fixed word windows):
+    * split on `sep`, keep only the globally-first occurrence of each
+    * distinct non-empty paragraph (ordered by document id, then position),
+    * reassemble survivors per document with `sep`. Empty paragraphs
+    * (consecutive separators, leading/trailing breaks) are not dedup
+    * units and never count.
+    *
+    * Same plan shape and every-doc-survives contract as [[segmentDedup]]:
+    * one explode, one near-unique-key exchange for the first-occurrence
+    * rank, one exchange back on the doc id.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n"): DataFrame = {
+    val paras = split(col(textCol),
+      java.util.regex.Pattern.quote(sep), -1)
+    val segs = docs
+      .select(col(idCol), posexplode_outer(paras).as(Seq("seg_idx", "seg")))
+      // empty paragraphs are boundary artifacts, not segments: null them
+      // so they fall out of counts and reassembly like missing segments
+      .select(col(idCol), col("seg_idx"),
+        when(length(col("seg")) > 0, col("seg")).as("seg"))
+    val firstRank = Window.partitionBy(col("seg"))
+      .orderBy(col(idCol), col("seg_idx"))
+    segs.withColumn("_keep",
+        col("seg").isNotNull && row_number().over(firstRank) === 1)
+      .groupBy(col(idCol))
+      .agg(count(col("seg")).as("total_segs"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("kept_segs"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_keep"), struct(col("seg_idx"), col("seg"))))),
+            s => s.getField("seg")),
+          sep).as("kept_text"))
+  }
+
   /** Deterministic weighted sampling without replacement, k per stratum —
     * the Efraimidis-Spirtes A-ES scheme with the RNG replaced by a salted
     * content-key hash: each row gets u = (hash32 + 0.5) / 2^32 in (0,1)

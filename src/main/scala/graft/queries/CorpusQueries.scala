@@ -174,6 +174,41 @@ object CorpusQueries {
         SELECT d.doc_id, coalesce(a.total_segs, 0) AS total_segs,
                coalesce(a.kept_segs, 0) AS kept_segs,
                coalesce(a.kept_text, '') AS kept_text
-        FROM documents d LEFT JOIN agg a USING (doc_id)"""))
+        FROM documents d LEFT JOIN agg a USING (doc_id)""")),
+
+    // Paragraph-boundary dedup (the C4/RefinedWeb pass on its NATURAL
+    // units). documents.text is newline-free word soup, so the entry
+    // injects a deterministic paragraph break after every 5th word first
+    // — the same regex rewrite replays in RE2 (identical leftmost
+    // non-overlapping scan on space-separated tokens), making real
+    // multi-paragraph inputs for the dedup to chew on.
+    "corpus_paragraph_dedup" -> Entry(
+      (s, dir) => CorpusOps.paragraphDedup(
+        Tables.documents(s, dir).withColumn("ptext",
+          regexp_replace(col("text"), "((?:\\S+ ){4}\\S+) ", "$1\n")),
+        "doc_id", "ptext"),
+      Some("""
+        WITH d AS (SELECT doc_id,
+                     regexp_replace(text, '((?:\S+ ){4}\S+) ',
+                       '\1' || chr(10), 'g') AS ptext
+                   FROM documents),
+        ps AS (SELECT doc_id, string_split(ptext, chr(10)) AS paras
+               FROM d),
+        segs AS (SELECT doc_id, CAST(i AS INTEGER) - 1 AS seg_idx,
+                        paras[CAST(i AS INTEGER)] AS seg
+                 FROM ps, UNNEST(generate_series(1, len(paras))) AS t(i)
+                 WHERE length(paras[CAST(i AS INTEGER)]) > 0),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY seg
+                 ORDER BY doc_id, seg_idx) AS rn FROM segs),
+        agg AS (SELECT doc_id, count(*) AS total_segs,
+                       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS kept_segs,
+                       coalesce(string_agg(CASE WHEN rn = 1 THEN seg END,
+                         chr(10) ORDER BY seg_idx), '') AS kept_text
+                FROM rk GROUP BY 1)
+        SELECT d.doc_id, coalesce(a.total_segs, 0) AS total_segs,
+               coalesce(a.kept_segs, 0) AS kept_segs,
+               coalesce(a.kept_text, '') AS kept_text
+        FROM d LEFT JOIN agg a USING (doc_id)"""))
   )
 }

@@ -89,6 +89,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3L) === ((1L, 0L, "")))         // fully duplicated, stays
   }
 
+  test("paragraphDedup: natural-boundary units, first occurrence wins, " +
+       "empty paragraphs are not dedup units") {
+    val docs = Seq(
+      (1L, "the cat sat\non the mat"),          // two paragraphs
+      (2L, "the cat sat\n\nsomething new"),     // dup para + empty + new
+      (3L, "on the mat"),                       // fully duplicated
+      (4L, "\nthe cat sat\n"),                  // boundary artifacts only
+      (5L, ""), (6L, null: String))             // degenerate docs survive
+      .toDF("doc_id", "text")
+    val out = CorpusOps.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("total_segs"), r.getAs[Long]("kept_segs"),
+          r.getAs[String]("kept_text")))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(out(1L) === ((2L, 2L, "the cat sat\non the mat")))
+    assert(out(2L) === ((2L, 1L, "something new")))
+    assert(out(3L) === ((1L, 0L, "")))
+    // doc4's only real paragraph is a dup of doc1's; the leading and
+    // trailing newlines contribute no segments
+    assert(out(4L) === ((1L, 0L, "")))
+    assert(out(5L) === ((0L, 0L, "")))
+    assert(out(6L) === ((0L, 0L, "")))
+  }
+
+  test("paragraphDedup: within-doc duplicate paragraphs collapse, order " +
+       "of survivors is positional") {
+    val docs = Seq((9L, "x y\nz\nx y\nw")).toDF("doc_id", "text")
+    val r = CorpusOps.paragraphDedup(docs, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("total_segs") === 4L)
+    assert(r.getAs[Long]("kept_segs") === 3L)
+    assert(r.getAs[String]("kept_text") === "x y\nz\nw")
+  }
+
   test("segmentDedup within-doc duplicate segments collapse too") {
     val docs = Seq((7L, "a b a b a")).toDF("doc_id", "text")
     // segs of 2: [a b][a b][a] -> keeps idx 0 and the short tail
