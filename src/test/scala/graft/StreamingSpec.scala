@@ -77,6 +77,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming TA indicators carry recursion state across " +
+       "micro-batches and match the batch fold (TaOps twin)") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.StreamingTa
+    val mem = MemoryStream[StreamingTa.Tick]
+    val out = StreamingTa.indicators(mem.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sta").start()
+    val prices = Seq(10.0, 12.0, 11.0, 15.0, 9.0, 14.0)
+    val ticks = prices.zipWithIndex.map { case (p, i) =>
+      StreamingTa.Tick("btc", ts(s"2024-01-01 00:0$i:00"), p)
+    }
+    try {
+      // split mid-series: the EMA/Wilder state must survive the boundary
+      mem.addData(ticks.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(ticks.drop(3): _*)
+      q.processAllAvailable()
+      val rows = spark.table("sta").collect()
+      assert(rows.length === prices.length, "one TaPoint per tick")
+      val last = rows.maxBy(_.getAs[Timestamp]("ts").getTime)
+      // batch twin over the same series (vol irrelevant to these cols)
+      val batch = graft.ops.TaOps.taSnapshot(
+        ticks.map(t => ("btc", t.ts, t.price, 1.0))
+          .toDF("sym", "t", "p", "vol"), "sym", "t", "p", "vol")
+        .collect().head
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r6(last.getAs[Double]("macd")) === batch.getAs[Double]("macd"))
+      assert(r6(last.getAs[Double]("macd_signal")) ===
+        batch.getAs[Double]("macd_signal"))
+      assert(r6(last.getAs[Double]("macd_hist")) ===
+        batch.getAs[Double]("macd_hist"))
+      assert(r6(last.getAs[Double]("rsi")) === batch.getAs[Double]("rsi"))
+    } finally q.stop()
+  }
+
   test("drift forecaster keeps per-key state across micro-batches (X2/T5)") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[DriftForecaster.Tick]
