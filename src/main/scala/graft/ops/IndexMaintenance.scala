@@ -60,10 +60,12 @@ object IndexMaintenance {
   /** Read the index rows for a set of buckets: the base scan partition-
     * prunes to the named directories; delta rows (if any) ride along
     * through a predicate-pushed filter. Column order follows the base.
+    * `partitionCol` names the bucketing column ("bucket" for the hash
+    * indexes, "cell" for the IVF-PQ codes).
     */
-  def readBucketed(spark: SparkSession, path: String,
-                   buckets: Seq[Int]): DataFrame = {
-    val pred = col("bucket").isin(buckets.map(Integer.valueOf): _*)
+  def readBucketed(spark: SparkSession, path: String, buckets: Seq[Int],
+                   partitionCol: String = "bucket"): DataFrame = {
+    val pred = col(partitionCol).isin(buckets.map(Integer.valueOf): _*)
     val base = spark.read.parquet(path).filter(pred)
     val dp = deltaPath(path)
     if (hasParquet(spark, dp))
@@ -87,7 +89,8 @@ object IndexMaintenance {
     * that re-fold collapse the duplicates.
     */
   def compactBucketed(spark: SparkSession, path: String,
-                      dedupKeys: Seq[String] = Nil): Unit = {
+                      dedupKeys: Seq[String] = Nil,
+                      partitionCol: String = "bucket"): Unit = {
     val tmp = path + "_compact_tmp"
     val dst = new Path(path)
     val src = new Path(tmp)
@@ -102,8 +105,8 @@ object IndexMaintenance {
     else base
     val deduped =
       if (dedupKeys.nonEmpty) all.dropDuplicates(dedupKeys) else all
-    deduped.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    deduped.repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
     f.delete(dst, true)
     // rename reports several failure modes via `false`, not an exception;
     // past the delete a silent false would strand the index — fail loudly

@@ -645,14 +645,8 @@ object SimilarityOps {
         qc.zipWithIndex.map { case (q, d) => (sub, cid, d, q / 1e6) }
       }.toDF("sub", "cid", "dim", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-      val cdf = broadcast(cellCents.toDF("_ccid", "_cqc"))
-      val cellDist = aggregate(
-        zip_with(col("_qv"), col("_cqc"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-      val cCell = qcorpus.crossJoin(cdf)
-        .groupBy(col("_vid"))
-        .agg(min(struct(cellDist.as("d"), col("_ccid").as("c"))).as("_m"))
-        .select(col("_vid"), col("_m.c").as("cell"))
+      val cCell = assignIvfPqCells(qcorpus, "_vid", cellCents)
+        .select(col("_vid"), col("cell"))
       val codes = pqAssign(pqSubFormQ(qcorpus, "_vid", m, dim / m),
           "_vid", pqCents)
         .groupBy(col("_vid"))
@@ -674,34 +668,84 @@ object SimilarityOps {
     * `dim`/`m` must match the index write. Output and ranking are
     * bit-identical to [[ivfPqTopK]] under the same build parameters.
     */
-  def ivfPqIndexTopK(spark: org.apache.spark.sql.SparkSession,
-                     path: String, queries: DataFrame, k: Int, dim: Int,
-                     m: Int, idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
-    import spark.implicits._
-    val cells: Seq[(Int, Seq[Long])] = spark.read.parquet(s"$path/cells")
+  /** Stored cell centroids, back on the 1e-6 training grid. */
+  private def loadIvfPqCells(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Seq[(Int, Seq[Long])] =
+    spark.read.parquet(s"$path/cells")
       .collect().groupBy(_.getInt(0))
       .map { case (cid, rs) =>
         cid -> rs.sortBy(_.getInt(1))
           .map(r => math.round(r.getDouble(2) * 1e6)).toSeq
       }.toSeq.sortBy(_._1)
-    val cents: Map[(Int, Int), Seq[Long]] =
-      spark.read.parquet(s"$path/codebooks").collect()
-        .groupBy(r => (r.getInt(0), r.getInt(1)))
-        .map { case (key, rs) =>
-          key -> rs.sortBy(_.getInt(2))
-            .map(r => math.round(r.getDouble(3) * 1e6)).toSeq
-        }
-    val q = queries.select(col(idCol).as("_qid"), pqQuant(vecCol).as("_qv"))
+
+  /** Stored PQ sub-codebooks, back on the 1e-6 training grid. */
+  private def loadIvfPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[(Int, Int), Seq[Long]] =
+    spark.read.parquet(s"$path/codebooks").collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case (key, rs) =>
+        key -> rs.sortBy(_.getInt(2))
+          .map(r => math.round(r.getDouble(3) * 1e6)).toSeq
+      }
+
+  /** Coarse-cell assignment of quantized rows (`id`, `_qv`) — the one
+    * argmin rule every IVF-PQ leg (build, append, probe) shares.
+    */
+  private def assignIvfPqCells(qrows: DataFrame, id: String,
+      cells: Seq[(Int, Seq[Long])]): DataFrame = {
+    val spark = qrows.sparkSession
+    import spark.implicits._
     val cdf = broadcast(cells.toDF("_ccid", "_cqc"))
     val cellDist = aggregate(
       zip_with(col("_qv"), col("_cqc"), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
-    val qCell = q.crossJoin(cdf)
-      .groupBy(col("_qid"))
+    qrows.crossJoin(cdf)
+      .groupBy(col(id))
       .agg(min(struct(cellDist.as("d"), col("_ccid").as("c"))).as("_m"),
         first(col("_qv")).as("_qv"))
-      .select(col("_qid"), col("_m.c").as("cell"), col("_qv"))
+      .select(col(id), col("_m.c").as("cell"), col("_qv"))
+  }
+
+  /** Incrementally add vectors to a written IVF-PQ index WITHOUT
+    * retraining: new rows encode against the STORED codebooks
+    * ([[pqEncodeCodes]] — a narrow, streaming-safe projection), take
+    * their coarse cell from the stored centroids, and land as one flat
+    * file in the codes' L0 delta ([[graft.ops.IndexMaintenance]]);
+    * probes union the delta in and [[compactIvfPqCodes]] folds it. This
+    * is the standard quantizer-reuse contract: codebooks describe the
+    * trained distribution and are versioned with the index — appends
+    * inherit them (re-train + rebuild when the distribution drifts).
+    */
+  def appendIvfPqIndex(newVecs: DataFrame, path: String, dim: Int, m: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val spark = newVecs.sparkSession
+    val cells = loadIvfPqCells(spark, path)
+    val codebooks = spark.read.parquet(s"$path/codebooks")
+    val q = newVecs.select(col(idCol), pqQuant(vecCol).as("_qv"))
+    val withCell = assignIvfPqCells(q, idCol, cells)
+      .select(col(idCol), col("cell"))
+    val codes = pqEncodeCodes(newVecs, codebooks, dim, m, idCol, vecCol)
+    graft.ops.IndexMaintenance.appendDelta(
+      codes.join(withCell, Seq(idCol)), s"$path/codes")
+  }
+
+  /** Fold the codes' L0 delta into the cell-partitioned base (see
+    * [[graft.ops.IndexMaintenance.compactBucketed]]).
+    */
+  def compactIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
+                        path: String, idCol: String = "vec_id"): Unit =
+    graft.ops.IndexMaintenance.compactBucketed(spark, s"$path/codes",
+      Seq(idCol), partitionCol = "cell")
+
+  def ivfPqIndexTopK(spark: org.apache.spark.sql.SparkSession,
+                     path: String, queries: DataFrame, k: Int, dim: Int,
+                     m: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val cells = loadIvfPqCells(spark, path)
+    val cents = loadIvfPqCodebooks(spark, path)
+    val q = queries.select(col(idCol).as("_qid"), pqQuant(vecCol).as("_qv"))
+    val qCell = assignIvfPqCells(q, "_qid", cells)
     val probeCells: Array[Int] = qCell.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
     val qdist = pqSubFormQ(qCell.select(col("_qid"), col("_qv")),
@@ -709,8 +753,9 @@ object SimilarityOps {
       .join(pqCentsDF(spark, cents), Seq("_sub"))
       .select(col("_qid"), col("_sub"), col("_cid"), pqSubDist.as("_d"))
       .join(qCell.select(col("_qid"), col("cell")), Seq("_qid"))
-    val codes = spark.read.parquet(s"$path/codes")
-      .filter(col("cell").isin(probeCells.map(Integer.valueOf).toSeq: _*))
+    val codes = graft.ops.IndexMaintenance
+      .readBucketed(spark, s"$path/codes", probeCells.toIndexedSeq,
+        partitionCol = "cell")
       .select(col(idCol).as("_vid"), col("cell"),
         posexplode(col("codes")).as(Seq("_sub", "_cid")))
     val adc = codes.join(broadcast(qdist), Seq("cell", "_sub", "_cid"))

@@ -186,4 +186,47 @@ class PqSpec extends SparkSpec {
         r.getDouble(2))).toMap
     assert(rows(probed) === rows(inQuery))
   }
+
+  test("IVF-PQ index append: new vectors encode against the STORED " +
+      "codebooks, land in the codes delta, probe finds them, compaction " +
+      "folds and preserves results") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def vecs(n: Int, seed: Int) = (0 until n).map { i =>
+      (i.toLong + seed * 1000L, (0 until 16).map(d =>
+        (((i * 29 + d * 13 + seed) % 11) - 5).toFloat / 2f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq_app").toString
+    SimilarityOps.writeIvfPqIndex(vecs(40, seed = 1), dir, dim = 16,
+      nCells = 3, cellIters = 2, m = 4, codebookK = 6, pqIters = 2)
+    // append clones of the queries: ADC must surface each clone with the
+    // query's own self-quantization distance, i.e. the cell minimum
+    val queries = vecs(3, seed = 5)
+    SimilarityOps.appendIvfPqIndex(
+      queries.withColumn("vec_id", col("vec_id") + 900000L),
+      dir, dim = 16, m = 4)
+    val delta = Paths.get(
+      graft.ops.IndexMaintenance.deltaPath(s"$dir/codes"))
+    assert(Files.list(delta).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet")) === 1,
+      "append should write exactly one codes-delta file")
+
+    def hits() = SimilarityOps.ivfPqIndexTopK(spark, dir, queries,
+        k = 50, dim = 16, m = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val before = hits()
+    queries.collect().map(_.getLong(0)).foreach { q =>
+      val clone = before.get((q, q + 900000L))
+      assert(clone.isDefined, s"query $q must find its appended clone")
+      // the clone shares the query's codes, so no vector can ADC-score
+      // closer than it
+      val best = before.collect { case ((qq, _), d) if qq == q => d }.min
+      assert(clone.contains(best), s"clone of $q must sit at the minimum")
+    }
+    SimilarityOps.compactIvfPqCodes(spark, dir)
+    assert(!Files.exists(delta), "compaction should clear the codes delta")
+    assert(hits() === before)
+  }
 }
