@@ -56,6 +56,30 @@ object StreamingTa {
     case _ => None
   }
 
+  /** The TA record's WINDOWED leg — SMA and VWAP are plain window
+    * aggregates, not recursions, so they ride a watermarked tumbling
+    * window (map-side partial sums, O(windows × symbols) state, late
+    * ticks metered by [[LateDataMonitor]]) rather than keyed state:
+    * per (window, symbol) — mean price, Σ(p·vol)/Σ(vol), tick count.
+    * Pair with [[indicators]] for the recursive columns; the batch
+    * [[graft.ops.TaOps.taSnapshot]] carries both in one row.
+    */
+  def windowedVwap(ticks: org.apache.spark.sql.DataFrame, dur: String,
+                   watermark: String, timeCol: String = "ts",
+                   keyCol: String = "symbol", priceCol: String = "price",
+                   volCol: String = "vol"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    ticks
+      .withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), dur), col(keyCol))
+      .agg(count(lit(1)).as("n_ticks"),
+        avg(col(priceCol)).as("sma"),
+        (sum(col(priceCol) * col(volCol)) /
+          nullif(sum(col(volCol)), lit(0.0))).as("vwap"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n_ticks"), col("sma"), col("vwap"))
+  }
+
   /** Streaming (or batch) application over a typed Dataset: one TaPoint
     * per tick carrying the indicator values AFTER observing it.
     */

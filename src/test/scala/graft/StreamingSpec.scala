@@ -114,6 +114,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed VWAP/SMA: closed windows emit once, zero " +
+       "volume yields null vwap") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double, Double)]
+    val out = graft.streaming.StreamingTa.windowedVwap(
+      mem.toDF().toDF("ts", "symbol", "price", "vol"),
+      "1 minute", "30 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("wvwap").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 00:00:10"), "btc", 10.0, 2.0),
+        (ts("2024-01-01 00:00:40"), "btc", 20.0, 6.0),
+        (ts("2024-01-01 00:00:50"), "eth", 5.0, 0.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 00:05:00"), "btc", 1.0, 1.0)) // close :00
+      q.processAllAvailable()
+      val rows = spark.table("wvwap").collect()
+        .map(r => r.getString(1) -> r).toMap
+      val b = rows("btc")
+      assert(b.getAs[Long]("n_ticks") === 2L)
+      assert(b.getAs[Double]("sma") === 15.0)
+      assert(b.getAs[Double]("vwap") === (10.0 * 2 + 20.0 * 6) / 8.0)
+      // all-zero volume in the window: vwap is null, not a div-by-zero
+      val e = rows("eth")
+      assert(e.isNullAt(e.fieldIndex("vwap")))
+      assert(e.getAs[Double]("sma") === 5.0)
+    } finally q.stop()
+  }
+
   test("drift forecaster keeps per-key state across micro-batches (X2/T5)") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[DriftForecaster.Tick]
