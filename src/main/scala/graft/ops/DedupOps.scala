@@ -707,6 +707,9 @@ object DedupOps {
     val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
       shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
         .as("band_val")))
+    // both self-join sides re-evaluate the banding — fine: the upstream
+    // is a narrow scan + native simhash64 projection (no shuffle), so
+    // recompute beats materializing a checkpoint (measured)
     val banded = sigs.select(col(idCol), col("simhash"),
         explode(array(bandCols: _*)).as("kv"))
       .select(col(idCol), col("simhash"), col("kv.band"), col("kv.band_val"))

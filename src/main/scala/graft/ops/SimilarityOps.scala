@@ -1097,6 +1097,12 @@ object SimilarityOps {
       .agg(min(struct(dist.as("d"), col("_cid").as("c"))).as("_m"),
         first(col("_v")).as("_v"), first(col("_n")).as("_n"))
       .select(col(idCol), col("_v"), col("_n"), col("_m.c").as("_cell"))
+      // both self-join sides read this frame; without the eager local
+      // checkpoint each side re-runs the crossJoin+argmin assignment over
+      // the whole corpus (Spark shares no common subplans). Blocks are
+      // swept by the harness' persistent-RDD sweep (CheckpointLifecycle).
+      .transform(df => if (graft.PlanMode.isExplainOnly) df
+        else df.localCheckpoint(eager = true))
     assigned.as("a").join(assigned.as("b"),
         col("a._cell") === col("b._cell") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
@@ -1118,7 +1124,13 @@ object SimilarityOps {
     val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
       shiftrightunsigned(col("_sig"), b * bandBits).bitwiseAND(lit(mask))
         .as("band_val")))
-    // signature + norm staged once per vector before the explode
+    // signature + norm staged once per vector before the explode. Both
+    // self-join sides re-evaluate this pipeline, and that is the RIGHT
+    // trade: it is a narrow scan+projection (codegen'd kernel, no
+    // shuffle), so recomputing beats materializing a corpus-sized
+    // checkpoint — measured both ways locally, and at scale the
+    // materialization would cost 1× corpus of storage to save
+    // embarrassingly-parallel math
     val banded = Rebalance(vecs)
       .select(col(idCol), col(vecCol).as("_v"),
         l2Norm(col(vecCol)).as("_n"),
