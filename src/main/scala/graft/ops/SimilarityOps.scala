@@ -1114,6 +1114,62 @@ object SimilarityOps {
         round(col("_cos"), 6).as("cos_sim"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering the embedding space with k-means and
+    * pruning WITHIN clusters only — every vector with a lower-id
+    * cluster-mate at cosine >= `threshold` is marked dropped, keeping the
+    * lowest id of each semantic-duplicate set. One output row per input:
+    * (idCol, cell, is_kept, dup_of, dup_cos), where dup_of is the lowest
+    * too-similar predecessor (null when kept) and dup_cos the strongest
+    * such similarity (round 6, engine-stable).
+    *
+    * Scale shape is the paper's own: the only quadratic step is the
+    * per-cluster self-join, and cluster sizes are controlled by k
+    * (k ~ n/1000 keeps each cell's pair volume bounded as the corpus
+    * grows; the join shuffles both sides on the small-int cell key). The
+    * clustering reuses [[kmeansCentroidArrays]] — exact 1e-6-quantized
+    * integer argmin, lowest-id init — so cells, and therefore the whole
+    * keep/drop decision, are bit-identical across engines and partition
+    * layouts; the DuckDB oracle replays the full trajectory. The
+    * assignment frame feeds three plan branches (both self-join sides and
+    * the final keep-flag join), hence the eager checkpoint.
+    */
+  def semanticDedup(vecs: DataFrame, threshold: Double, nClusters: Int,
+                    iters: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroidArrays(vecs, nClusters, iters, idCol, vecCol)
+    val cdf = broadcast(cents.toDF("_cid", "_qc"))
+    val qv = transform(col(vecCol),
+      v => round(v.cast("double") * 1e6).cast("long"))
+    val dist = aggregate(
+      zip_with(col("_qv"), col("_qc"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val assigned = Rebalance(vecs)
+      .select(col(idCol).as("_vid"), col(vecCol).as("_v"),
+        l2Norm(col(vecCol)).as("_n"), qv.as("_qv"))
+      .crossJoin(cdf)
+      .groupBy(col("_vid"))
+      .agg(min(struct(dist.as("d"), col("_cid").as("c"))).as("_m"),
+        first(col("_v")).as("_v"), first(col("_n")).as("_n"))
+      .select(col("_vid"), col("_v"), col("_n"), col("_m.c").as("cell"))
+      .transform(df => if (graft.PlanMode.isExplainOnly) df
+        else df.localCheckpoint(eager = true))
+    val dups = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("b._vid") < col("a._vid"))
+      .select(col("a._vid").as("_vid"),  col("b._vid").as("_peer"),
+        (dot(col("a._v"), col("b._v")) /
+          (col("a._n") * col("b._n"))).as("_cos"))
+      .filter(col("_cos") >= threshold)
+      .groupBy(col("_vid"))
+      .agg(min(col("_peer")).as("dup_of"), max(col("_cos")).as("_maxc"))
+    assigned.join(dups, Seq("_vid"), "left")
+      .select(col("_vid").as(idCol), col("cell"),
+        col("dup_of").isNull.as("is_kept"), col("dup_of"),
+        round(col("_maxc"), 6).as("dup_cos"))
+  }
+
   def cosineNearDupPairsBucketed(vecs: DataFrame, threshold: Double,
                                  dim: Int, bands: Int = 8, bandBits: Int = 2,
                                  idCol: String = "vec_id",

@@ -1029,6 +1029,45 @@ object DedupSimQueries {
         GROUP BY 1, 2
         HAVING min(bit_count(xor(a.simhash, b.simhash))) <= 16""")),
 
+    // SemDeDup (Abbas et al. 2023): k-means the embedding space (k=8,
+    // one exact Lloyd update — same trajectory the IVF oracles replay),
+    // then inside each cluster drop every vector with a lower-id
+    // cluster-mate at cosine >= 0.3. The oracle replays init -> assign ->
+    // mean -> reassign with the shared kmeans CTE builders, then the
+    // within-cluster prune; keep/drop, lowest dup peer, and the round-6
+    // strongest similarity all hash-match.
+    "semantic_dedup" -> Entry(
+      (s, dir) => SimilarityOps.semanticDedup(Tables.embeddings(s, dir),
+        threshold = 0.3, nClusters = 8, iters = 1),
+      Some(s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+                          $qzSql AS qv
+                   FROM embeddings),
+        cc0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
+                         - 1 AS cid, qv AS qc
+                FROM (SELECT vec_id, qv FROM v ORDER BY vec_id LIMIT 8)),
+        ca1 AS (${kmAssignSql("v", "cc0")}),
+        cu1 AS (${kmMeanSql("ca1")}),
+        cc1 AS (SELECT cid, list(qc ORDER BY dim) AS qc
+                FROM cu1 GROUP BY cid),
+        asg AS (SELECT vec_id, ev, cid AS cell
+                FROM (${kmAssignSql("v", "cc1")})),
+        dups AS (
+          SELECT a.vec_id AS vec_id, min(b.vec_id) AS dup_of,
+                 max(list_dot_product(a.ev, b.ev) /
+                     (sqrt(list_dot_product(a.ev, a.ev)) *
+                      sqrt(list_dot_product(b.ev, b.ev)))) AS maxc
+          FROM asg a JOIN asg b
+            ON a.cell = b.cell AND b.vec_id < a.vec_id
+          WHERE list_dot_product(a.ev, b.ev) /
+                (sqrt(list_dot_product(a.ev, a.ev)) *
+                 sqrt(list_dot_product(b.ev, b.ev))) >= 0.3
+          GROUP BY 1)
+        SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+               d.dup_of IS NULL AS is_kept, d.dup_of,
+               round(d.maxc, 6) AS dup_cos
+        FROM asg a LEFT JOIN dups d USING (vec_id)""")),
+
     // Self-evaluation: recall@5 of the IVF path against the brute-force
     // ground truth — the measurement a production ANN deployment ships
     // with. One summary row: n_queries, hits, recall.
@@ -1077,6 +1116,54 @@ object DedupSimQueries {
                         sqrt(list_dot_product(cb.cv, cb.cv))) DESC,
                        cb.corpus_id) AS rnk
             FROM probes p JOIN cb ON p.bucket = cb.bucket) WHERE rnk <= 5),
+        h AS (SELECT count(*) AS hits
+              FROM truth JOIN approx USING (query_id, corpus_id)),
+        nt AS (SELECT count(*) AS n_truth FROM truth)
+        SELECT n_truth, hits, CAST(hits AS DOUBLE) / n_truth AS recall
+        FROM nt, h""")),
+
+    // Recall@5 of the PERSISTED IVF-PQ serving index (writeIvfPqIndex +
+    // train-free ivfPqIndexTopK probe) against brute-force cosine truth —
+    // the ann_recall twin for the build/serve split, measuring what the
+    // quantized on-disk path loses vs exact search. Shares the Scratch
+    // artifact with ivfpq_index_topk (identical build parameters), so a
+    // full-catalog pass builds the index once. The oracle replays the
+    // full IVF-PQ training/ADC trajectory (ivfpqRankedCte) for the approx
+    // side and exact cosine for the truth side; recall is a ratio of
+    // exact ints.
+    "ann_index_recall" -> Entry(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") < 10)
+        val c = e.filter(col("vec_id") >= 10)
+        val truth = SimilarityOps.bruteForceTopK(q, c, 5)
+          .select(col("query_id"), col("corpus_id"))
+        val idx = graft.sources.Scratch.materialize("ivfpq_idx", dir) {
+          p => SimilarityOps.writeIvfPqIndex(c, p, dim = 64, nCells = 4,
+            cellIters = 1, m = 4, codebookK = 8, pqIters = 1)
+        }
+        val approx = SimilarityOps.ivfPqIndexTopK(s, idx, q, k = 5,
+            dim = 64, m = 4)
+          .select(col("query_id"), col("corpus_id"))
+        truth.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .select(col("n_truth"), col("hits"),
+            (col("hits").cast("double") / col("n_truth")).as("recall"))
+      },
+      Some(s"""$ivfpqRankedCte,
+        tq AS (SELECT vec_id AS query_id,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+        tc AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id >= 10),
+        truth AS (
+          SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY $cosSql DESC, corpus_id) AS rnk
+            FROM tc, tq) WHERE rnk <= 5),
+        approx AS (SELECT query_id, corpus_id FROM ranked WHERE rnk <= 5),
         h AS (SELECT count(*) AS hits
               FROM truth JOIN approx USING (query_id, corpus_id)),
         nt AS (SELECT count(*) AS n_truth FROM truth)

@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.SimilarityOps
+
+/** SemDeDup semantics (cluster-then-prune): drops are decided ONLY inside
+  * a k-means cell, the lowest id of a duplicate set always survives, and
+  * the keep/drop decision is invariant to the input partition layout.
+  */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated Euclidean blobs; ids 2/11/12 are near-parallel to a
+  // lower-id mate in their own blob, id 3 is near-parallel to blob B
+  // members (cos ~0.99) but Euclidean-far, so k-means keeps it in blob A
+  // where nothing resembles it
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f)),
+    (2L, Array(0.98f, 0.02f)),
+    (3L, Array(0.6f, 0.8f)),
+    (10L, Array(10.0f, 10.0f)),
+    (11L, Array(10.2f, 9.8f)),
+    (12L, Array(14.0f, 14.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("drops within-cell near-parallels, keeps the lowest id") {
+    val out = SimilarityOps.semanticDedup(vecs, threshold = 0.95,
+        nClusters = 2, iters = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cell"), r.getAs[Boolean]("is_kept"),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 10L, 11L, 12L))
+    // blob A = cell of id 1, blob B = cell of id 10, and they differ
+    val cellA = out(1L)._1
+    val cellB = out(10L)._1
+    assert(cellA !== cellB)
+    assert(Seq(2L, 3L).forall(out(_)._1 == cellA))
+    assert(Seq(11L, 12L).forall(out(_)._1 == cellB))
+    // kept = lowest id per duplicate set + the cross-cell lookalike
+    assert(out.collect { case (id, (_, true, _)) => id }.toSet ===
+      Set(1L, 3L, 10L))
+    assert(out(2L)._3 === Some(1L))
+    assert(out(11L)._3 === Some(10L))
+    // 12 is similar to both 10 and 11; dup_of reports the lowest peer
+    assert(out(12L)._3 === Some(10L))
+    // id 3 survives despite cos(3, 10) ~ 0.99: different cell, never
+    // compared — the property that makes SemDeDup sub-quadratic
+    assert(out(3L)._2 === true)
+  }
+
+  test("(14,14) is exactly parallel to (10,10): dup_cos hits 1.0") {
+    val row = SimilarityOps.semanticDedup(vecs, threshold = 0.95,
+        nClusters = 2, iters = 2)
+      .filter($"vec_id" === 12L).collect().head
+    assert(row.getAs[Double]("dup_cos") === 1.0)
+  }
+
+  test("keep/drop decision is invariant to partition layout") {
+    val base = SimilarityOps.semanticDedup(vecs, threshold = 0.95,
+      nClusters = 2, iters = 2).collect().map(_.toString).sorted
+    val repart = SimilarityOps.semanticDedup(vecs.repartition(7),
+      threshold = 0.95, nClusters = 2, iters = 2)
+      .collect().map(_.toString).sorted
+    assert(base === repart)
+  }
+}
