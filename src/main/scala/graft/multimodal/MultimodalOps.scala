@@ -121,6 +121,52 @@ object MultimodalOps {
       }
     }
 
+    /** 64-bit average-hash (aHash) perceptual image fingerprint: the
+      * image is nearest-neighbor-downsampled to an 8x8 gray grid
+      * (sample at (i*w/8, j*h/8), integer division — the same NN
+      * convention as [[MultimodalOps.resizeImageNN]]), and bit j*8+i is
+      * set iff 64*sample > sum(samples) — the integer-exact form of
+      * "pixel above the mean", so an oracle can replay the hash without
+      * float-compare hazards. Robust to uniform brightness shifts (the
+      * mean shifts with the pixels) and to resolution changes (NN grid),
+      * which is what makes it a near-dup key rather than a checksum.
+      */
+    def aHash64(payload: Array[Byte]): Option[Long] = {
+      val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val raster = img.getRaster
+        val bands = math.min(raster.getNumBands, 3)
+        val g = new Array[Long](64)
+        var sum = 0L
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            val x = i * w / 8; val y = j * h / 8
+            var b = 0
+            var px = 0
+            while (b < bands) { px += raster.getSample(x, y, b); b += 1 }
+            val v = (px / bands).toLong
+            g(j * 8 + i) = v
+            sum += v
+            i += 1
+          }
+          j += 1
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) {
+          if (64L * g(b) > sum) sig |= (1L << b)
+          b += 1
+        }
+        Some(sig)
+      }
+    }
+
     /** RIFF/WAVE PCM parse: (sampleRate, channels, frames-per-channel,
       * mean |sample| scaled to 0..255). Supports 8-bit unsigned and
       * 16-bit signed little-endian PCM (format code 1).

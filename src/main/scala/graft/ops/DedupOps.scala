@@ -702,23 +702,38 @@ object DedupOps {
     */
   def simhashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", shingleWords: Int = 2,
-                      maxHamming: Int = 8): DataFrame = {
-    val sigs = simhash(docs, idCol, textCol, shingleWords)
+                      maxHamming: Int = 8): DataFrame =
+    hammingNearDups(simhash(docs, idCol, textCol, shingleWords),
+        idCol, "simhash", maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("hamming"))
+
+  /** Near-dup pairs over ANY 64-bit hamming-space signature column
+    * (SimHash text fingerprints, aHash image fingerprints, ...) via
+    * band-of-bits LSH: the signature splits into 4 x 16-bit bands; rows
+    * sharing any band become candidates (pigeonhole: every pair at
+    * hamming < 4 is guaranteed caught; larger distances
+    * probabilistically), verified with the exact Hamming distance.
+    * Linear-not-quadratic: the self-join key is a uniform 16-bit value +
+    * band id. Output (id_a, id_b, hamming), id_a < id_b.
+    */
+  def hammingNearDups(sigs: DataFrame, idCol: String, sigCol: String,
+                      maxHamming: Int): DataFrame = {
     val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
-      shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+      shiftrightunsigned(col(sigCol), b * 16).bitwiseAND(lit(0xFFFFL))
         .as("band_val")))
     // both self-join sides re-evaluate the banding — fine: the upstream
-    // is a narrow scan + native simhash64 projection (no shuffle), so
-    // recompute beats materializing a checkpoint (measured)
-    val banded = sigs.select(col(idCol), col("simhash"),
+    // is a narrow scan + signature projection (no shuffle), so recompute
+    // beats materializing a checkpoint (measured for the simhash case)
+    val banded = sigs.select(col(idCol), col(sigCol),
         explode(array(bandCols: _*)).as("kv"))
-      .select(col(idCol), col("simhash"), col("kv.band"), col("kv.band_val"))
+      .select(col(idCol), col(sigCol), col("kv.band"), col("kv.band_val"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_val") === col("b.band_val") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .agg(first(hammingDist(col("a.simhash"), col("b.simhash")))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(first(hammingDist(col(s"a.$sigCol"), col(s"b.$sigCol")))
         .as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }

@@ -267,6 +267,67 @@ object PipelineQueries {
                CAST(w * h AS BIGINT) AS n_px
         FROM grid GROUP BY doc_id, w, h""")),
 
+    // Perceptual image dedup: decode each PNG for real (ImageIO raster),
+    // fingerprint with the 64-bit average-hash (8x8 NN downsample,
+    // above-mean bits — integer-exact threshold 64*g > sum), then find
+    // near-dup pairs with the SAME band-of-bits LSH the text SimHash
+    // path uses (DedupOps.hammingNearDups — one generic kernel for any
+    // 64-bit hamming signature). The archive holds exact duplicate
+    // images at doc_id stride 256 (the 31*stride pattern offset wraps to
+    // 0), so hamming-0 pairs are guaranteed present; the oracle replays
+    // pixel generator -> NN grid -> threshold -> banding in closed form.
+    "multimodal_ahash_dups" -> Entry(
+      (s, dir) => {
+        import s.implicits._
+        val hashes = s.read.parquet(pngArchive(s, dir))
+          .select(col("media_id"), col("png"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            val dec = new MultimodalOps.MediaDecoder
+            rows.map { case (id, png) =>
+              (id, dec.aHash64(png).getOrElse(
+                throw new IllegalStateException(
+                  s"png decode failed for $id")))
+            }
+          }
+          .toDF("media_id", "ahash")
+        graft.ops.DedupOps.hammingNearDups(hashes, "media_id", "ahash",
+          maxHamming = 8)
+      },
+      Some("""
+        WITH px AS (SELECT doc_id, 16 + doc_id % 16 AS w,
+                           16 + doc_id % 8 AS h
+                    FROM documents),
+        samp AS (
+          SELECT doc_id, CAST(j*8+i AS INTEGER) AS b,
+                 (doc_id*31 + ((i*w)//8)*7 + ((j*h)//8)*13) % 256 AS g
+          FROM px, UNNEST(generate_series(0,7)) AS ti(i),
+               UNNEST(generate_series(0,7)) AS tj(j)),
+        tot AS (SELECT doc_id, sum(g) AS s FROM samp GROUP BY 1),
+        sig AS (
+          -- sum(BIGINT) widens to HUGEINT; cast back or the banding and
+          -- bit_count(xor) below run in 128-bit where mixed-sign pairs
+          -- pick up 64 phantom sign-extension bits
+          SELECT samp.doc_id,
+                 CAST(sum(CASE WHEN 64*g > s THEN
+                       CASE WHEN b = 63
+                            THEN CAST(-9223372036854775808 AS BIGINT)
+                            ELSE (CAST(1 AS BIGINT) << b) END
+                     ELSE 0 END) AS BIGINT) AS ahash
+          FROM samp JOIN tot USING (doc_id) GROUP BY 1),
+        banded AS (
+          SELECT doc_id, ahash, CAST(k AS INTEGER) AS band,
+                 (ahash >> (CAST(k AS INTEGER) * 16)) & 65535 AS band_val
+          FROM sig, UNNEST([0,1,2,3]) AS t(k))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(min(bit_count(xor(a.ahash, b.ahash))) AS INTEGER)
+                 AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING min(bit_count(xor(a.ahash, b.ahash))) <= 8""")),
+
     // Audio twin of multimodal_image_stats: deterministic 16-bit mono
     // PCM wavs per doc, parsed back with the SAME RIFF/PCM decoder the
     // feature extractor uses; exact |sample| sums, so the oracle replays

@@ -161,4 +161,51 @@ class MultimodalSpec extends SparkSpec {
       assert((w, h, sum) === ((ew, eh, esum)))
     }
   }
+
+  test("aHash64: 8x8 image hashes bit-for-bit per the above-mean rule") {
+    val dec = new MediaDecoder
+    // gray(x, y) = 10 + x: mean = 13.5 over each row, so columns 4..7
+    // (values 14..17) are above the row-constant mean in every row
+    val sig = dec.aHash64(pngOf(8, 8, (x, _) => 10 + x)).get
+    val expected = (0 until 64).filter(b => b % 8 >= 4)
+      .foldLeft(0L)((acc, b) => acc | (1L << b))
+    assert(sig === expected)
+  }
+
+  test("aHash64 is invariant to uniform brightness shift and to NN " +
+       "upscaling, the two invariances that make it perceptual") {
+    val dec = new MediaDecoder
+    def pat(x: Int, y: Int) = (x * 29 + y * 17) % 97
+    val base = dec.aHash64(pngOf(8, 8, pat)).get
+    val brighter = dec.aHash64(pngOf(8, 8, (x, y) => pat(x, y) + 50)).get
+    // 2x NN upscale: pixel (x, y) = pat(x/2, y/2); the 8x8 NN grid of the
+    // 16x16 image samples (i*16/8, j*16/8) = (2i, 2j) -> pat(i, j)
+    val scaled = dec.aHash64(pngOf(16, 16, (x, y) => pat(x / 2, y / 2))).get
+    assert(base === brighter)
+    assert(base === scaled)
+    assert(dec.aHash64(Array[Byte](1, 2, 3)) === None)
+  }
+
+  test("hammingNearDups over aHash finds the exact-dup stride-256 pairs " +
+       "and a one-bit perturbation, not the inverted image") {
+    val dec = new MediaDecoder
+    def pat(x: Int, y: Int) = (x * 29 + y * 17) % 97
+    val rows = Seq(
+      1L -> pngOf(8, 8, pat),
+      2L -> pngOf(8, 8, pat), // identical -> hamming 0
+      // push one below-mean pixel far above the mean: flips ~1 bit
+      3L -> pngOf(8, 8, (x, y) => if (x == 0 && y == 0) 255 else pat(x, y)),
+      4L -> pngOf(8, 8, (x, y) => 96 - pat(x, y)) // inverted pattern
+    ).map { case (id, png) => (id, dec.aHash64(png).get) }
+    val sigs = rows.toDF("media_id", "ahash")
+    val pairs = graft.ops.DedupOps
+      .hammingNearDups(sigs, "media_id", "ahash", maxHamming = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(pairs((1L, 2L)) === 0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 8)
+    // the inverted image shares no 16-bit band with the others
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
 }
