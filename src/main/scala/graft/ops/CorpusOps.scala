@@ -237,6 +237,49 @@ object CorpusOps {
     * `partitions x strata x k` candidate rows, not the corpus. Rows with
     * weight <= 0 (or null) are excluded (A-ES is undefined there).
     */
+  /** Temperature-based stratum rebalancing — the multilingual-corpus
+    * sampling rule of mC4/T5 and UniMax-style mixes: stratum l with n_l
+    * docs gets sampling weight w_l = n_l^(1/T), and each of its rows is
+    * kept independently with probability
+    * q_l = min(1, target * w_l / (Z * n_l)), Z = sum_l w_l — T=1
+    * reproduces the natural distribution, T->inf approaches uniform
+    * across strata, and q_l caps at one full epoch of a small stratum
+    * (no row duplication). The decision is the same salted-hash
+    * per-row coin as [[mixSample]], so the op is a broadcast-join +
+    * filter: no per-stratum rank shuffle, embarrassingly parallel at any
+    * corpus size, reproducible on any layout.
+    *
+    * Engine-parity design: w is quantized to 1e-6 longs BEFORE summing
+    * (Z is an integer, so it cannot depend on float summation order),
+    * keep_frac rounds to 6 digits, and the 32-bit keep threshold is
+    * floor(keep_frac * 2^32) with an explicit floor (Spark's double->
+    * long cast truncates, DuckDB's rounds). Output: the input rows that
+    * survive, annotated with (n_docs, keep_frac) of their stratum.
+    */
+  def temperatureRebalance(docs: DataFrame, stratumCol: String,
+                           idCol: String, temperature: Double,
+                           targetTotal: Long): DataFrame = {
+    require(temperature >= 1.0,
+      s"temperature=$temperature (T >= 1: flatten toward uniform)")
+    val alpha = 1.0 / temperature
+    val counts = docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("_wq",
+        round(pow(col("n_docs").cast("double"), lit(alpha)) * 1e6)
+          .cast("long"))
+    val plan = counts
+      .crossJoin(counts.agg(sum(col("_wq")).as("_z")))
+      .withColumn("keep_frac", least(lit(1.0),
+        round((lit(targetTotal).cast("double") * col("_wq")) /
+          (col("_z").cast("double") * col("n_docs")), 6)))
+      .select(col(stratumCol), col("n_docs"), col("keep_frac"))
+    val u32 = conv(substring(
+      md5(concat_ws("|", lit("trebal"), col(stratumCol),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    docs.join(broadcast(plan), Seq(stratumCol))
+      .filter(u32 < floor(col("keep_frac") * 4294967296.0).cast("long"))
+  }
+
   def weightedSample(docs: DataFrame, stratumCol: String, idCol: String,
                      weightCol: String, k: Int): DataFrame = {
     val u32 = conv(substring(

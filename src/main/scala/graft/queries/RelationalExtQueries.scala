@@ -230,6 +230,36 @@ object RelationalExtQueries {
                       WHEN 'zh' THEN '19999999'
                       ELSE '00000000' END""")),
 
+    // Temperature-based language rebalance (mC4/T5 alpha-sampling with a
+    // UniMax-style one-epoch cap): per-lang keep probability derives
+    // from corpus counts (w = n^(1/T), T = 2), decided per row by the
+    // salted-hash coin. At sf0.01 the skewed corpus (en 218 of 500)
+    // flattens to ~equal expected takes per lang at ~300 total. Oracle
+    // replays counts -> quantized weights -> integer Z -> round-6 frac
+    // -> hash threshold, floor()'d explicitly on both engines.
+    "corpus_temperature_mix" -> Entry(
+      (s, dir) => CorpusOps.temperatureRebalance(Tables.documents(s, dir),
+          "lang", "doc_id", temperature = 2.0, targetTotal = 300)
+        .select(col("doc_id"), col("lang"), col("n_docs"),
+          col("keep_frac")),
+      Some("""
+        WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+                   GROUP BY 1),
+        w AS (SELECT lang, n_docs,
+                     CAST(round(pow(CAST(n_docs AS DOUBLE), 0.5) * 1000000)
+                       AS BIGINT) AS wq
+              FROM c),
+        z AS (SELECT sum(wq) AS z FROM w),
+        p AS (SELECT lang, n_docs,
+                     least(1.0, round((CAST(300 AS DOUBLE) * wq) /
+                       (CAST(z AS DOUBLE) * n_docs), 6)) AS keep_frac
+              FROM w, z)
+        SELECT d.doc_id, d.lang, p.n_docs, p.keep_frac
+        FROM documents d JOIN p USING (lang)
+        WHERE ('0x' || substr(md5('trebal' || '|' || lang || '|'
+                || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              < CAST(floor(keep_frac * 4294967296.0) AS BIGINT)""")),
+
     // North-star lake versioning: snapshot diff — classify every key as
     // added/removed/changed/unchanged between two snapshots via content
     // hashes (RelationalOps.snapshotDiff). Price goes through

@@ -145,4 +145,49 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2L) === ((0L, 0L, "")))
     assert(out(3L) === ((0L, 0L, "")))
   }
+
+  private def skewedDocs = {
+    // 90/10 skew across two strata
+    val rows = (1L to 90L).map(i => (i, "big")) ++
+      (91L to 100L).map(i => (i, "small"))
+    rows.toDF("doc_id", "lang")
+  }
+
+  test("temperatureRebalance: T=1 keeps the natural distribution (every " +
+       "stratum gets the same keep fraction)") {
+    val fracs = CorpusOps.temperatureRebalance(skewedDocs, "lang",
+        "doc_id", temperature = 1.0, targetTotal = 50)
+      .select("lang", "keep_frac").distinct().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("keep_frac"))
+      .toMap
+    // alpha=1: q_l = target * n_l / (N * n_l) = target/N for every l
+    assert(fracs("big") === 0.5 && fracs("small") === 0.5)
+  }
+
+  test("temperatureRebalance: higher T flattens toward uniform and caps " +
+       "a small stratum at one epoch") {
+    val plan = CorpusOps.temperatureRebalance(skewedDocs, "lang",
+        "doc_id", temperature = 2.0, targetTotal = 60)
+      .select("lang", "n_docs", "keep_frac").distinct().collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("keep_frac")))).toMap
+    // weights sqrt(90):sqrt(10) = 3:1 -> targets 45:15; small stratum
+    // holds only 10 docs, so its fraction caps at 1.0 (no duplication)
+    assert(plan("big")._1 === 90L && plan("small")._1 === 10L)
+    assert(plan("small")._2 === 1.0)
+    val bigFrac = plan("big")._2
+    // expected big take 45/90 = 0.5 -> strictly between natural (0.6 of
+    // a 60-target at T=1) and uniform, and all 10 small docs survive
+    assert(bigFrac > 0.4 && bigFrac < 0.6)
+  }
+
+  test("temperatureRebalance selection is deterministic across layouts") {
+    val a = CorpusOps.temperatureRebalance(skewedDocs, "lang", "doc_id",
+      2.0, 60).select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = CorpusOps.temperatureRebalance(skewedDocs.repartition(13),
+      "lang", "doc_id", 2.0, 60)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }
