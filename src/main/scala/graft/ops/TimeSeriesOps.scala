@@ -109,4 +109,38 @@ object TimeSeriesOps {
         (acc, x) => lit(alpha) * x.getField("v") + lit(1 - alpha) * acc),
         6).as("ewma_last"))
   }
+
+  /** Rolling z-score anomaly detection — the standard streaming-sensor /
+    * price-spike outlier filter: each point is scored against the mean
+    * and sample-std of the `nRows` points STRICTLY BEFORE it in its
+    * series (the trailing frame excludes the current row, so a spike
+    * cannot mask itself by inflating its own baseline). One window pass
+    * per key, no shuffle beyond the keyed sort.
+    *
+    * Numeric parity: the std uses the same exact sum/sum-of-squares
+    * algebra as [[WindowOps.rollingStats]] — feed an integer-valued
+    * column (quantize currency to cents first) and every baseline stat
+    * is bit-identical across engines and partition layouts. Warm-up rows
+    * (empty frame) and zero-variance frames score null and flag false.
+    */
+  def rollingZScoreAnomaly(df: DataFrame, keyCol: String,
+                           orderCols: Seq[String], valueCol: String,
+                           nRows: Int, z: Double): DataFrame = {
+    require(nRows >= 2 && z > 0, s"nRows=$nRows z=$z")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-nRows.toLong, -1L)
+    val v = col(valueCol)
+    val n = count(lit(1)).over(w)
+    val s = sum(v).over(w)
+    val sq = sum(v * v).over(w)
+    val mean = s / n
+    val std = sqrt((sq - s * s / n) / nullif(n - lit(1), lit(0)))
+    val zscore = (v - mean) / nullif(std, lit(0.0))
+    df.select((col(keyCol) +: orderCols.map(col)) ++ Seq(
+      v.as("value"),
+      n.as("base_n"), mean.as("base_mean"), std.as("base_std"),
+      zscore.as("zscore"),
+      coalesce(abs(zscore) > lit(z), lit(false)).as("is_anomaly")): _*)
+  }
 }

@@ -384,6 +384,46 @@ object SeriesQueries {
     // accumulation order and the std algebra (see WindowOps.rollingStats)
     // evaluates to the same bits in Spark and DuckDB; one-row frames give
     // NULL std in both.
+    // Rolling z-score anomaly flags over the event stream: each value is
+    // scored against the mean/std of the 24 points strictly before it in
+    // its event_type series (self-excluding trailing frame). Values are
+    // quantized to cents first, so every baseline stat follows the
+    // integer-exact rollingStats algebra and the raw doubles hash-match;
+    // warm-up and zero-variance frames flag false via the nullif chain.
+    "ts_anomaly_zscore" -> Entry(
+      (s, dir) => TimeSeriesOps.rollingZScoreAnomaly(
+        Tables.events(s, dir)
+          .withColumn("value_cents", round(col("value") * 100)
+            .cast("long")),
+        "event_type", Seq("ts", "event_id"), "value_cents",
+        nRows = 24, z = 3.0),
+      Some("""
+        WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+                          event_type,
+                          CAST(round(value * 100) AS BIGINT) AS v
+                   FROM events)
+        SELECT event_type, ts, event_id, v AS value,
+               count(*) OVER w AS base_n,
+               sum(v) OVER w / count(*) OVER w AS base_mean,
+               sqrt((sum(v*v) OVER w
+                     - (sum(v) OVER w) * (sum(v) OVER w)
+                       / count(*) OVER w)
+                    / nullif(count(*) OVER w - 1, 0)) AS base_std,
+               (v - sum(v) OVER w / count(*) OVER w)
+                 / nullif(sqrt((sum(v*v) OVER w
+                     - (sum(v) OVER w) * (sum(v) OVER w)
+                       / count(*) OVER w)
+                    / nullif(count(*) OVER w - 1, 0)), 0.0) AS zscore,
+               coalesce(abs((v - sum(v) OVER w / count(*) OVER w)
+                 / nullif(sqrt((sum(v*v) OVER w
+                     - (sum(v) OVER w) * (sum(v) OVER w)
+                       / count(*) OVER w)
+                    / nullif(count(*) OVER w - 1, 0)), 0.0)) > 3.0,
+                 false) AS is_anomaly
+        FROM e
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)""")),
+
     "w_rolling_stats" -> Entry(
       (s, dir) => WindowOps.rollingStats(Tables.lineitem(s, dir),
         "l_suppkey", Seq("l_shipdate", "l_orderkey", "l_linenumber"),

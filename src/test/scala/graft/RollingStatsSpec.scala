@@ -61,4 +61,37 @@ class RollingStatsSpec extends SparkSpec {
     assert(count("Exchange ") === 1,
       s"expected a single shuffle on the key:\n$plan")
   }
+
+  test("rollingZScoreAnomaly: spike flagged against the PRECEDING frame, " +
+       "warm-up and zero-variance rows flag false") {
+    // steady 10s with one 100 spike, then back to 10: the spike scores
+    // against {10,10,10,10} (std 0 -> zero-variance null, flag false?
+    // no: four identical values give std 0, so use a jittered baseline)
+    val rows = Seq(
+      ("k", 1L, 10L), ("k", 2L, 12L), ("k", 3L, 9L), ("k", 4L, 11L),
+      ("k", 5L, 100L), // spike vs mean 10.5, std ~1.29 -> |z| >> 3
+      ("k", 6L, 10L)   // scored vs frame incl. the spike: std huge -> ok
+    ).toDF("k", "seq", "v")
+    val out = graft.ops.TimeSeriesOps
+      .rollingZScoreAnomaly(rows, "k", Seq("seq"), "v", nRows = 4, z = 3.0)
+      .collect().map(r => r.getAs[Long]("seq") ->
+        ((r.getAs[Boolean]("is_anomaly"), r.getAs[Long]("base_n")))).toMap
+    assert(out(1L) === ((false, 0L))) // warm-up: empty frame
+    assert(out(5L)._1 === true)       // the spike
+    assert(out(5L)._2 === 4L)
+    // the row after the spike is NOT flagged: the spike inflates the
+    // baseline std it is scored against (that's why the frame excludes
+    // the current row, not why it should include it)
+    assert(out(6L)._1 === false)
+
+    // zero-variance baseline: constant frame -> std 0 -> flag false even
+    // for a wild value (score undefined, not infinite)
+    val flat = Seq(("k", 1L, 5L), ("k", 2L, 5L), ("k", 3L, 5L),
+      ("k", 4L, 500L)).toDF("k", "seq", "v")
+    val f = graft.ops.TimeSeriesOps
+      .rollingZScoreAnomaly(flat, "k", Seq("seq"), "v", nRows = 3, z = 3.0)
+      .collect().map(r => r.getAs[Long]("seq") ->
+        r.getAs[Boolean]("is_anomaly")).toMap
+    assert(f(4L) === false)
+  }
 }
