@@ -664,4 +664,42 @@ class StreamingSpec extends SparkSpec {
       .select("doc_corpus").collect().map(_.getLong(0))
     assert(hits.contains(11L))
   }
+
+  test("streaming z-score anomaly carries the rolling baseline across " +
+       "micro-batches and matches the batch window op bitwise") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.StreamingAnomaly
+    val mem = MemoryStream[StreamingAnomaly.Obs]
+    val out = StreamingAnomaly.detect(mem.toDS(), nRows = 4, z = 3.0)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sanom").start()
+    val values = Seq(1000L, 1200L, 900L, 1100L, 10000L, 1000L, 1050L)
+    val obs = values.zipWithIndex.map { case (v, i) =>
+      StreamingAnomaly.Obs("btc", ts(s"2024-01-01 00:0$i:00"), v)
+    }
+    try {
+      // split right before the spike: its baseline lives in prior batches
+      mem.addData(obs.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(obs.drop(4): _*)
+      q.processAllAvailable()
+      val stream = spark.table("sanom").collect()
+        .map(r => r.getAs[Timestamp]("ts") ->
+          ((Option(r.getAs[java.lang.Double]("zscore")).map(_.toDouble),
+            r.getAs[Boolean]("is_anomaly")))).toMap
+      assert(stream.size === values.length)
+      val batch = graft.ops.TimeSeriesOps.rollingZScoreAnomaly(
+          obs.map(o => (o.key, o.ts, o.value)).toDF("k", "t", "v"),
+          "k", Seq("t"), "v", nRows = 4, z = 3.0)
+        .collect().map(r => r.getAs[Timestamp]("t") ->
+          ((Option(r.getAs[java.lang.Double]("zscore")).map(_.toDouble),
+            r.getAs[Boolean]("is_anomaly")))).toMap
+      // bitwise zscore parity + identical flags on every point,
+      // including the spike (flagged) and the post-spike points (not:
+      // the spike inflates their baseline std)
+      assert(stream === batch)
+      assert(stream(obs(4).ts)._2 === true)
+      assert(stream(obs(5).ts)._2 === false)
+    } finally q.stop()
+  }
 }
