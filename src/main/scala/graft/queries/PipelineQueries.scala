@@ -291,6 +291,12 @@ object PipelineQueries {
             }
           }
           .toDF("media_id", "ahash")
+          // both self-join sides of the banding read this frame; unlike
+          // the text-simhash case (narrow codegen'd projection, cheaper
+          // to recompute), the upstream here is a real ImageIO decode
+          // per row — materialize the tiny (id, hash) frame once
+          .transform(df => if (graft.PlanMode.isExplainOnly) df
+            else df.localCheckpoint(eager = true))
         graft.ops.DedupOps.hammingNearDups(hashes, "media_id", "ahash",
           maxHamming = 8)
       },
