@@ -10,6 +10,67 @@ object CorpusQueries {
 
   def defs: Map[String, Entry] = Map(
 
+    // END-TO-END corpus-prep pipeline: quality gate -> normalize ->
+    // exact dedup on the normalized form -> deterministic content split
+    // -> per-(split, lang) report. Each stage is an oracle-proven op
+    // elsewhere in the catalog (quality_score, corpus_normalize,
+    // dedup_exact, corpus_det_split); this entry chains them and
+    // hash-matches the COMPOSED result — the proof that pipelines built
+    // from the library stay engine-verifiable, not just single ops
+    // (CorpusPipelineSpec covers the invariant-level composition).
+    "corpus_prep_pipeline" -> Entry(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val kept = graft.ops.TextOps.qualityScore(docs)
+          .filter(col("quality_score") >= 0.5)
+        val normed = kept.withColumn("norm",
+          CorpusOps.normalizeText(col("text")))
+        val keepIds = normed.groupBy(col("norm"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val deduped = normed
+          .join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi")
+        CorpusOps.deterministicSplit(deduped)
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("norm")).cast("long")).as("norm_chars"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id, lang, text,
+            CAST(length(text) AS DOUBLE) AS nc,
+            CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+            CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE)
+              AS np,
+            CAST(len(regexp_extract_all(lower(text),
+              '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) AS ns
+          FROM documents),
+        q AS (
+          SELECT doc_id, lang, text FROM f
+          WHERE (CASE WHEN nc >= 50 AND nc <= 10000 THEN 1.0 ELSE 0.0 END
+                 + CASE WHEN nc / greatest(nw, 1.0) >= 2
+                         AND nc / greatest(nw, 1.0) <= 12
+                        THEN 1.0 ELSE 0.0 END
+                 + least(ns / greatest(nw, 1.0) * 4, 1.0)
+                 + (1.0 - least(np / greatest(nc, 1.0) * 10, 1.0))) / 4
+                >= 0.5),
+        n AS (
+          SELECT doc_id, lang, text,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+          FROM q),
+        keep AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY norm),
+        d AS (SELECT n.* FROM n JOIN keep USING (doc_id)),
+        sp AS (SELECT lang, length(norm) AS norm_len,
+                      CASE WHEN substring(md5(text), 1, 2) < '0a'
+                             THEN 'test'
+                           WHEN substring(md5(text), 1, 2) < '14'
+                             THEN 'val'
+                           ELSE 'train' END AS split
+               FROM d)
+        SELECT split, lang, count(*) AS n_docs,
+               CAST(sum(norm_len) AS BIGINT) AS norm_chars
+        FROM sp GROUP BY 1, 2""")),
+
     // Token-budget packing: whitespace-token counts, sequential 512-token
     // chunks per source.
     "corpus_chunk_pack" -> Entry(
