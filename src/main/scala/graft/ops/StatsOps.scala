@@ -338,4 +338,31 @@ object StatsOps {
       .agg(min(col("_v")).as(s"wq_$valCol"),
         max(col("_tw")).as("total_weight"))
   }
+
+  /** Key-distribution skew profile — the diagnosis a 100 TB operator
+    * runs BEFORE keying a shuffle on a column: top-K heaviest keys with
+    * their row share, plus the distribution stats that predict shuffle
+    * behavior (n_total, n_distinct, and skew_factor = heaviest key's
+    * count over the mean key count — 1.0 is uniform; >> 1 means the
+    * heaviest reducer partition holds skew_factor × its fair share, the
+    * trigger for salting or AQE skew-split).
+    *
+    * Two aggregations over the per-key counts (a one-row global stat +
+    * a TakeOrdered top-K) — the count itself map-side partial-combines,
+    * so profiling a skewed column never suffers the skew it measures.
+    * All emitted doubles are ratios of exact longs.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK=$topK")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("n_distinct"), max(col("cnt")).as("max_cnt"))
+    counts.orderBy(col("cnt").desc, col(keyCol)).limit(topK)
+      .crossJoin(broadcast(stats))
+      .select(col(keyCol), col("cnt"),
+        (col("cnt").cast("double") / col("n_total")).as("share"),
+        col("n_total"), col("n_distinct"),
+        (col("max_cnt").cast("double") * col("n_distinct") /
+          col("n_total")).as("skew_factor"))
+  }
 }

@@ -12,6 +12,28 @@ object StatsQueries {
 
   def defs: Map[String, Entry] = Map(
 
+    // Key-distribution skew profile over the event stream's user key:
+    // top-10 heaviest users + the stats that predict shuffle behavior
+    // before anyone keys a 100 TB join on the column. All doubles are
+    // ratios of exact longs.
+    "skew_profile" -> Entry(
+      (s, dir) => StatsOps.keySkewProfile(Tables.events(s, dir),
+        "user_id", topK = 10),
+      Some("""
+        WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+                   GROUP BY 1),
+        s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+                     count(*) AS n_distinct, max(cnt) AS max_cnt
+              FROM c),
+        t AS (SELECT user_id, cnt FROM c
+              ORDER BY cnt DESC, user_id LIMIT 10)
+        SELECT t.user_id, t.cnt,
+               CAST(t.cnt AS DOUBLE) / n_total AS share,
+               n_total, n_distinct,
+               CAST(max_cnt AS DOUBLE) * n_distinct / n_total
+                 AS skew_factor
+        FROM t, s""")),
+
     // A8: describe/summary with exact interpolated quartiles
     // (Milestone3 cells 25/36/40).
     "a8_summary_stats" -> Entry(

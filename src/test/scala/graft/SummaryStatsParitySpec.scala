@@ -90,4 +90,26 @@ class SummaryStatsParitySpec extends SparkSpec {
     assert(nw.getAs[Long]("n_ref") === 0L)
     assert(nw.getAs[Long]("n_cur") === 3L)
   }
+
+  test("keySkewProfile: top-K heaviest keys, shares, and the max/mean " +
+       "skew factor") {
+    import spark.implicits._
+    // key a: 6 rows, b: 2, c: 1, d: 1  -> n=10, distinct=4, mean=2.5
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val rows = StatsOps.keySkewProfile(df, "k", topK = 2).collect()
+      .map(r => r.getAs[String]("k") -> r).toMap
+    assert(rows.keySet === Set("a", "b"), "top-2 by count")
+    assert(rows("a").getAs[Long]("cnt") === 6L)
+    assert(rows("a").getAs[Double]("share") === 0.6)
+    assert(rows("a").getAs[Long]("n_total") === 10L)
+    assert(rows("a").getAs[Long]("n_distinct") === 4L)
+    // skew = max_cnt / (n/distinct) = 6 / 2.5 = 2.4, same on every row
+    assert(rows("a").getAs[Double]("skew_factor") === 2.4)
+    assert(rows("b").getAs[Double]("skew_factor") === 2.4)
+    // tie at cnt=1 broken by key order when K reaches into the tie
+    val top3 = StatsOps.keySkewProfile(df, "k", topK = 3).collect()
+      .map(_.getAs[String]("k")).toSet
+    assert(top3 === Set("a", "b", "c"))
+  }
 }
