@@ -44,6 +44,33 @@ object CorpusOps {
         .otherwise("train"))
   }
 
+  /** Leakage-proof deterministic split: near-duplicate documents MUST
+    * land in the same split — content-hash splitting alone sends two
+    * paraphrases of one page to train and test, and the held-out metric
+    * silently measures memorization. Split membership is therefore
+    * decided by the duplicate-CLUSTER representative: docs join their
+    * cluster label (from [[DedupOps.dupClusters]] — min-id connected
+    * component over LSH candidate pairs), untouched docs represent
+    * themselves, and the [[deterministicSplit]] 2-hex thresholds apply
+    * to md5 of the representative id. One broadcast-or-shuffle join +
+    * a narrow projection; the cluster frame is the dedup pass's output,
+    * already computed in any pipeline that dedups before splitting.
+    */
+  def clusterSafeSplit(docs: DataFrame, clusters: DataFrame,
+                       idCol: String = "doc_id",
+                       testUpper: String = "0a",
+                       valUpper: String = "14"): DataFrame = {
+    val labeled = docs.join(
+      clusters.select(col(idCol), col("cluster_id")), Seq(idCol), "left")
+      .withColumn("rep_id", coalesce(col("cluster_id"), col(idCol)))
+      .drop("cluster_id")
+    val h = substring(md5(col("rep_id").cast("string")), 1, 2)
+    labeled.withColumn("split",
+      when(h < testUpper, "test")
+        .when(h < valUpper, "val")
+        .otherwise("train"))
+  }
+
   /** Normalization for dedup/analysis: lowercase, strip non-alphanumeric
     * (keeping spaces), collapse whitespace runs, trim.
     */

@@ -345,6 +345,33 @@ object DedupSimQueries {
         WHERE d.doc_id NOT IN
           (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)""")),
 
+    // Leakage-proof split: near-dup cluster members share a split (split
+    // decided by md5 of the min-id cluster representative, not the
+    // document's own content hash) — content-hash splitting alone sends
+    // paraphrases of one page to both train and test, and held-out
+    // metrics silently measure memorization. Reuses the dedup pass's
+    // cluster labels; the oracle composes the recursive-CC prelude with
+    // the representative-hash CASE.
+    "cluster_safe_split" -> Entry(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val clusters = DedupOps.dupClusters(
+          DedupOps.minhashCandidates(docs))
+        graft.ops.CorpusOps.clusterSafeSplit(docs, clusters)
+          .select(col("doc_id"), col("lang"), col("rep_id"), col("split"))
+      },
+      Some(s"""$minhashCcCte,
+        comp AS (SELECT id AS doc_id, min(r) AS cluster_id
+                 FROM reach GROUP BY 1)
+        SELECT d.doc_id, d.lang,
+               COALESCE(comp.cluster_id, d.doc_id) AS rep_id,
+               CASE WHEN substring(md5(CAST(COALESCE(comp.cluster_id,
+                      d.doc_id) AS VARCHAR)), 1, 2) < '0a' THEN 'test'
+                    WHEN substring(md5(CAST(COALESCE(comp.cluster_id,
+                      d.doc_id) AS VARCHAR)), 1, 2) < '14' THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents d LEFT JOIN comp USING (doc_id)""")),
+
     // MinHash + LSH banding candidate pairs (16 hashes, 4 bands of 4).
     // MD5-hex min over seeded shingle hashes = portable min-hash.
     "dedup_minhash_lsh" -> Entry(

@@ -181,6 +181,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bigFrac > 0.4 && bigFrac < 0.6)
   }
 
+  test("clusterSafeSplit: cluster members share the representative's " +
+       "split, singletons split on their own id") {
+    val docs = Seq((1L, "x"), (2L, "x dup"), (3L, "y"), (4L, "z"))
+      .toDF("doc_id", "text")
+    // docs 1+2 are one near-dup cluster (rep 1); 3 and 4 untouched
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val out = CorpusOps.clusterSafeSplit(docs, clusters).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("rep_id"), r.getAs[String]("split")))).toMap
+    assert(out(1L)._1 === 1L && out(2L)._1 === 1L)
+    assert(out(1L)._2 === out(2L)._2,
+      "near-dups must land in the same split")
+    assert(out(3L)._1 === 3L && out(4L)._1 === 4L)
+    // the split depends only on the representative id: doc 2's own
+    // content hash plays no role
+    val expected = { // md5("1") first two hex chars decide the cluster
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest("1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 2)
+      if (h < "0a") "test" else if (h < "14") "val" else "train"
+    }
+    assert(out(1L)._2 === expected)
+  }
+
   test("temperatureRebalance selection is deterministic across layouts") {
     val a = CorpusOps.temperatureRebalance(skewedDocs, "lang", "doc_id",
       2.0, 60).select("doc_id").collect().map(_.getLong(0)).sorted
