@@ -665,6 +665,64 @@ class StreamingSpec extends SparkSpec {
     assert(hits.contains(11L))
   }
 
+  test("transformWithState first-seen dedup: repeats drop across " +
+       "micro-batches, the TTL horizon readmits an id (T8/T9)") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.StreamingEventDedup
+    import graft.streaming.StreamingEventDedup.{Ev => DEv}
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val mem = MemoryStream[DEv]
+    val out = StreamingEventDedup.firstSeen(mem.toDS(),
+      java.time.Duration.ofMillis(5000))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup").start()
+    // TimeMode.ProcessingTime schedules TTL-cleanup batches continuously,
+    // so processAllAvailable() never returns (op scaladoc) — poll the
+    // sink for the expected row count instead
+    def awaitRows(n: Int): Array[(String, String)] = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var rows = Array.empty[(String, String)]
+      while (rows.length < n && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        rows = spark.table("sdedup").collect()
+          .map(r => (r.getAs[String]("id"), r.getAs[String]("payload")))
+      }
+      rows
+    }
+    try {
+      // batch 1: A twice (later ts), B once -> earliest A + B survive
+      mem.addData(
+        DEv("A", ts("2024-01-01 00:00:02"), "late-copy"),
+        DEv("A", ts("2024-01-01 00:00:01"), "first"),
+        DEv("B", ts("2024-01-01 00:00:01"), "b1"))
+      assert(awaitRows(2).toSet === Set(("A", "first"), ("B", "b1")))
+      // inside the TTL horizon: A again -> dropped (give the stream two
+      // seconds of cleanup batches to prove no third row appears)
+      mem.addData(DEv("A", ts("2024-01-01 00:00:03"), "redelivery"))
+      Thread.sleep(2000)
+      assert(spark.table("sdedup").count() === 2L)
+      // the dropped redelivery did NOT refresh A's marker (seen path
+      // never writes), so the original marker expires on schedule; once
+      // it has, a redelivery passes again
+      Thread.sleep(5500)
+      mem.addData(DEv("A", ts("2024-01-01 00:00:09"), "after-horizon"))
+      assert(awaitRows(3).toSet ===
+        Set(("A", "first"), ("B", "b1"), ("A", "after-horizon")))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming z-score anomaly carries the rolling baseline across " +
        "micro-batches and matches the batch window op bitwise") {
     implicit val sql = spark.sqlContext
