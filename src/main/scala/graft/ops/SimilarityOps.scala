@@ -54,6 +54,36 @@ object SimilarityOps {
         .as("cos_sim"), col("rnk"))
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * anchor vector, the k corpus vectors most cosine-similar to it whose
+    * LABEL differs (similar-looking but semantically wrong — the
+    * negatives that actually teach an embedding model, vs easy random
+    * ones). Same plan shape as [[bruteForceTopK]] (anchors broadcast
+    * into one corpus scan, per-anchor heap cut); the label predicate
+    * rides the join, so mismatched pairs never reach the window. Swap
+    * the scoring join for [[ivfTopK]]-style bucketing at corpus scale.
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = anchors.select(col(idCol).as("anchor_id"),
+      col(labelCol).as("_ql"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
+    val c = Rebalance(corpus)
+      .select(col(idCol).as("negative_id"), col(labelCol).as("_cl"),
+        col(vecCol).as("cv"), l2Norm(col(vecCol)).as("cn"))
+    val scored = c.join(broadcast(q), col("_ql") =!= col("_cl"))
+      .withColumn("cos_sim", dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("negative_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("anchor_id"), col("negative_id"),
+        col("_cl").as("negative_label"),
+        round(col("cos_sim"), 6).as("cos_sim"), col("rnk"))
+  }
+
   /** IVF-style ANN: corpus bucketed by sign-LSH (hyperplane sketch from
     * deterministic seed vectors derived off the dimension index), queries
     * probe only their own bucket (+optionally neighbors). Recall < 1,

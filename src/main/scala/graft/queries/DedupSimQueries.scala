@@ -825,6 +825,38 @@ object DedupSimQueries {
                CAST(rnk AS INTEGER) AS rnk
         FROM ranked WHERE rnk <= 5""")),
 
+    // Hard-negative mining for contrastive training: per anchor, the 5
+    // most cosine-similar corpus vectors with a DIFFERENT label — the
+    // label predicate rides the scoring join, so only eligible pairs
+    // reach the per-anchor rank.
+    "hard_negatives" -> Entry(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilarityOps.hardNegatives(
+          e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS anchor_id, label AS ql,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS negative_id, label AS cl,
+                     CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id >= 10),
+        scored AS (
+          SELECT anchor_id, negative_id, cl,
+                 list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(cv, cv))) AS cos_raw
+          FROM c JOIN q ON ql <> cl),
+        ranked AS (
+          SELECT anchor_id, negative_id, cl, cos_raw,
+                 row_number() OVER (PARTITION BY anchor_id
+                   ORDER BY cos_raw DESC, negative_id) AS rnk
+          FROM scored)
+        SELECT anchor_id, negative_id, cl AS negative_label,
+               round(cos_raw, 6) AS cos_sim, CAST(rnk AS INTEGER) AS rnk
+        FROM ranked WHERE rnk <= 5""")),
+
     // Embedding-cosine near-duplicate pairs, banded sign-LSH form over
     // the FULL table (SimilarityOps.cosineNearDupPairsBucketed): 4 bands
     // of 4 hyperplane bits generate candidates, exact cosine verifies —

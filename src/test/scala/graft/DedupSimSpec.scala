@@ -306,6 +306,24 @@ class DedupSimSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("corpus_id")).toSeq === Seq(10L, 11L))
   }
 
+  test("hardNegatives: most-similar DIFFERENT-label vectors only — the " +
+       "same-label near-twin never appears") {
+    val anchors = Seq((0L, Array(1.0f, 0.0f), 7)).toDF(
+      "vec_id", "embedding", "label")
+    val corpus = Seq(
+      (10L, Array(0.99f, 0.01f), 7),  // near-twin, SAME label: excluded
+      (11L, Array(0.9f, 0.1f), 3),    // similar, other label: rank 1
+      (12L, Array(0.5f, 0.5f), 3),    // less similar: rank 2
+      (13L, Array(-1.0f, 0.0f), 4)    // dissimilar: rank 3
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.hardNegatives(anchors, corpus, 3)
+      .orderBy($"rnk").collect()
+    assert(out.map(_.getAs[Long]("negative_id")).toSeq ===
+      Seq(11L, 12L, 13L))
+    assert(out.map(_.getAs[Int]("negative_label")).toSeq === Seq(3, 3, 4))
+    assert(!out.exists(_.getAs[Long]("negative_id") == 10L))
+  }
+
   test("ivf bucketing is deterministic and co-buckets identical vectors") {
     val v = Seq((0L, Array.fill(4)(0.5f)), (1L, Array.fill(4)(0.5f)))
       .toDF("vec_id", "embedding")
