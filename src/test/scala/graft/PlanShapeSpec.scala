@@ -140,4 +140,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(p.sliding("Generate".length).count(_ == "Generate") === 1, p)
   }
+
+  test("keySkewProfile: the top-K is a TakeOrdered, never a global sort, " +
+       "and the one-row stats enter by broadcast") {
+    val p = plan(graft.ops.StatsOps.keySkewProfile(
+      Tables.events(spark, sf), "user_id", topK = 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("rollingZScoreAnomaly: one Window over one keyed Exchange — every " +
+       "baseline stat shares the frame") {
+    val p = plan(graft.ops.TimeSeriesOps.rollingZScoreAnomaly(
+      Tables.events(spark, sf)
+        .withColumn("vc", round($"value" * 100).cast("long")),
+      "event_type", Seq("ts", "event_id"), "vc", nRows = 24, z = 3.0))
+    def count(tok: String) = p.sliding(tok.length).count(_ == tok)
+    assert(count("Window") >= 1 && count("[Window") <= 1, p)
+    assert(count("Exchange ") === 1, p)
+  }
+
+  test("temperatureRebalance: the per-stratum plan enters the corpus " +
+       "scan as a BROADCAST join (no rank shuffle of the docs)") {
+    val p = plan(graft.ops.CorpusOps.temperatureRebalance(
+      Tables.documents(spark, sf), "lang", "doc_id", 2.0, 100))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("hardNegatives: anchors broadcast into the corpus scan (bounded " +
+       "build side), ranking is per-anchor") {
+    val e = Tables.embeddings(spark, sf)
+    val p = plan(graft.ops.SimilarityOps.hardNegatives(
+      e.filter($"vec_id" < 10), e.filter($"vec_id" >= 10), 5))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
