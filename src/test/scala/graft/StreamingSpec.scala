@@ -723,6 +723,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState timers close a session after wall-clock " +
+       "silence — no closing event required") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.StreamingSessionTimeout
+    import graft.streaming.StreamingSessionTimeout.Hit
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val mem = MemoryStream[Hit]
+    val out = StreamingSessionTimeout.sessions(mem.toDS(), gapMs = 2000)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("stimeout").start()
+    def awaitRows(n: Int): Array[(String, Long, Double)] = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var rows = Array.empty[(String, Long, Double)]
+      while (rows.length < n && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        rows = spark.table("stimeout").collect()
+          .map(r => (r.getAs[String]("key"), r.getAs[Long]("n_events"),
+            r.getAs[Double]("total_value")))
+      }
+      rows
+    }
+    try {
+      mem.addData(Hit("u1", 1.0), Hit("u1", 2.0), Hit("u2", 10.0))
+      Thread.sleep(500)
+      // u1 keeps the session alive past the first gap; u2 goes silent
+      mem.addData(Hit("u1", 4.0))
+      // u2's summary arrives on its own (timer batch), no further events
+      val first = awaitRows(1)
+      assert(first.toSet === Set(("u2", 1L, 10.0)))
+      // then u1's extended session closes with ALL its events folded in
+      val both = awaitRows(2)
+      assert(both.toSet ===
+        Set(("u2", 1L, 10.0), ("u1", 3L, 7.0)))
+      // a post-close event starts a FRESH session for u1
+      mem.addData(Hit("u1", 100.0))
+      val all = awaitRows(3)
+      assert(all.toSet ===
+        Set(("u2", 1L, 10.0), ("u1", 3L, 7.0), ("u1", 1L, 100.0)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming z-score anomaly carries the rolling baseline across " +
        "micro-batches and matches the batch window op bitwise") {
     implicit val sql = spark.sqlContext
