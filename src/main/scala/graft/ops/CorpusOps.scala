@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -264,6 +265,80 @@ object CorpusOps {
     * `partitions x strata x k` candidate rows, not the corpus. Rows with
     * weight <= 0 (or null) are excluded (A-ES is undefined there).
     */
+  /** EXACT-count stratified sample — k rows per stratum, selected as the
+    * k smallest salted-hash values (deterministic, content/layout
+    * independent), WITHOUT a per-stratum global sort: a distributed
+    * selection in two narrow passes.
+    *
+    *  1. Count rows per (stratum, hash-prefix bucket) — 256 buckets from
+    *     the hash's top byte. The collected plan is bounded at
+    *     strata × 256 rows (same boundedness class as the LM vocab cuts
+    *     and k-means centroids — driver state independent of corpus
+    *     size). Cumulating the sorted buckets per stratum finds, for
+    *     each stratum, the BOUNDARY bucket that straddles rank k and how
+    *     many of its rows to take.
+    *  2. Keep every row in a bucket strictly below the boundary
+    *     (no sort at all — bucket membership decides), and rank ONLY the
+    *     boundary bucket's rows (~n/256 of one stratum) for the
+    *     remainder. Equal hashes share a bucket, so "k smallest (hash,
+    *     id)" is exactly reproduced and a plain per-stratum row_number
+    *     oracle replays it.
+    *
+    * Versus a window row_number over each full stratum: the sort shrinks
+    * from the whole corpus to 1/256 of it, and the non-boundary 255/256
+    * flows through as a filter — the shape that survives a stratum with
+    * billions of rows. Strata with <= k rows keep everything.
+    */
+  def exactStratifiedSample(docs: DataFrame, stratumCol: String,
+                            idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val u32 = conv(substring(
+      md5(concat_ws("|", lit("esample"), col(stratumCol),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val hashed = docs.withColumn("_h", u32)
+      .withColumn("_b", shiftright(col("_h"), 24).cast("int"))
+    val counts = hashed.groupBy(col(stratumCol), col("_b"))
+      .agg(count(lit(1)).as("_n"))
+      .collect()
+      .groupBy(_.getAs[Any](stratumCol))
+    // per stratum: walk buckets ascending to the one straddling rank k
+    val plan = counts.toSeq.map { case (stratum, rows) =>
+      val byBucket = rows.map(r => (r.getAs[Int]("_b"),
+        r.getAs[Long]("_n"))).sortBy(_._1)
+      var remaining = k.toLong
+      var boundary = 256 // all buckets full -> nothing to rank
+      var take = 0L
+      byBucket.foreach { case (b, n) =>
+        if (boundary == 256) {
+          if (n >= remaining) { boundary = b; take = remaining }
+          else remaining -= n
+        }
+      }
+      (stratum, boundary, take)
+    }
+    val planDf = broadcast(spark.createDataFrame(
+      plan.map(p => Row(p._1, p._2, p._3)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        docs.schema(stratumCol).copy(name = "_ps"),
+        org.apache.spark.sql.types.StructField("_boundary",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("_take",
+          org.apache.spark.sql.types.LongType, nullable = false)))))
+    val joined = hashed.join(planDf,
+      col(stratumCol) === col("_ps"), "inner")
+    val below = joined.filter(col("_b") < col("_boundary"))
+    val wB = Window.partitionBy(col(stratumCol))
+      .orderBy(col("_h"), col(idCol))
+    val atBoundary = joined.filter(col("_b") === col("_boundary"))
+      .withColumn("_rk", row_number().over(wB))
+      .filter(col("_rk") <= col("_take"))
+      .drop("_rk")
+    below.unionByName(atBoundary)
+      .drop("_h", "_b", "_ps", "_boundary", "_take")
+  }
+
   /** Temperature-based stratum rebalancing — the multilingual-corpus
     * sampling rule of mC4/T5 and UniMax-style mixes: stratum l with n_l
     * docs gets sampling weight w_l = n_l^(1/T), and each of its rows is

@@ -101,6 +101,26 @@ object CorpusQueries {
              UNNEST(generate_series(0, length(text) - 1, 128)) AS t(s)
         WHERE length(text) > 0""")),
 
+    // EXACT k-per-stratum sample via two-phase distributed selection
+    // (bucket counts -> boundary-bucket rank): no per-stratum global
+    // sort; the selected set is the k smallest salted hashes, which the
+    // oracle replays with a plain per-stratum row_number.
+    "corpus_exact_sample" -> Entry(
+      (s, dir) => CorpusOps.exactStratifiedSample(
+          Tables.documents(s, dir), "lang", "doc_id", k = 30)
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some("""
+        WITH u AS (
+          SELECT doc_id, lang, source,
+                 ('0x' || substr(md5('esample' || '|' || lang || '|'
+                     || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS h
+          FROM documents)
+        SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY h, doc_id) AS rn
+          FROM u) WHERE rn <= 30""")),
+
     // Deterministic content-hash split (membership depends only on text).
     "corpus_det_split" -> Entry(
       (s, dir) => CorpusOps.deterministicSplit(Tables.documents(s, dir))

@@ -181,6 +181,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bigFrac > 0.4 && bigFrac < 0.6)
   }
 
+  test("exactStratifiedSample: exactly k per stratum, equal to the " +
+       "naive per-stratum hash top-k, short strata keep everything") {
+    val docs = ((1L to 200L).map(i => (i, "big")) ++
+      (201L to 205L).map(i => (i, "tiny"))).toDF("doc_id", "lang")
+    val out = CorpusOps.exactStratifiedSample(docs, "lang", "doc_id", 40)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang === Map("big" -> 40L, "tiny" -> 5L))
+    // parity with the naive formulation: rank the FULL stratum by the
+    // same salted hash and cut at k
+    val u32 = conv(substring(
+      md5(concat_ws("|", lit("esample"), col("lang"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(u32, col("doc_id"))
+    val naive = docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 40).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val fast = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(fast === naive)
+    // layout invariance
+    val re = CorpusOps.exactStratifiedSample(docs.repartition(17),
+      "lang", "doc_id", 40).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(re === fast)
+  }
+
   test("clusterSafeSplit: cluster members share the representative's " +
        "split, singletons split on their own id") {
     val docs = Seq((1L, "x"), (2L, "x dup"), (3L, "y"), (4L, "z"))
