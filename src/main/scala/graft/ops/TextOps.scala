@@ -135,6 +135,36 @@ object TextOps {
         regexp_count(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")))
   }
 
+  /** Feature-hashing text vectorizer (HashingTF semantics on a portable
+    * hash) — the deterministic documents→vectors bridge: each token maps
+    * to bucket u32(md5(token)) % dim, per-(doc, bucket) term frequencies
+    * L2-normalize, and the vector is emitted LONG-FORM
+    * (idCol, dim_idx, weight) — sparse, joinable, and exactly what a
+    * downstream ANN index or linear model ingests. No vocabulary, no
+    * driver state, no model artifact: the op is a pure function of the
+    * text, so it runs identically on every shard of a 100 TB corpus.
+    * One shuffle for the tf aggregation + one keyed window for the norm;
+    * tf and sum(tf²) stay integer-exact, so weights (round 6) hash-match
+    * across engines.
+    */
+  def hashEmbed(docs: DataFrame, dim: Int, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(dim >= 2, s"dim=$dim")
+    val tok = explode(split(col(textCol), " "))
+    val bucket = pmod(conv(substring(md5(col("_tok")), 1, 8), 16, 10)
+      .cast("long"), lit(dim.toLong))
+    val tf = docs.select(col(idCol), tok.as("_tok"))
+      .filter(col("_tok") =!= "")
+      .select(col(idCol), bucket.as("dim_idx"))
+      .groupBy(col(idCol), col("dim_idx"))
+      .agg(count(lit(1)).as("_tf"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    tf.withColumn("_nrm",
+        sqrt(sum(col("_tf") * col("_tf")).over(w).cast("double")))
+      .select(col(idCol), col("dim_idx"),
+        round(col("_tf") / col("_nrm"), 6).as("weight"))
+  }
+
   // --- North-star: PII scrubbing -----------------------------------------
 
   /** C4-style PII redaction: emails, phone-like sequences, and long digit

@@ -150,6 +150,25 @@ object TextQueries {
                  '${TextOps.longNumRe}', '<NUM>', 'g') AS text_scrubbed
         FROM documents""")),
 
+    // Feature-hashing vectorizer: the deterministic documents->vectors
+    // bridge (HashingTF semantics on the portable md5-prefix hash),
+    // long-form sparse output. tf and sum(tf^2) are integer-exact on
+    // both engines; weights round 6.
+    "text_hash_embed" -> Entry(
+      (s, dir) => TextOps.hashEmbed(Tables.documents(s, dir), dim = 64),
+      Some("""
+        WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+        ft AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 64
+                        AS BIGINT) AS dim_idx,
+                      count(*) AS tf
+               FROM t WHERE tok <> '' GROUP BY 1, 2),
+        n AS (SELECT doc_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS nrm
+              FROM ft GROUP BY 1)
+        SELECT ft.doc_id, ft.dim_idx, round(tf / nrm, 6) AS weight
+        FROM ft JOIN n USING (doc_id)""")),
+
     "token_counts" -> Entry(
       (s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))
         .select(col("doc_id"),

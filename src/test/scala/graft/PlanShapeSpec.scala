@@ -169,6 +169,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("exactStratifiedSample: exactly ONE Window branch (the boundary " +
+       "bucket) — the below-boundary branch flows join+filter only") {
+    val p = plan(graft.ops.CorpusOps.exactStratifiedSample(
+      Tables.documents(spark, sf), "lang", "doc_id", 30))
+    def count(tok: String) = p.sliding(tok.length).count(_ == tok)
+    assert(count("Window") >= 1 && count("[Window") <= 1, p)
+    assert(p.contains("Union"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("hardNegatives: anchors broadcast into the corpus scan (bounded " +
        "build side), ranking is per-anchor") {
     val e = Tables.embeddings(spark, sf)

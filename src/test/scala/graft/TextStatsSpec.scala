@@ -193,4 +193,28 @@ class TextStatsSpec extends SparkSpec {
     // doc2 bigrams: "a b"(model), "b c"(OOV tier)
     assert(out(2L) === Some(avg(Seq(qab, qOov))))
   }
+
+  test("hashEmbed: md5-bucketed tf, L2-normalized, long-form sparse") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "")).toDF("doc_id", "text")
+    def bucket(tok: String, dim: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % dim
+    }
+    val out = TextOps.hashEmbed(docs, dim = 64).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dim_idx")) ->
+        r.getAs[Double]("weight")).toMap
+    val (ba, bb) = (bucket("a", 64), bucket("b", 64))
+    assert(ba !== bb, "fixture tokens must not collide at dim 64")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // tf(a)=2, tf(b)=1, norm = sqrt(5)
+    assert(out((1L, ba)) === r6(2.0 / math.sqrt(5.0)))
+    assert(out((1L, bb)) === r6(1.0 / math.sqrt(5.0)))
+    // empty doc emits no rows
+    assert(!out.keySet.exists(_._1 == 2L))
+    assert(out.size === 2)
+  }
 }
