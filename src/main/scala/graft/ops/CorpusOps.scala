@@ -287,7 +287,8 @@ object CorpusOps {
     * Versus a window row_number over each full stratum: the sort shrinks
     * from the whole corpus to 1/256 of it, and the non-boundary 255/256
     * flows through as a filter — the shape that survives a stratum with
-    * billions of rows. Strata with <= k rows keep everything.
+    * billions of rows. Strata with <= k rows keep everything; a null
+    * stratum is its own stratum (null-safe plan join).
     */
   def exactStratifiedSample(docs: DataFrame, stratumCol: String,
                             idCol: String, k: Int): DataFrame = {
@@ -327,7 +328,7 @@ object CorpusOps {
         org.apache.spark.sql.types.StructField("_take",
           org.apache.spark.sql.types.LongType, nullable = false)))))
     val joined = hashed.join(planDf,
-      col(stratumCol) === col("_ps"), "inner")
+      col(stratumCol) <=> col("_ps"), "inner")
     val below = joined.filter(col("_b") < col("_boundary"))
     val wB = Window.partitionBy(col(stratumCol))
       .orderBy(col("_h"), col(idCol))
@@ -356,7 +357,9 @@ object CorpusOps {
     * keep_frac rounds to 6 digits, and the 32-bit keep threshold is
     * floor(keep_frac * 2^32) with an explicit floor (Spark's double->
     * long cast truncates, DuckDB's rounds). Output: the input rows that
-    * survive, annotated with (n_docs, keep_frac) of their stratum.
+    * survive, annotated with (n_docs, keep_frac) of their stratum. Rows
+    * with a null stratum are dropped by the plan join — fill or filter
+    * upstream if null strata carry data.
     */
   def temperatureRebalance(docs: DataFrame, stratumCol: String,
                            idCol: String, temperature: Double,

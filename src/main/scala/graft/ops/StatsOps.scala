@@ -354,7 +354,15 @@ object StatsOps {
     */
   def keySkewProfile(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
     require(topK >= 1, s"topK=$topK")
+    // both consumers (global stats + top-K) reference the counts frame;
+    // Spark shares no common subplans, so without materialization each
+    // branch would re-scan and re-aggregate the BASE data. The counts
+    // frame is bounded by key cardinality (<< rows), so one eager
+    // checkpoint trades a second full input pass for a distinct-keys
+    // shuffle read
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .transform(c => if (graft.PlanMode.isExplainOnly) c
+        else c.localCheckpoint(eager = true))
     val stats = counts.agg(sum(col("cnt")).as("n_total"),
       count(lit(1)).as("n_distinct"), max(col("cnt")).as("max_cnt"))
     counts.orderBy(col("cnt").desc, col(keyCol)).limit(topK)
