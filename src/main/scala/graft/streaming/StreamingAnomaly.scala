@@ -50,6 +50,60 @@ object StreamingAnomaly {
     }
   }
 
+  final case class Baseline(key: String, values: Seq[Long])
+
+  /** [[detect]] with a WARM START: per-key baselines bootstrap from a
+    * batch history table via Spark 4's
+    * `StatefulProcessorWithInitialState`, so the very first streamed
+    * point of a known key is scored against its batch past instead of a
+    * cold empty window — the lambda-architecture handoff (batch
+    * computes, stream continues) expressed as engine-managed state
+    * rather than a hand-rolled side-load. `TimeMode.None` (no TTL/no
+    * timers), so the query idles between batches and
+    * `processAllAvailable()` behaves normally.
+    */
+  def detectWithHistory(obs: Dataset[Obs], history: Dataset[Baseline],
+                        nRows: Int, z: Double): Dataset[Score] = {
+    require(nRows >= 2 && z > 0, s"nRows=$nRows z=$z")
+    implicit val scoreEnc = Encoders.product[Score]
+    implicit val baseEnc = Encoders.product[Baseline]
+    class Proc extends org.apache.spark.sql.streaming
+        .StatefulProcessorWithInitialState[String, Obs, Score, Baseline] {
+      @transient private var win:
+        org.apache.spark.sql.streaming.ValueState[RingState] = _
+      override def init(outputMode: OutputMode,
+                        timeMode: org.apache.spark.sql.streaming.TimeMode)
+          : Unit =
+        win = getHandle.getValueState[RingState]("win",
+          Encoders.product[RingState],
+          org.apache.spark.sql.streaming.TTLConfig.NONE)
+      override def handleInitialState(key: String, s: Baseline,
+          tv: org.apache.spark.sql.streaming.TimerValues): Unit =
+        win.update(RingState(s.values.takeRight(nRows)))
+      override def handleInputRows(key: String, rows: Iterator[Obs],
+          tv: org.apache.spark.sql.streaming.TimerValues)
+          : Iterator[Score] = {
+        val sorted = rows.toSeq.sortBy(o => (o.ts.getTime, o.value))
+        val out = Seq.newBuilder[Score]
+        var window: Seq[Long] =
+          if (win.exists()) win.get().values else Seq.empty
+        sorted.foreach { o =>
+          val (zs, flag) = score(window, o.value, z)
+          out += Score(key, o.ts, o.value, window.size, zs, flag)
+          window = (window :+ o.value).takeRight(nRows)
+        }
+        win.update(RingState(window))
+        out.result().iterator
+      }
+    }
+    obs.groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new Proc,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(),
+        history.groupByKey(_.key)(Encoders.STRING),
+        scoreEnc, baseEnc)
+  }
+
   /** Streaming (or batch) application over a typed Dataset: one Score per
     * observation, AFTER comparing it to the pre-existing baseline.
     */

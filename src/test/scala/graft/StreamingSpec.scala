@@ -723,6 +723,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("anomaly detector warm-starts from batch history via " +
+       "transformWithState initial state (lambda handoff)") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.StreamingAnomaly
+    import graft.streaming.StreamingAnomaly.{Baseline, Obs => AObs}
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val mem = MemoryStream[AObs]
+    val history = Seq(Baseline("k", Seq(10L, 12L, 9L, 11L))).toDS()
+    val out = StreamingAnomaly.detectWithHistory(mem.toDS(), history,
+      nRows = 4, z = 3.0)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("swarm").start()
+    try {
+      // the FIRST streamed point is a spike vs the batch baseline:
+      // without the initial state it would be an unflagged warm-up row
+      mem.addData(AObs("k", ts("2024-01-01 00:00:01"), 100L),
+        AObs("newkey", ts("2024-01-01 00:00:01"), 100L))
+      q.processAllAvailable()
+      val rows = spark.table("swarm").collect()
+        .map(r => r.getAs[String]("key") ->
+          ((r.getAs[Int]("base_n"), r.getAs[Boolean]("is_anomaly")))).toMap
+      assert(rows("k") === ((4, true)), "warm baseline flags the spike")
+      assert(rows("newkey") === ((0, false)), "unknown key cold-starts")
+      // the streamed spike then joins the rolling window: the next point
+      // is judged against a baseline containing it (std huge -> false)
+      mem.addData(AObs("k", ts("2024-01-01 00:00:02"), 10L))
+      q.processAllAvailable()
+      val second = spark.table("swarm").collect()
+        .find(r => r.getAs[String]("key") == "k" &&
+          r.getAs[Long]("value") == 10L).get
+      assert(second.getAs[Boolean]("is_anomaly") === false)
+      assert(second.getAs[Int]("base_n") === 4)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState timers close a session after wall-clock " +
        "silence — no closing event required") {
     implicit val sql = spark.sqlContext
