@@ -150,19 +150,57 @@ object TextOps {
   def hashEmbed(docs: DataFrame, dim: Int, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
     require(dim >= 2, s"dim=$dim")
-    val tok = explode(split(col(textCol), " "))
-    val bucket = pmod(conv(substring(md5(col("_tok")), 1, 8), 16, 10)
-      .cast("long"), lit(dim.toLong))
-    val tf = docs.select(col(idCol), tok.as("_tok"))
-      .filter(col("_tok") =!= "")
-      .select(col(idCol), bucket.as("dim_idx"))
-      .groupBy(col(idCol), col("dim_idx"))
-      .agg(count(lit(1)).as("_tf"))
+    val tf = hashedTf(docs, dim, idCol, textCol)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     tf.withColumn("_nrm",
         sqrt(sum(col("_tf") * col("_tf")).over(w).cast("double")))
       .select(col(idCol), col("dim_idx"),
         round(col("_tf") / col("_nrm"), 6).as("weight"))
+  }
+
+  /** Per-(doc, bucket) hashed term frequencies — the shared first stage
+    * of [[hashEmbed]] and [[hashTfIdf]].
+    */
+  private def hashedTf(docs: DataFrame, dim: Int, idCol: String,
+                       textCol: String): DataFrame = {
+    val tok = explode(split(col(textCol), " "))
+    val bucket = pmod(conv(substring(md5(col("_tok")), 1, 8), 16, 10)
+      .cast("long"), lit(dim.toLong))
+    docs.select(col(idCol), tok.as("_tok"))
+      .filter(col("_tok") =!= "")
+      .select(col(idCol), bucket.as("dim_idx"))
+      .groupBy(col(idCol), col("dim_idx"))
+      .agg(count(lit(1)).as("_tf"))
+  }
+
+  /** IDF-weighted hashed vectorizer — [[hashEmbed]] with the sklearn
+    * smooth-idf weighting: idf = ln((1+N)/(1+df)) + 1 over the SAME hash
+    * buckets (N = docs with at least one token, df = docs containing the
+    * bucket), weights L2-normalized per doc. Corpus statistics enter as
+    * a dim-sized broadcast + a one-row broadcast — no second pass over
+    * text. The tf frame feeds three consumers (df, N, the join), so it
+    * is materialized once (bounded at docs × dim rows); tf·idf products
+    * quantize to 1e-6 longs before the norm so the per-doc sum of
+    * squares is integer-exact on any layout/engine.
+    */
+  def hashTfIdf(docs: DataFrame, dim: Int, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(dim >= 2, s"dim=$dim")
+    val tf = hashedTf(docs, dim, idCol, textCol)
+      .transform(df => if (graft.PlanMode.isExplainOnly) df
+        else df.localCheckpoint(eager = true))
+    val dfb = tf.groupBy(col("dim_idx")).agg(count(lit(1)).as("_df"))
+    val n = tf.agg(countDistinct(col(idCol)).as("_n"))
+    val idf = log((lit(1.0) + col("_n")) / (lit(1.0) + col("_df"))) +
+      lit(1.0)
+    val qv = tf.join(broadcast(dfb), Seq("dim_idx"))
+      .crossJoin(broadcast(n))
+      .withColumn("_q", round(col("_tf") * idf * lit(1e6)).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    qv.withColumn("_nrm",
+        sqrt(sum(col("_q") * col("_q")).over(w).cast("double")))
+      .select(col(idCol), col("dim_idx"),
+        round(col("_q") / col("_nrm"), 6).as("weight"))
   }
 
   // --- North-star: PII scrubbing -----------------------------------------

@@ -169,6 +169,30 @@ object TextQueries {
         SELECT ft.doc_id, ft.dim_idx, round(tf / nrm, 6) AS weight
         FROM ft JOIN n USING (doc_id)""")),
 
+    // IDF-weighted twin (sklearn smooth idf over the hash buckets):
+    // tf*idf quantizes to 1e-6 longs before the norm, so the per-doc sum
+    // of squares stays integer-exact and weights hash-match.
+    "text_hash_tfidf" -> Entry(
+      (s, dir) => TextOps.hashTfIdf(Tables.documents(s, dir), dim = 64),
+      Some("""
+        WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+        ft AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 64
+                        AS BIGINT) AS dim_idx,
+                      count(*) AS tf
+               FROM t WHERE tok <> '' GROUP BY 1, 2),
+        dfb AS (SELECT dim_idx, count(*) AS df FROM ft GROUP BY 1),
+        nn AS (SELECT count(DISTINCT doc_id) AS n FROM ft),
+        qv AS (SELECT ft.doc_id, ft.dim_idx,
+                      CAST(round(tf * (ln((1.0 + n) / (1.0 + df)) + 1.0)
+                        * 1000000.0) AS BIGINT) AS q
+               FROM ft JOIN dfb USING (dim_idx) CROSS JOIN nn),
+        nrm AS (SELECT doc_id, sqrt(CAST(sum(q * q) AS DOUBLE)) AS nrm
+                FROM qv GROUP BY 1)
+        SELECT qv.doc_id, qv.dim_idx, round(q / nrm, 6) AS weight
+        FROM qv JOIN nrm USING (doc_id)""")),
+
     "token_counts" -> Entry(
       (s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))
         .select(col("doc_id"),

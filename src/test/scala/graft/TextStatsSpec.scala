@@ -217,4 +217,32 @@ class TextStatsSpec extends SparkSpec {
     assert(!out.keySet.exists(_._1 == 2L))
     assert(out.size === 2)
   }
+
+  test("hashTfIdf: shared-bucket terms downweight vs doc-unique terms " +
+       "(smooth idf), quantized-long norms") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val (ba, bb, bc) = (bucket("a"), bucket("b"), bucket("c"))
+    assert(Set(ba, bb, bc).size === 3, "fixture buckets must not collide")
+    val out = TextOps.hashTfIdf(docs, dim = 64).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dim_idx")) ->
+        r.getAs[Double]("weight")).toMap
+    // idf(a) = ln(3/3)+1 = 1 (in both docs); idf(b) = ln(3/2)+1
+    val qa = math.round(1.0 * 1.0 * 1e6)
+    val qb = math.round((math.log(1.5) + 1.0) * 1e6)
+    val nrm = math.sqrt((qa * qa + qb * qb).toDouble)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((1L, ba)) === r6(qa / nrm))
+    assert(out((1L, bb)) === r6(qb / nrm))
+    assert(out((1L, bb)) > out((1L, ba)),
+      "the corpus-rare term must carry more weight")
+  }
 }
+
