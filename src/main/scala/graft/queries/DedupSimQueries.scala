@@ -825,6 +825,51 @@ object DedupSimQueries {
                CAST(rnk AS INTEGER) AS rnk
         FROM ranked WHERE rnk <= 5""")),
 
+    // Measured recall of the banded near-dup path against the exact
+    // threshold set — the eval every LSH deployment ships (ann_recall's
+    // pair-mining twin): exact pairs at cos >= 0.3 (the quarantined
+    // all-pairs form, legitimate here as bounded ground truth), banded
+    // pairs as candidates, one summary row. Ratios of exact ints.
+    "near_dup_recall" -> Entry(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val exact = SimilarityOps.cosineNearDupPairs(e, 0.3)
+          .select(col("id_a"), col("id_b"))
+        val banded = SimilarityOps.cosineNearDupPairsBucketed(e, 0.3,
+            dim = 64, bands = 4, bandBits = 4)
+          .select(col("id_a"), col("id_b"))
+        exact.join(banded, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+          .select(col("n_exact"), col("hits"),
+            (col("hits").cast("double") / col("n_exact")).as("recall"))
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        exact AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE list_dot_product(a.e, b.e) /
+                (sqrt(list_dot_product(a.e, a.e)) *
+                 sqrt(list_dot_product(b.e, b.e))) >= 0.3),
+        bk AS (SELECT vec_id, e, ${bucketSql("e", 64, 16)} AS bucket
+               FROM v),
+        banded AS (SELECT vec_id, e, bucket, CAST(k AS INTEGER) AS band,
+                          (bucket >> (CAST(k AS INTEGER) * 4)) & 15
+                            AS band_val
+                   FROM bk, UNNEST(generate_series(0, 3)) AS t(k)),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_val = b.band_val
+           AND a.vec_id < b.vec_id),
+        h AS (SELECT count(*) AS hits
+              FROM exact JOIN cand USING (id_a, id_b)),
+        ne AS (SELECT count(*) AS n_exact FROM exact)
+        SELECT n_exact, hits, CAST(hits AS DOUBLE) / n_exact AS recall
+        FROM ne, h""")),
+
     // Hard-negative mining for contrastive training: per anchor, the 5
     // most cosine-similar corpus vectors with a DIFFERENT label — the
     // label predicate rides the scoring join, so only eligible pairs
