@@ -351,6 +351,65 @@ object DedupOps {
         col("n_dup_grams").cast("double") / col("n_grams"))
   }
 
+  /** Exact duplicated-substring removal — the ExactSubstr discipline of
+    * Lee et al. 2021 (arXiv:2107.06499), re-expressed at word grain:
+    * every n-word span that occurs anywhere else in the corpus keeps
+    * only its globally FIRST occurrence (rank by (doc, position) over
+    * the span hash — deterministic on any layout), the words covered by
+    * later occurrences are cut, and each document reassembles from its
+    * surviving words positionally. Unlike whole-doc/segment dedup this
+    * removes the duplicated PASSAGE inside otherwise-unique documents —
+    * the boilerplate/quotation case that inflates memorization.
+    *
+    * Shape at scale: one positional-gram explode (O(words) rows, 60-bit
+    * uniform span hashes as shuffle keys), ONE ranked window over the
+    * hash, a distinct coverage explode, and a per-doc reassembly
+    * aggregation — no self-join, no all-pairs anything. Suffix-automaton
+    * exactness on arbitrary-length spans is out of scope; any duplicated
+    * passage of >= n words is caught because each of its n-gram
+    * occurrences ranks > 1.
+    *
+    * Output: (idCol, n_words, kept_words, kept_text) for EVERY input doc
+    * (fully-duplicated docs come back with kept_words=0, empty text).
+    */
+  def exactSubstrDedup(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", n: Int = 8): DataFrame = {
+    require(n >= 2, s"n=$n")
+    val w = org.apache.spark.sql.expressions.Window
+    val base = Rebalance(docs)
+      .select(col(idCol), split(col(textCol), " ").as("_ws"))
+      .withColumn("_nw", size(col("_ws")).cast("long"))
+    val grams = base.filter(col("_nw") >= n)
+      .select(col(idCol), posexplode(
+          transform(sequence(lit(0), col("_nw") - n),
+            i => concat_ws(" ", slice(col("_ws"), i + 1, lit(n)))))
+        .as(Seq("_pos", "_g")))
+      .select(col(idCol), col("_pos").cast("long").as("_pos"),
+        conv(substring(md5(col("_g")), 1, 15), 16, 10).cast("long")
+          .as("_h"))
+    val byGram = w.partitionBy(col("_h")).orderBy(col(idCol), col("_pos"))
+    // rank >= 2 <=> an earlier occurrence of the same span exists
+    val covered = grams.withColumn("_rk", row_number().over(byGram))
+      .filter(col("_rk") >= 2)
+      .select(col(idCol),
+        explode(sequence(col("_pos"), col("_pos") + (n - 1))).as("_wi"))
+      .distinct()
+    val exploded = base.select(col(idCol),
+      posexplode(col("_ws")).as(Seq("_wi", "_w")))
+      .withColumn("_wi", col("_wi").cast("long"))
+    val kept = exploded.join(covered, Seq(idCol, "_wi"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("kept_words"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("_wi"), col("_w")))),
+          s => s.getField("_w"))).as("kept_text"))
+    base.select(col(idCol), col("_nw").as("n_words"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        coalesce(col("kept_words"), lit(0L)).as("kept_words"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
     * local-fingerprinting algorithm): positional word n-gram hashes, a
     * sliding window of `w` consecutive hashes, and the minimum hash of

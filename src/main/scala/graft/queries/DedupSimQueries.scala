@@ -825,6 +825,44 @@ object DedupSimQueries {
                CAST(rnk AS INTEGER) AS rnk
         FROM ranked WHERE rnk <= 5""")),
 
+    // ExactSubstr passage dedup (Lee et al. 2021, word grain): 8-word
+    // spans duplicated anywhere keep only their globally-first
+    // occurrence; later occurrences' words are cut and docs reassemble
+    // positionally. The oracle groups by the md5-prefix span key and
+    // replays the rank, coverage, and string_agg reassembly.
+    "dedup_exact_substr" -> Entry(
+      (s, dir) => DedupOps.exactSubstrDedup(Tables.documents(s, dir)),
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        g AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+                     substr(md5(array_to_string(list_slice(ws,
+                       CAST(i AS INTEGER), CAST(i AS INTEGER) + 7), ' ')),
+                       1, 15) AS h
+              FROM w, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+              WHERE len(ws) >= 8),
+        r AS (SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY h
+                       ORDER BY doc_id, pos) AS rk
+              FROM g),
+        cov AS (SELECT DISTINCT doc_id, CAST(wi AS BIGINT) AS wi
+                FROM r, UNNEST(generate_series(pos, pos + 7)) AS t(wi)
+                WHERE rk >= 2),
+        wx AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS wi,
+                      ws[CAST(i AS INTEGER)] AS word
+               FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)),
+        kept AS (SELECT wx.doc_id, wx.wi, wx.word
+                 FROM wx LEFT JOIN cov
+                   ON wx.doc_id = cov.doc_id AND wx.wi = cov.wi
+                 WHERE cov.doc_id IS NULL),
+        agg AS (SELECT doc_id, count(*) AS kept_words,
+                       string_agg(word, ' ' ORDER BY wi) AS kept_text
+                FROM kept GROUP BY 1)
+        SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+               COALESCE(agg.kept_words, 0) AS kept_words,
+               COALESCE(agg.kept_text, '') AS kept_text
+        FROM w LEFT JOIN agg USING (doc_id)""")),
+
     // Measured recall of the banded near-dup path against the exact
     // threshold set — the eval every LSH deployment ships (ann_recall's
     // pair-mining twin): exact pairs at cos >= 0.3 (the quarantined

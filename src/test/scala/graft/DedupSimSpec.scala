@@ -306,6 +306,35 @@ class DedupSimSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("corpus_id")).toSeq === Seq(10L, 11L))
   }
 
+  test("exactSubstrDedup: later occurrences of a shared passage are cut, " +
+       "the first survives, unique text is untouched") {
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"intro $shared outro"),
+      (2L, s"other words here $shared trailing bits"),
+      (3L, "totally unique text with no duplicated span at all")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.exactSubstrDedup(docs, n = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("kept_words"),
+          r.getAs[String]("kept_text")))).toMap
+    // doc 1 holds the globally-first occurrence: fully intact
+    assert(out(1L) === ((10L, 10L, s"intro $shared outro")))
+    // doc 2 loses exactly the 8 shared words, keeps its own
+    assert(out(2L) === ((13L, 5L, "other words here trailing bits")))
+    // untouched doc
+    assert(out(3L)._2 === out(3L)._1)
+
+    // a fully-duplicated doc comes back empty but present
+    val dup = Seq((1L, shared), (2L, shared)).toDF("doc_id", "text")
+    val d = DedupOps.exactSubstrDedup(dup, n = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("kept_words"), r.getAs[String]("kept_text"))))
+      .toMap
+    assert(d(1L) === ((8L, shared)))
+    assert(d(2L) === ((0L, "")))
+  }
+
   test("hardNegatives: most-similar DIFFERENT-label vectors only — the " +
        "same-label near-twin never appears") {
     val anchors = Seq((0L, Array(1.0f, 0.0f), 7)).toDF(
