@@ -257,6 +257,48 @@ object ArTrainer {
     spark.read.parquet(path).as[ArModel]
   }
 
+  /** Deterministic synthetic AR(2) fixture series — the trainer's
+    * metric-envelope oracle harness (the same trick that oracle-hardened
+    * the t-digest entry): a series whose GENERATING process is known lets
+    * the catalog emit exact booleans ("recovered order == generating
+    * order", "holdout MAE within the analytic envelope") that DuckDB can
+    * pin as constants, instead of raw floats no SQL engine can replay.
+    *
+    * x_t = c + phi1·x_{t-1} + phi2·x_{t-2} + e_t, seeded at the process
+    * mean c/(1-phi1-phi2); innovations are a salted-md5 hash coin
+    * e_t = ((u32(md5("sym|t")) mod 2001) - 1000)/1000 · sigma — uniform
+    * in [-sigma, sigma], a pure function of (symbol, t), so the series
+    * (and therefore every trained coefficient) is bit-identical on any
+    * engine, layout, or scale factor.
+    *
+    * Envelope math (why "MAE <= 6·sigma" is analytic, not tuned): for
+    * the TRUE model the h-step forecast error is sum_{j<h} psi_j·e_{t+j}
+    * with psi the AR(2) impulse weights, so |error| <= sigma·sum|psi_j|
+    * <= sigma/(1 - |phi1| - |phi2|) = 5·sigma at (0.5, -0.3). The grid
+    * winner's holdout MAE is <= the AR(2) candidate's, whose own MAE
+    * differs from the true model's only by O(coef-estimation) slack —
+    * one extra sigma covers it with margin.
+    */
+  def syntheticAr2(sym: String, n: Int, phi1: Double, phi2: Double,
+                   c: Double, sigma: Double): IndexedSeq[(Int, Double)] = {
+    require(math.abs(phi1) + math.abs(phi2) < 1.0, "stationarity")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def innov(t: Int): Double = {
+      val h = md.digest(s"$sym|$t".getBytes("UTF-8"))
+      val u = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      ((u % 2001L) - 1000L).toDouble / 1000.0 * sigma
+    }
+    val mean = c / (1.0 - phi1 - phi2)
+    val xs = new Array[Double](n)
+    for (t <- 0 until n) {
+      val x1 = if (t >= 1) xs(t - 1) else mean
+      val x2 = if (t >= 2) xs(t - 2) else mean
+      xs(t) = c + phi1 * x1 + phi2 * x2 + innov(t)
+    }
+    (0 until n).map(t => (t, xs(t)))
+  }
+
   /** Convenience: events-shaped DataFrame -> regularized series -> models. */
   def trainFromEvents(df: DataFrame, timeCol: String, keyCol: String,
                       valCol: String, stepSeconds: Int,

@@ -288,7 +288,15 @@ object CorpusOps {
     * from the whole corpus to 1/256 of it, and the non-boundary 255/256
     * flows through as a filter — the shape that survives a stratum with
     * billions of rows. Strata with <= k rows keep everything; a null
-    * stratum is its own stratum (null-safe plan join).
+    * stratum is its own stratum (null-safe plan join, and the salt
+    * coalesces it to a NUL-prefixed sentinel token so its hashes don't
+    * collide with the no-stratum spelling of the salt).
+    *
+    * Plan-audit note: the bucket-count pass is an unavoidable driver
+    * collect (the boundary plan IS driver state, bounded at strata×256),
+    * so under [[graft.PlanMode.isExplainOnly]] this op returns the naive
+    * single-window formulation instead — identical output semantics,
+    * no job execution (same guard discipline as dupClusters' loop).
     */
   def exactStratifiedSample(docs: DataFrame, stratumCol: String,
                             idCol: String, k: Int): DataFrame = {
@@ -296,10 +304,17 @@ object CorpusOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val u32 = conv(substring(
-      md5(concat_ws("|", lit("esample"), col(stratumCol),
+      md5(concat_ws("|", lit("esample"),
+        coalesce(col(stratumCol).cast("string"), lit("\u0001null")),
         col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
     val hashed = docs.withColumn("_h", u32)
       .withColumn("_b", shiftright(col("_h"), 24).cast("int"))
+    if (graft.PlanMode.isExplainOnly) {
+      val wAll = Window.partitionBy(col(stratumCol))
+        .orderBy(col("_h"), col(idCol))
+      return hashed.withColumn("_rk", row_number().over(wAll))
+        .filter(col("_rk") <= k).drop("_rk", "_h", "_b")
+    }
     val counts = hashed.groupBy(col(stratumCol), col("_b"))
       .agg(count(lit(1)).as("_n"))
       .collect()
@@ -379,7 +394,8 @@ object CorpusOps {
           (col("_z").cast("double") * col("n_docs")), 6)))
       .select(col(stratumCol), col("n_docs"), col("keep_frac"))
     val u32 = conv(substring(
-      md5(concat_ws("|", lit("trebal"), col(stratumCol),
+      md5(concat_ws("|", lit("trebal"),
+        coalesce(col(stratumCol).cast("string"), lit("\u0001null")),
         col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
     docs.join(broadcast(plan), Seq(stratumCol))
       .filter(u32 < floor(col("keep_frac") * 4294967296.0).cast("long"))

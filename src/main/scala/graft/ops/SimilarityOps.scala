@@ -62,14 +62,22 @@ object SimilarityOps {
     * into one corpus scan, per-anchor heap cut); the label predicate
     * rides the join, so mismatched pairs never reach the window. Swap
     * the scoring join for [[ivfTopK]]-style bucketing at corpus scale.
+    *
+    * NULL-LABEL CONTRACT: "label differs" is the null-rejecting SQL
+    * `<>` — a row with a NULL label can neither anchor nor serve as a
+    * negative ("unknown label" cannot be shown to differ). Both sides
+    * filter nulls EXPLICITLY below so the drop is a visible plan step,
+    * not a silent join artifact; pre-label rows upstream (or coalesce to
+    * a sentinel class) if unlabeled vectors should participate.
     */
   def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     labelCol: String = "label"): DataFrame = {
-    val q = anchors.select(col(idCol).as("anchor_id"),
-      col(labelCol).as("_ql"), col(vecCol).as("qv"),
-      l2Norm(col(vecCol)).as("qn"))
-    val c = Rebalance(corpus)
+    val q = anchors.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("anchor_id"),
+        col(labelCol).as("_ql"), col(vecCol).as("qv"),
+        l2Norm(col(vecCol)).as("qn"))
+    val c = Rebalance(corpus.filter(col(labelCol).isNotNull))
       .select(col(idCol).as("negative_id"), col(labelCol).as("_cl"),
         col(vecCol).as("cv"), l2Norm(col(vecCol)).as("cn"))
     val scored = c.join(broadcast(q), col("_ql") =!= col("_cl"))

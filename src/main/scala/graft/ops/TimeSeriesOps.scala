@@ -122,6 +122,18 @@ object TimeSeriesOps {
     * column (quantize currency to cents first) and every baseline stat
     * is bit-identical across engines and partition layouts. Warm-up rows
     * (empty frame) and zero-variance frames score null and flag false.
+    *
+    * MAGNITUDE BOUND: the sum-of-squares accumulates in 64-bit Long for
+    * an integer `valueCol`, so the caller must keep
+    * `nRows * max(value)^2 < 2^63` — i.e. |value| <= sqrt(2^63/nRows)
+    * (~6.2e8 at nRows=24; cents-quantized prices up to ~$6.2M). Beyond
+    * that Spark's non-ANSI Long arithmetic wraps SILENTLY while wider
+    * engines (DuckDB sums BIGINT into HUGEINT) keep going, so the std
+    * goes quietly wrong and engines diverge at different points. The
+    * streaming twin [[graft.streaming.StreamingAnomaly.score]] uses the
+    * same Long algebra deliberately (split-batch == batch bitwise) and
+    * inherits the same bound; quantize on a coarser grid (e.g. whole
+    * units, not cents) if values can exceed it.
     */
   def rollingZScoreAnomaly(df: DataFrame, keyCol: String,
                            orderCols: Seq[String], valueCol: String,

@@ -112,7 +112,7 @@ object CorpusQueries {
       Some("""
         WITH u AS (
           SELECT doc_id, lang, source,
-                 ('0x' || substr(md5('esample' || '|' || lang || '|'
+                 ('0x' || substr(md5('esample' || '|' || coalesce(lang, chr(1) || 'null') || '|'
                      || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS h
           FROM documents)
         SELECT doc_id, lang, source FROM (

@@ -256,7 +256,7 @@ object RelationalExtQueries {
               FROM w, z)
         SELECT d.doc_id, d.lang, p.n_docs, p.keep_frac
         FROM documents d JOIN p USING (lang)
-        WHERE ('0x' || substr(md5('trebal' || '|' || lang || '|'
+        WHERE ('0x' || substr(md5('trebal' || '|' || coalesce(lang, chr(1) || 'null') || '|'
                 || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
               < CAST(floor(keep_frac * 4294967296.0) AS BIGINT)""")),
 

@@ -18,6 +18,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the double algebra below mirrors the batch expression tree
   * (s/n, (sq - s*s/n)/(n-1), (v-mean)/std) operation-for-operation, so
   * StreamingSpec can pin split-batch == batch-window parity bitwise.
+  * That parity means the batch op's MAGNITUDE BOUND applies here too:
+  * `nRows * max(|value|)^2` must stay below 2^63 or the Long
+  * sum-of-squares wraps silently (see
+  * [[graft.ops.TimeSeriesOps.rollingZScoreAnomaly]]).
   *
   * Scale: state is O(nRows) longs per key; keys hash-partition across
   * executors. Within-batch rows are sorted by (ts, value) before folding

@@ -694,7 +694,15 @@ class StreamingSpec extends SparkSpec {
       rows
     }
     try {
-      // batch 1: A twice (later ts), B once -> earliest A + B survive
+      // batch 1: A twice (later ts), B once -> earliest A + B survive.
+      // t0 bounds the marker's write time from below: A's seen-marker is
+      // written when this batch PROCESSES (>= t0), so its TTL expiry is
+      // >= t0 + 5 s — the inside-horizon assertions below are only
+      // enforced while the wall clock proves the horizon cannot have
+      // passed (a CI pause longer than the TTL legitimately re-admits A,
+      // which is the op's contract, not a failure).
+      val t0 = System.nanoTime()
+      def elapsedMs: Long = (System.nanoTime() - t0) / 1000000L
       mem.addData(
         DEv("A", ts("2024-01-01 00:00:02"), "late-copy"),
         DEv("A", ts("2024-01-01 00:00:01"), "first"),
@@ -704,14 +712,26 @@ class StreamingSpec extends SparkSpec {
       // seconds of cleanup batches to prove no third row appears)
       mem.addData(DEv("A", ts("2024-01-01 00:00:03"), "redelivery"))
       Thread.sleep(2000)
-      assert(spark.table("sdedup").count() === 2L)
+      val afterRedelivery = spark.table("sdedup").count()
+      if (elapsedMs < 5000)
+        assert(afterRedelivery === 2L,
+          s"redelivery ${elapsedMs}ms after batch 1 is inside the 5 s " +
+            "TTL horizon and must drop")
       // the dropped redelivery did NOT refresh A's marker (seen path
       // never writes), so the original marker expires on schedule; once
       // it has, a redelivery passes again
-      Thread.sleep(5500)
+      Thread.sleep(math.max(0L, 6500L - elapsedMs))
       mem.addData(DEv("A", ts("2024-01-01 00:00:09"), "after-horizon"))
-      assert(awaitRows(3).toSet ===
-        Set(("A", "first"), ("B", "b1"), ("A", "after-horizon")))
+      // >= 3 rows: SOME post-expiry A redelivery passed. Exactly which
+      // ("after-horizon", or "redelivery" if a pause let it through and
+      // its marker then suppressed the follow-up) depends on wall-clock
+      // scheduling; every surviving row must come from this legal set.
+      val all = awaitRows(3)
+      assert(all.length >= 3, "an expired marker must re-admit the id")
+      assert(all.toSet.subsetOf(Set(("A", "first"), ("B", "b1"),
+        ("A", "redelivery"), ("A", "after-horizon"))))
+      assert(all.toSet.contains(("A", "first")) &&
+        all.toSet.contains(("B", "b1")))
     } finally {
       q.stop()
       prevProvider match {
@@ -796,22 +816,38 @@ class StreamingSpec extends SparkSpec {
       rows
     }
     try {
+      // Time-aware strictness: u1's keep-alive (4.0) only extends the
+      // session if it lands within the 2 s gap of the opening events. A
+      // CI pause can push it past the gap, legally splitting u1 into two
+      // sessions — measure the elapsed time and only enforce the strict
+      // shape when the clock proves the extension was in time.
+      val t0 = System.nanoTime()
       mem.addData(Hit("u1", 1.0), Hit("u1", 2.0), Hit("u2", 10.0))
       Thread.sleep(500)
       // u1 keeps the session alive past the first gap; u2 goes silent
       mem.addData(Hit("u1", 4.0))
+      val extendMs = (System.nanoTime() - t0) / 1000000L
+      val inTime = extendMs < 1900
+      val joined = Set(("u2", 1L, 10.0), ("u1", 3L, 7.0))
+      val split = Set(("u2", 1L, 10.0), ("u1", 2L, 3.0), ("u1", 1L, 4.0))
       // u2's summary arrives on its own (timer batch), no further events
       val first = awaitRows(1)
-      assert(first.toSet === Set(("u2", 1L, 10.0)))
+      if (inTime) assert(first.toSet === Set(("u2", 1L, 10.0)))
       // then u1's extended session closes with ALL its events folded in
       val both = awaitRows(2)
-      assert(both.toSet ===
-        Set(("u2", 1L, 10.0), ("u1", 3L, 7.0)))
+      if (inTime) assert(both.toSet === joined)
+      else assert(both.toSet.subsetOf(joined union split))
       // a post-close event starts a FRESH session for u1
       mem.addData(Hit("u1", 100.0))
-      val all = awaitRows(3)
-      assert(all.toSet ===
-        Set(("u2", 1L, 10.0), ("u1", 3L, 7.0), ("u1", 1L, 100.0)))
+      val fresh = ("u1", 1L, 100.0)
+      var all = awaitRows(both.length + 1)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!all.toSet.contains(fresh) && System.nanoTime() < deadline)
+        all = awaitRows(all.length + 1)
+      assert(all.toSet.contains(fresh),
+        "a post-close event must open and close a fresh session")
+      if (inTime) assert(all.toSet === joined + fresh)
+      else assert(all.toSet.subsetOf(joined.union(split) + fresh))
     } finally {
       q.stop()
       prevProvider match {
