@@ -40,14 +40,25 @@ object PipelineQueries {
     // holdout (arima.py:298-408, auto_arima order search -> holdout-MAE
     // grid over d/p/q). METRIC-ENVELOPE ORACLE (the tdigest rank-bound
     // trick): one deterministic synthetic AR(2) series per event_type
-    // symbol (known generating process, hash-coin innovations — see
-    // ArTrainer.syntheticAr2 for the envelope derivation) flows through
-    // the FULL trainFromEvents path (30 s resample grid + ffill + typed
-    // trainer), and the entry emits exact booleans — generating order
-    // recovered, coefficients within estimation tolerance, holdout MAE
-    // inside the analytic 6·sigma envelope — which DuckDB pins as
-    // constants over the same DISTINCT symbol set. Real-events training
-    // stays covered by TrainerMlSpec (theta-recovery, holdout behavior).
+    // symbol (known generating process, md5-coin innovations — see
+    // ArTrainer.syntheticAr2 for the construction + envelope derivation)
+    // flows through the FULL trainFromEvents path (30 s resample grid +
+    // ffill + typed trainer). The entry emits
+    //  - qsum_test: the 1e-6-quantized integer sum of the 30 holdout
+    //    values — DuckDB REGENERATES the whole series via a recursive
+    //    CTE over the same md5 coin and double-op order (explicit
+    //    ::DOUBLE casts: a bare 2.5 literal is DECIMAL(2,1) and would
+    //    truncate the recursion state), pinning the data path
+    //    (generation -> resample grid -> holdout split) bit-exactly;
+    //  - fitted / mae_ok / beats_naive booleans: a real model came back
+    //    (grid didn't degenerate), its holdout MAE sits inside the
+    //    analytic 6·sigma envelope of the generating process, and it
+    //    beats the persistence (carry-last-value) forecast — the three
+    //    claims a trainer must deliver. (Exact ORDER recovery is not
+    //    pinned: with a 30-point holdout the MAE differences between
+    //    nested ARMA orders are below the innovation noise floor, so the
+    //    grid's argmin order is not statistically identifiable — the
+    //    envelope bounds are the honest invariants.)
     "x5_ar_trainer" -> Entry(
       (s, dir) => {
         import s.implicits._
@@ -61,22 +72,57 @@ object PipelineQueries {
             }
           }
           .toDF("ts", "event_type", "value")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("ts").desc)
+        val ranked = series.withColumn("_rk", row_number().over(w))
+        val hold = ranked.filter(col("_rk") <= 30)
+          .groupBy(col("event_type").as("symbol"))
+          .agg(sum(round(col("value") * 1e6).cast("long")).as("qsum_test"))
+        val lastTrain = ranked.filter(col("_rk") === 31)
+          .select(col("event_type").as("symbol"), col("value").as("_last"))
+        val naive = ranked.filter(col("_rk") <= 30)
+          .select(col("event_type").as("symbol"), col("value"))
+          .join(lastTrain, Seq("symbol"))
+          .groupBy(col("symbol"))
+          .agg(avg(abs(col("value") - col("_last"))).as("naive_mae"))
         ArTrainer.trainFromEvents(series, "ts", "event_type", "value", 30)
           .toDF()
+          .join(hold, Seq("symbol"))
+          .join(naive, Seq("symbol"))
           .select(col("symbol"), col("n_train"), col("n_test"),
-            (col("d") === 0 && col("p") === 2 && col("q") === 0)
-              .as("order_ok"),
-            coalesce(
-              abs(col("coeffs").getItem(0) - phi1) <= 0.15 &&
-                abs(col("coeffs").getItem(1) - phi2) <= 0.15,
-              lit(false)).as("coeff_ok"),
-            (col("mae") <= sigma * 6).as("mae_ok"))
+            col("qsum_test"),
+            (col("p") >= 1 && !isnan(col("mae"))).as("fitted"),
+            (col("mae") <= sigma * 6).as("mae_ok"),
+            (col("mae") <= col("naive_mae")).as("beats_naive"))
       },
       Some("""
-        SELECT DISTINCT event_type AS symbol,
-               170 AS n_train, 30 AS n_test,
-               TRUE AS order_ok, TRUE AS coeff_ok, TRUE AS mae_ok
-        FROM events""")),
+        WITH RECURSIVE syms AS
+          (SELECT DISTINCT event_type AS sym FROM events),
+        ser(sym, t, x, xp) AS (
+          SELECT sym, 0,
+                 2.0::DOUBLE + 0.5::DOUBLE * 2.5::DOUBLE
+                   + (-0.3::DOUBLE) * 2.5::DOUBLE +
+                   ((CAST(('0x' || substr(md5(sym || '|' || '0'), 1, 8))
+                       ::UBIGINT % 2001 AS BIGINT) - 1000)
+                    / 1000.0::DOUBLE) * 0.05::DOUBLE,
+                 2.5::DOUBLE
+          FROM syms
+          UNION ALL
+          SELECT sym, t + 1,
+                 2.0::DOUBLE + 0.5::DOUBLE * x + (-0.3::DOUBLE) * xp +
+                   ((CAST(('0x' || substr(md5(sym || '|' ||
+                       CAST(t + 1 AS VARCHAR)), 1, 8))
+                       ::UBIGINT % 2001 AS BIGINT) - 1000)
+                    / 1000.0::DOUBLE) * 0.05::DOUBLE,
+                 x
+          FROM ser WHERE t < 199),
+        -- sum(BIGINT) widens to HUGEINT (pandas float) — cast back
+        q AS (SELECT sym, CAST(sum(CAST(round(x * 1000000) AS BIGINT))
+                       AS BIGINT) AS qsum_test
+              FROM ser WHERE t >= 170 GROUP BY 1)
+        SELECT sym AS symbol, 170 AS n_train, 30 AS n_test, qsum_test,
+               TRUE AS fitted, TRUE AS mae_ok, TRUE AS beats_naive
+        FROM q""")),
 
     // X8: TF-IDF (1+2-gram) + Ridge with time-ordered split
     // (Milestone4 cell 15). METRIC-ENVELOPE ORACLE: raw RMSE floats are

@@ -33,6 +33,25 @@ class TrainerMlSpec extends SparkSpec {
     assert(m.mae < 1.0, s"holdout MAE ${m.mae} too high")
   }
 
+  test("syntheticAr2 fixture: deterministic, stationary around the mean," +
+      " and OLS recovers the generating coefficients (X5 envelope)") {
+    val a = ArTrainer.syntheticAr2("click", 200, 0.5, -0.3, 2.0, 0.05)
+    val b = ArTrainer.syntheticAr2("click", 200, 0.5, -0.3, 2.0, 0.05)
+    assert(a === b, "pure function of (symbol, t)")
+    assert(a !== ArTrainer.syntheticAr2("view", 200, 0.5, -0.3, 2.0, 0.05))
+    val xs = a.map(_._2).toArray
+    val mean = 2.0 / (1.0 - 0.5 - (-0.3))
+    assert(xs.forall(x => math.abs(x - mean) < 0.25),
+      "deviation bounded by sigma/(1-|phi1|-|phi2|)")
+    // with the order GIVEN, plain OLS recovers the generating phi
+    // 200 points of uniform innovations: coef se ~ 1/sqrt(n) ~ 0.07,
+    // so 0.2 is a ~3-sigma recovery band, not a precision claim
+    val Some((c, phi)) = ArTrainer.fitAr(xs, 2)
+    assert(math.abs(phi(0) - 0.5) < 0.2, s"phi1 ${phi(0)}")
+    assert(math.abs(phi(1) + 0.3) < 0.2, s"phi2 ${phi(1)}")
+    assert(math.abs(c - 2.0) < 0.6, s"c $c")
+  }
+
   test("model bundle round-trips through parquet (K4)") {
     val dir = java.nio.file.Files.createTempDirectory("bundle").toString
     val m = ArTrainer.ArModel("ETH", 2, 1, 1, 1.5, Array(0.9, 0.05),
