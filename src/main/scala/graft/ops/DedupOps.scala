@@ -156,14 +156,15 @@ object DedupOps {
                         idCol: String = "doc_id", textCol: String = "text",
                         shingleWords: Int = 3, k: Int = 16,
                         bands: Int = 4, mode: String = "overwrite"): Unit =
-    minhashBands(corpus, idCol, textCol, shingleWords, k, bands)
-      .withColumn("bucket", minhashBucket)
-      // cluster rows by bucket before the partitioned write: otherwise
-      // every input partition spills a file into every bucket directory
-      // (files = partitions × buckets, all tiny) and probe-side listing/
-      // footer overhead swamps the pruning win
-      .repartition(col("bucket"))
-      .write.mode(mode).partitionBy("bucket").parquet(path)
+    IndexMaintenance.writeBase(
+      minhashBands(corpus, idCol, textCol, shingleWords, k, bands)
+        .withColumn("bucket", minhashBucket)
+        // cluster rows by bucket before the partitioned write: otherwise
+        // every input partition spills a file into every bucket directory
+        // (files = partitions × buckets, all tiny) and probe-side listing/
+        // footer overhead swamps the pruning win
+        .repartition(col("bucket")),
+      path, partitionCol = "bucket", mode = mode)
 
   /** Append precomputed (idCol, band, band_hash) rows to a written
     * MinHash index — the streaming-ingest fast path: the caller already
@@ -185,7 +186,7 @@ object DedupOps {
     * appends one file per touched bucket per micro-batch — LSM-style
     * write amplification that erodes the probe's
     * one-bounded-scan-per-bucket economics; periodic compaction restores
-    * it. Swap semantics, writer-quiesce contract, and the 100 TB
+    * it. Manifest-commit swap semantics, concurrency contract, and the 100 TB
     * per-bucket variant: [[IndexMaintenance.compactBucketed]].
     */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,

@@ -7,39 +7,71 @@ import org.apache.spark.sql.functions._
 /** Maintenance shared by the on-disk bucket-partitioned indexes (the
   * MinHash text index and the sign-LSH IVF vector index).
   *
-  * Layout: LSM-shaped, two levels.
-  *   - BASE: parquet partitioned by `bucket` — the probe's
-  *     partition-pruned scan unit, one file per bucket after compaction.
+  * Layout: LSM-shaped, two levels, with a COMMIT MANIFEST naming the
+  * live base generation (the snapshot-pointer discipline of table
+  * formats like Iceberg/Delta, reduced to the one pointer these indexes
+  * need):
+  *   - `<path>/MANIFEST-<gen>`: one-line file naming the live base
+  *     directory. The CURRENT manifest is the highest `<gen>`; each is
+  *     committed by writing a temp file and renaming it to its final
+  *     (new, never-overwritten) name — an atomic create, so a reader
+  *     always sees a complete pointer and two racing committers cannot
+  *     both win the same generation (the loser's rename returns false
+  *     and fails loudly).
+  *   - `<path>/base_<gen>_<tag>/`: parquet partitioned by the bucket
+  *     column — the probe's partition-pruned scan unit, one file per
+  *     bucket after compaction. Generations are immutable once their
+  *     manifest commits; the previous generation is RETAINED until the
+  *     next compaction so probes that resolved the old manifest finish
+  *     against intact files.
   *   - DELTA (`<path>_delta`): flat parquet carrying `bucket` as a plain
   *     column — each streaming micro-batch appends ONE file here instead
-  *     of fanning one tiny file into every touched bucket directory. At
-  *     4096-bucket width a micro-batch touching most buckets would
-  *     otherwise pay thousands of file creates + committer renames per
-  *     batch (measured locally: the dynamic-partition append costs ~10×
-  *     the flat write); the delta write is O(1) files per batch.
+  *     of fanning one tiny file into every touched bucket directory (the
+  *     dynamic-partition append measured ~10x the flat write and scales
+  *     with bucket width).
+  *   - FOLD (`<path>_fold`): the delta snapshot a compaction is folding.
+  *     Compaction ATOMICALLY RENAMES the whole delta directory here, so
+  *     appends racing the snapshot either land before the rename (their
+  *     file moves with the directory and is folded) or fail their job
+  *     commit and retry into a fresh delta ([[appendDelta]] retries) —
+  *     no append is ever silently lost and none is folded twice.
   *
-  * Probes read base (pruned) plus the delta filtered on the same bucket
-  * set (predicate-pushed column filter — no pruning, but the delta is
-  * small by construction: it only holds appends since the last
-  * compaction, so probe cost stays batch-proportional as long as
-  * compaction runs on any sane cadence — the classic L0 contract).
-  * Compaction folds delta rows into the bucketed base and clears the
-  * delta.
+  * Probes read base (partition-pruned) plus delta and fold rows filtered
+  * on the same bucket set (predicate-pushed column filter — no pruning,
+  * but both are small by construction: they only hold appends since the
+  * last fold, the classic L0 contract).
   *
-  * SINGLE-WRITER contract: quiesce appenders for the compaction swap.
+  * Concurrency contract: APPENDS AND PROBES ARE SAFE CONCURRENTLY WITH
+  * COMPACTION — this replaces the previous writer-quiesce requirement.
+  * A probe never observes a half-swapped base (the manifest flips
+  * atomically and the superseded generation is retained one cycle); an
+  * append racing the delta snapshot retries into the next delta epoch.
+  * Two compactions must still not run concurrently as a matter of
+  * wasted work, but they cannot corrupt anything: each writes its own
+  * uniquely-named base directory and the manifest commit arbitrates —
+  * exactly one wins, the other throws and its orphan directory is
+  * removed by a later prune.
+  *
   * Crash recovery favors NO LOSS over no-duplicates: a crash between the
-  * base swap and the delta cleanup leaves the folded rows in both levels;
-  * probes may transiently double-count a row (for near-dup candidacy at
-  * min-shared=1 this changes nothing — a duplicated row only re-reports
-  * an existing match), and the next compaction removes the duplicates via
-  * `dedupKeys`. At 100 TB compact bucket directories individually (same
-  * two-phase write-then-rename per bucket, same quiesce window) so probes
-  * only ever miss the one bucket mid-swap.
+  * manifest commit and the fold cleanup leaves folded rows in both
+  * levels; probes may transiently double-count a row (for near-dup
+  * candidacy at min-shared=1 this changes nothing — a duplicated row
+  * only re-reports an existing match), and the next compaction removes
+  * the duplicates via `dedupKeys`. A crash before the manifest commit
+  * leaves a dead base directory that the next successful prune deletes.
+  * At 100 TB compact bucket directories individually within a
+  * generation (same manifest commit at the end) so the rewrite unit
+  * stays bounded.
   */
 object IndexMaintenance {
 
   /** The L0 append location for a bucketed index at `path`. */
   def deltaPath(path: String): String = path + "_delta"
+
+  /** The delta snapshot a compaction is currently folding. */
+  def foldPath(path: String): String = path + "_fold"
+
+  private val ManifestPrefix = "MANIFEST-"
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     // the PATH's filesystem, not defaultFS (index may live off-cluster)
@@ -51,79 +83,197 @@ object IndexMaintenance {
     f.exists(p) && f.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
   }
 
-  /** Append rows (carrying a `bucket` column) to the index's delta as a
-    * single flat file — the per-micro-batch write path.
-    */
-  def appendDelta(df: DataFrame, path: String): Unit =
-    df.coalesce(1).write.mode("append").parquet(deltaPath(path))
+  /** Manifest generations present at `path`, ascending. */
+  private def manifestGens(f: FileSystem, root: Path): Seq[Long] =
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(ManifestPrefix))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix(ManifestPrefix).toLong).toOption)
+      .sorted
 
-  /** Read the index rows for a set of buckets: the base scan partition-
-    * prunes to the named directories; delta rows (if any) ride along
-    * through a predicate-pushed filter. Column order follows the base.
-    * `partitionCol` names the bucketing column ("bucket" for the hash
-    * indexes, "cell" for the IVF-PQ codes).
+  private def readManifest(f: FileSystem, root: Path, gen: Long): String = {
+    val in = f.open(new Path(root, s"$ManifestPrefix$gen"))
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8").trim
+    } finally in.close()
+  }
+
+  /** Resolve the live base directory of an index: the newest manifest
+    * names it. A directory holding parquet partition dirs but no
+    * manifest is a LEGACY flat index and is its own base (first
+    * compaction migrates it into the generational layout).
+    */
+  def currentBase(spark: SparkSession, path: String): String = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val gens = manifestGens(f, root)
+    if (gens.isEmpty) path else path + "/" + readManifest(f, root, gens.last)
+  }
+
+  /** Atomically commit MANIFEST-<gen> (temp file + rename-to-new-name).
+    * Exactly one committer can win a generation.
+    */
+  private def commitManifest(spark: SparkSession, path: String, gen: Long,
+                             baseName: String): Unit = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    f.mkdirs(root)
+    val tmp = new Path(root,
+      s".manifest_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, false)
+    try out.write(baseName.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(root, s"$ManifestPrefix$gen")
+    if (!f.rename(tmp, dst)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"manifest commit lost the race for $dst — a concurrent " +
+          "compaction committed this generation first")
+    }
+  }
+
+  /** Drop superseded state: manifests and base directories older than
+    * the previous generation (the one probes in flight may still hold),
+    * plus base directories referenced by NO retained manifest (orphans
+    * of crashed or race-losing compactions) and, once two manifested
+    * generations exist, any legacy flat partition dirs at the root.
+    */
+  private def prune(spark: SparkSession, path: String,
+                    partitionCol: String): Unit = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val gens = manifestGens(f, root)
+    if (gens.isEmpty) return
+    val keepGens = gens.takeRight(2)
+    val keepBases = keepGens.map(readManifest(f, root, _)).toSet
+    gens.dropRight(2).foreach(g =>
+      f.delete(new Path(root, s"$ManifestPrefix$g"), false))
+    f.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      val isBaseDir = st.isDirectory && name.startsWith("base_")
+      val isLegacyPart = st.isDirectory && name.startsWith(partitionCol + "=")
+      if ((isBaseDir && !keepBases(name)) || (isLegacyPart && keepGens.size >= 2))
+        f.delete(st.getPath, true)
+    }
+  }
+
+  /** Write (or batch-append to) an index base. `overwrite` lands a NEW
+    * immutable generation and commits its manifest; `append` adds files
+    * to the LIVE generation's bucket directories (the legacy
+    * dynamic-partition batch path — streaming appends should use
+    * [[appendDelta]], which is ~10x cheaper per micro-batch).
+    */
+  def writeBase(df: DataFrame, path: String,
+                partitionCol: String = "bucket",
+                mode: String = "overwrite"): Unit = {
+    val spark = df.sparkSession
+    if (mode == "append") {
+      df.write.mode("append").partitionBy(partitionCol)
+        .parquet(currentBase(spark, path))
+    } else {
+      val root = new Path(path)
+      val f = fs(spark, root)
+      val gen = manifestGens(f, root).lastOption.getOrElse(0L) + 1
+      val baseName =
+        s"base_${gen}_${java.util.UUID.randomUUID().toString.take(8)}"
+      df.write.mode("overwrite").partitionBy(partitionCol)
+        .parquet(s"$path/$baseName")
+      commitManifest(spark, path, gen, baseName)
+      prune(spark, path, partitionCol)
+    }
+  }
+
+  /** Append rows (carrying a `bucket` column) to the index's delta as a
+    * single flat file — the per-micro-batch write path. If a concurrent
+    * compaction snapshots the delta directory mid-commit the write job
+    * fails its final rename; the retry lands in the fresh delta, so the
+    * append is at-least-once (dedupKeys collapse a rare double-land at
+    * the next fold) and never lost.
+    */
+  def appendDelta(df: DataFrame, path: String): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      try {
+        df.coalesce(1).write.mode("append").parquet(deltaPath(path))
+        done = true
+      } catch {
+        case _: Throwable if attempts < 3 => // racing a delta snapshot
+      }
+    }
+  }
+
+  /** Read the index rows for a set of buckets: the live base scan
+    * partition-prunes to the named directories; delta rows — and fold
+    * rows, if a compaction is in flight or crashed mid-fold — ride
+    * along through a predicate-pushed filter. Column order follows the
+    * base. `partitionCol` names the bucketing column ("bucket" for the
+    * hash indexes, "cell" for the IVF-PQ codes).
     */
   def readBucketed(spark: SparkSession, path: String, buckets: Seq[Int],
                    partitionCol: String = "bucket"): DataFrame = {
     val pred = col(partitionCol).isin(buckets.map(Integer.valueOf): _*)
-    val base = spark.read.parquet(path).filter(pred)
-    val dp = deltaPath(path)
-    if (hasParquet(spark, dp))
-      base.unionByName(
-        spark.read.parquet(dp).filter(pred)
-          .select(base.columns.map(col).toIndexedSeq: _*))
-    else base
+    val base = spark.read.parquet(currentBase(spark, path)).filter(pred)
+    Seq(deltaPath(path), foldPath(path))
+      .filter(hasParquet(spark, _))
+      .foldLeft(base)((acc, d) =>
+        acc.unionByName(spark.read.parquet(d).filter(pred)
+          .select(base.columns.map(col).toIndexedSeq: _*)))
   }
 
-  /** Rewrite a `bucket`-partitioned parquet index to one file per bucket
-    * directory, folding any delta rows in, via a sibling temp dir and a
-    * delete+rename swap.
+  /** Fold the delta into a NEW base generation, one file per bucket
+    * directory, and flip the manifest. Safe against concurrent appends
+    * and probes (see the object scaladoc); call it from one maintenance
+    * job at a time — a second concurrent compaction fails loudly at the
+    * manifest commit and wastes its rewrite, nothing more.
     *
-    * Crash-safe on retry: a failure between the delete and the rename
-    * leaves the compacted index stranded at `_compact_tmp` with nothing
-    * at `path`; on the next call that state is detected and the rename
-    * is finished before anything else runs, so a crashed compaction
-    * self-heals instead of requiring manual recovery. A crash before the
-    * delta cleanup re-folds the same delta rows next time; `dedupKeys`
-    * (columns that uniquely identify a row, e.g. (doc_id, band)) makes
-    * that re-fold collapse the duplicates.
+    * Crash windows all self-heal on the next call: a stranded fold dir
+    * re-folds first (`dedupKeys` collapses any rows that already made it
+    * into a base); a dead base directory without a committed manifest is
+    * pruned; a missing fold cleanup re-folds the same rows and dedups.
     */
   def compactBucketed(spark: SparkSession, path: String,
                       dedupKeys: Seq[String] = Nil,
                       partitionCol: String = "bucket"): Unit = {
-    val tmp = path + "_compact_tmp"
-    val dst = new Path(path)
-    val src = new Path(tmp)
-    val f = fs(spark, dst)
-    heal(f, src, dst)
-    val dp = deltaPath(path)
-    val withDelta = hasParquet(spark, dp)
-    val base = spark.read.parquet(path)
-    val all = if (withDelta)
-      base.unionByName(spark.read.parquet(dp)
-        .select(base.columns.map(col).toIndexedSeq: _*))
-    else base
-    val deduped =
-      if (dedupKeys.nonEmpty) all.dropDuplicates(dedupKeys) else all
-    deduped.repartition(col(partitionCol))
-      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
-    f.delete(dst, true)
-    // rename reports several failure modes via `false`, not an exception;
-    // past the delete a silent false would strand the index — fail loudly
-    require(f.rename(src, dst),
-      s"compactBucketed: rename $tmp -> $path failed after the old " +
-        "index was deleted; the compacted index remains at the temp path")
-    if (withDelta) f.delete(new Path(dp), true)
+    val f = fs(spark, new Path(path))
+    // crash leftover: a stranded fold is folded before touching the delta
+    if (hasParquet(spark, foldPath(path)))
+      foldOnce(spark, path, dedupKeys, partitionCol)
+    val dp = new Path(deltaPath(path))
+    if (f.exists(dp)) {
+      val fp = new Path(foldPath(path))
+      require(f.rename(dp, fp),
+        s"compactBucketed: delta snapshot rename $dp -> $fp failed")
+    }
+    foldOnce(spark, path, dedupKeys, partitionCol)
   }
 
-  /** Finish an interrupted swap: if the destination is gone but the
-    * compacted temp dir survived, promote the temp dir. A stale temp dir
-    * NEXT TO a live destination (crash before the delete) needs no action
-    * here — the next compaction's overwrite-mode write replaces it.
-    */
-  private def heal(f: FileSystem, src: Path, dst: Path): Unit =
-    if (!f.exists(dst) && f.exists(src)) {
-      require(f.rename(src, dst),
-        s"compactBucketed: recovery rename $src -> $dst failed")
-    }
+  private def foldOnce(spark: SparkSession, path: String,
+                       dedupKeys: Seq[String],
+                       partitionCol: String): Unit = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val base = spark.read.parquet(currentBase(spark, path))
+    val all =
+      if (hasParquet(spark, foldPath(path)))
+        base.unionByName(spark.read.parquet(foldPath(path))
+          .select(base.columns.map(col).toIndexedSeq: _*))
+      else base
+    val deduped =
+      if (dedupKeys.nonEmpty) all.dropDuplicates(dedupKeys) else all
+    val gen = manifestGens(f, root).lastOption.getOrElse(0L) + 1
+    val baseName =
+      s"base_${gen}_${java.util.UUID.randomUUID().toString.take(8)}"
+    deduped.repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(s"$path/$baseName")
+    commitManifest(spark, path, gen, baseName)
+    f.delete(new Path(foldPath(path)), true)
+    prune(spark, path, partitionCol)
+  }
 }

@@ -396,9 +396,10 @@ object SimilarityOps {
                     idCol: String = "vec_id",
                     vecCol: String = "embedding",
                     mode: String = "overwrite"): Unit =
-    corpus.withColumn("bucket", lshBucket(col(vecCol), dim, bits))
-      .repartition(col("bucket"))
-      .write.mode(mode).partitionBy("bucket").parquet(path)
+    graft.ops.IndexMaintenance.writeBase(
+      corpus.withColumn("bucket", lshBucket(col(vecCol), dim, bits))
+        .repartition(col("bucket")),
+      path, partitionCol = "bucket", mode = mode)
 
   /** Incrementally add vectors to a written IVF index. The sign-LSH
     * bucket is a STATELESS function of (vector, dim, bits) — no trained
@@ -692,10 +693,11 @@ object SimilarityOps {
           array_sort(collect_list(struct(col("_sub"),
             col("_m.c").as("_cid")))),
           e => e.getField("_cid")).as("codes"))
-      codes.join(cCell, Seq("_vid"))
-        .select(col("_vid").as(idCol), col("codes"), col("cell"))
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+      graft.ops.IndexMaintenance.writeBase(
+        codes.join(cCell, Seq("_vid"))
+          .select(col("_vid").as(idCol), col("codes"), col("cell"))
+          .repartition(col("cell")),
+        s"$path/codes", partitionCol = "cell")
     } finally qcorpus.unpersist()
   }
 

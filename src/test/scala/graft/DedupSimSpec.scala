@@ -85,7 +85,9 @@ class DedupSimSpec extends SparkSpec {
         .toDF("doc_id", "text"), idx, mode = "append")
 
     def bucketFiles(): Map[String, Int] =
-      Files.list(Paths.get(idx)).iterator().asScala
+      Files.list(Paths.get(
+          graft.ops.IndexMaintenance.currentBase(spark, idx)))
+        .iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("bucket="))
         .map(p => p.getFileName.toString ->
           Files.list(p).iterator().asScala
@@ -140,6 +142,56 @@ class DedupSimSpec extends SparkSpec {
     DedupOps.compactMinhashIndex(spark, idx)
     assert(hits() === Set((99L, 5L, 4L)),
       "compaction dedupKeys must collapse the re-folded rows")
+  }
+
+  test("index manifest: appends and probes race compaction safely — no " +
+      "lost append, no failed probe, previous generation retained " +
+      "(commit-manifest contract)") {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.IndexMaintenance
+    val idx = Files.createTempDirectory("graft_mhrace").toString + "/idx"
+    val doc = "the quick brown fox jumps over the lazy dog again today"
+    DedupOps.writeMinhashIndex(Seq((1L, doc)).toDF("doc_id", "text"), idx)
+    val probe = Seq((99L, doc)).toDF("doc_id", "text")
+    def hits() = DedupOps.minhashIndexProbe(spark, idx, probe)
+      .select("doc_corpus").collect().map(_.getLong(0)).toSet
+
+    val nAppends = 6
+    val appendErr =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val appender = new Thread(() => {
+      try {
+        for (i <- 0 until nAppends)
+          DedupOps.appendMinhashIndexBands(
+            DedupOps.minhashBands(
+              Seq((100L + i, doc)).toDF("doc_id", "text")), idx)
+      } catch { case t: Throwable => appendErr.set(t) }
+    })
+    appender.start()
+    // compactions + probes run WHILE the appender is live: every probe
+    // must succeed and always see at least the base doc — under the old
+    // delete+rename swap a probe could catch the base mid-swap, and a
+    // compaction could wipe a racing append with the delta cleanup
+    for (_ <- 0 until 3) {
+      DedupOps.compactMinhashIndex(spark, idx)
+      assert(hits().contains(1L), "probe during compaction churn")
+    }
+    appender.join()
+    assert(appendErr.get() === null, s"appender failed: ${appendErr.get()}")
+    DedupOps.compactMinhashIndex(spark, idx)
+    // no append lost, re-folds deduped: every doc exactly 4 band rows
+    val rows = spark.read
+      .parquet(IndexMaintenance.currentBase(spark, idx))
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === ((0 until nAppends).map(i => (100L + i) -> 4L).toMap
+      + (1L -> 4L)))
+    // retention: the previous generation survives exactly one cycle for
+    // in-flight probes; older generations and manifests are pruned
+    val names = Files.list(Paths.get(idx)).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(names.count(_.startsWith("MANIFEST-")) === 2, names.toString)
+    assert(names.count(_.startsWith("base_")) === 2, names.toString)
   }
 
   test("minhash LSH: identical docs share all bands, disjoint docs none") {

@@ -27,8 +27,10 @@ class IvfIndexSpec extends SparkSpec {
     val queries = vecs(3, seed = 2)
     SimilarityOps.writeIvfIndex(corpus, dir, dim, bits)
 
-    // written layout is bucket=N directories
-    val buckets = new java.io.File(dir).list().filter(_.startsWith("bucket="))
+    // written layout: a manifested base generation of bucket=N directories
+    val base = graft.ops.IndexMaintenance.currentBase(spark, dir)
+    assert(base != dir, "writeIvfIndex should commit a manifest")
+    val buckets = new java.io.File(base).list().filter(_.startsWith("bucket="))
     assert(buckets.nonEmpty && buckets.length <= (1 << bits))
 
     val probed = SimilarityOps.ivfIndexTopK(spark, dir, queries, k = 3,
@@ -72,7 +74,9 @@ class IvfIndexSpec extends SparkSpec {
     }
 
     def bucketFiles(): Map[String, Int] =
-      Files.list(Paths.get(dir)).iterator().asScala
+      Files.list(Paths.get(
+          graft.ops.IndexMaintenance.currentBase(spark, dir)))
+        .iterator().asScala
         .filter(_.getFileName.toString.startsWith("bucket="))
         .map(p => p.getFileName.toString ->
           Files.list(p).iterator().asScala
