@@ -908,6 +908,85 @@ object DedupSimQueries {
         SELECT n_exact, hits, CAST(hits AS DOUBLE) / n_exact AS recall
         FROM ne, h""")),
 
+    // Recall@floor SWEEP over autoBandConfig's S-curve selection — the
+    // eval that validates the parameter-selection algebra itself, not
+    // just one operating point: three similarity floors map (via the
+    // MMDS band-count formula) to three DISTINCT (bands, bandBits)
+    // configs — 0.25→(6,2), 0.3→(10,3), 0.4→(8,3) — and each banded run
+    // is measured against the exact threshold set. The configs depend on
+    // n only through the log2(n) cap, inert for any corpus >= 32
+    // vectors, so the oracle replays them as constants. Exact ground
+    // truth is mined ONCE at the lowest floor (bounded all-pairs form —
+    // the sanctioned verification fixture) and per-floor subsets filter
+    // the rounded score; a hit must also clear the banded miner's RAW
+    // cosine verify, exactly as the operator emits it.
+    "near_dup_recall_sweep" -> Entry(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val n = e.count()
+        val exact = SimilarityOps.cosineNearDupPairs(e, 0.25)
+          // three floors re-read the all-pairs frame; checkpoint once
+          .transform(df => if (graft.PlanMode.isExplainOnly) df
+            else df.localCheckpoint(eager = true))
+        Seq(0.25, 0.3, 0.4).map { floor =>
+          val (bands, bits) = SimilarityOps.autoBandConfig(n, floor)
+          val banded = SimilarityOps.cosineNearDupPairsBucketed(e, floor,
+              dim = 64, bands = bands, bandBits = bits)
+            .select(col("id_a"), col("id_b"))
+          val ex = exact.filter(col("cos_sim") >= floor)
+          ex.agg(count(lit(1)).as("n_exact"))
+            .crossJoin(ex.join(banded, Seq("id_a", "id_b"), "left_semi")
+              .agg(count(lit(1)).as("hits")))
+            .select(lit(floor).as("floor"), lit(bands).as("bands"),
+              lit(bits).as("band_bits"), col("n_exact"), col("hits"),
+              (col("hits").cast("double") / col("n_exact")).as("recall"))
+        }.reduce(_ unionByName _)
+      },
+      Some {
+        def leg(floor: String, bands: Int, bits: Int): String = {
+          val mask = (1 << bits) - 1
+          s"""
+          (SELECT CAST($floor AS DOUBLE) AS floor,
+                  $bands AS bands, $bits AS band_bits,
+                  CAST(count(*) AS BIGINT) AS n_exact,
+                  CAST(sum(CASE WHEN cd.id_a IS NOT NULL AND ex.c >= $floor
+                           THEN 1 ELSE 0 END) AS BIGINT) AS hits
+           FROM ex LEFT JOIN
+             (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM (SELECT vec_id, CAST(k AS INTEGER) AS band,
+                           (${bucketSql("e", 64, bands * bits)}
+                             >> (CAST(k AS INTEGER) * $bits)) & $mask AS bv
+                    FROM v, UNNEST(generate_series(0, ${bands - 1}))
+                      AS t(k)) a
+              JOIN (SELECT vec_id, CAST(k AS INTEGER) AS band,
+                           (${bucketSql("e", 64, bands * bits)}
+                             >> (CAST(k AS INTEGER) * $bits)) & $mask AS bv
+                    FROM v, UNNEST(generate_series(0, ${bands - 1}))
+                      AS t(k)) b
+                ON a.band = b.band AND a.bv = b.bv
+               AND a.vec_id < b.vec_id) cd
+             USING (id_a, id_b)
+           WHERE round(ex.c, 6) >= $floor)"""
+        }
+        s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        ex AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_dot_product(a.e, b.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) *
+                    sqrt(list_dot_product(b.e, b.e))) AS c
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE list_dot_product(a.e, b.e) /
+                  (sqrt(list_dot_product(a.e, a.e)) *
+                   sqrt(list_dot_product(b.e, b.e))) >= 0.25)
+        SELECT floor, bands, band_bits, n_exact, hits,
+               CAST(hits AS DOUBLE) / n_exact AS recall
+        FROM (${leg("0.25", 6, 2)}
+              UNION ALL ${leg("0.3", 10, 3)}
+              UNION ALL ${leg("0.4", 8, 3)})"""
+      }),
+
     // Hard-negative mining for contrastive training: per anchor, the 5
     // most cosine-similar corpus vectors with a DIFFERENT label — the
     // label predicate rides the scoring join, so only eligible pairs
@@ -1171,16 +1250,26 @@ object DedupSimQueries {
         GROUP BY 1, 2
         HAVING min(bit_count(xor(a.simhash, b.simhash))) <= 16""")),
 
-    // SemDeDup (Abbas et al. 2023): k-means the embedding space (k=8,
-    // one exact Lloyd update — same trajectory the IVF oracles replay),
-    // then inside each cluster drop every vector with a lower-id
-    // cluster-mate at cosine >= 0.3. The oracle replays init -> assign ->
-    // mean -> reassign with the shared kmeans CTE builders, then the
-    // within-cluster prune; keep/drop, lowest dup peer, and the round-6
-    // strongest similarity all hash-match.
+    // SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    // inside each cluster drop every vector with a lower-id cluster-mate
+    // at cosine >= 0.3. The entry runs the op's REAL scale contract —
+    // k = max(8, n/1000), so cluster SIZE (and with it the only
+    // quadratic step, the within-cell pair volume) stays bounded as the
+    // corpus grows instead of clusters growing linearly. At the
+    // verify/bench scale factors (n <= 9000) the rule lands on k=8, so
+    // the oracle's 8-centroid Lloyd unroll (one exact quantized update —
+    // same trajectory the IVF oracles replay) stays a bit-exact twin;
+    // past that the measured ScaleUp runs exercise the growing-k leg the
+    // oracle can't unroll (SCALE.md carries the exponent at contract k).
+    // Keep/drop, lowest dup peer, and the round-6 strongest similarity
+    // all hash-match.
     "semantic_dedup" -> Entry(
-      (s, dir) => SimilarityOps.semanticDedup(Tables.embeddings(s, dir),
-        threshold = 0.3, nClusters = 8, iters = 1),
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val k = math.max(8L, e.count() / 1000L).toInt
+        SimilarityOps.semanticDedup(e, threshold = 0.3, nClusters = k,
+          iters = 1)
+      },
       Some(s"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
                           $qzSql AS qv
