@@ -89,10 +89,88 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** Native exact integer squared distance Σ(a-b)² over array<long>
+  * columns — the inner loop of every quantized k-means leg (cell
+  * assignment is O(n·k) distance evaluations, and with k following the
+  * SemDeDup contract k ~ n/1000 that leg is the dominant scale term).
+  * The composable spelling
+  * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0L, _+_)` evaluates
+  * its lambdas interpreted, per element, with boxing; this expression is
+  * the same exact left-to-right long arithmetic inside whole-stage
+  * codegen (same overflow envelope: |a-b| bounded by the 1e-6 grid keeps
+  * dim·diff² far below 2^63). Null ARRAYS yield null; null ELEMENTS are
+  * skipped (DotProduct's convention — quantized vectors never carry
+  * them).
+  */
+case class SqDistLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sq_dist_long expects array<bigint>, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val d = x.getLong(i) - y.getLong(i)
+        s += d * d
+      }
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("sum")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(),
+         |  $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    final long $d = $a.getLong($i) - $b.getLong($i);
+         |    $s += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product over array<float|double> columns. */
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd exact Σ(a-b)² over array<bigint> columns. */
+  def sq_dist_long(a: Column, b: Column): Column =
+    Bridge.column(SqDistLong(Bridge.expression(a), Bridge.expression(b)))
 
   /** Register dot_product for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

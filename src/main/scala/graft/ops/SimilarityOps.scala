@@ -21,6 +21,19 @@ object SimilarityOps {
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dot_product(a, b)
 
+  /** Exact integer squared distance between 1e-6-quantized vectors — the
+    * codegen'd native kernel (graft.functions.SqDistLong) behind every
+    * k-means argmin leg. Cell assignment is O(n·k) distance evaluations
+    * and, with k following the SemDeDup contract k ~ n/1000, it is the
+    * dominant scale term — the interpreted
+    * `aggregate(zip_with(...))` spelling measured as the bottleneck of
+    * the contract-k scaling run. Same exact left-to-right long algebra,
+    * so argmin ties (and therefore every oracle-replayed trajectory) are
+    * unchanged.
+    */
+  private def sqDistQ(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.sq_dist_long(a, b)
+
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
@@ -199,9 +212,7 @@ object SimilarityOps {
 
     def assigned(c: Seq[(Int, Seq[Long])]) = {
       val cdf = broadcast(c.toDF("_cid", "_qc"))
-      val dist = aggregate(
-        zip_with(col("_qv"), col("_qc"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      val dist = sqDistQ(col("_qv"), col("_qc"))
       base.crossJoin(cdf)
         .groupBy(col("_vid"))
         .agg(min(struct(dist.as("d"), col("_cid").as("c"))).as("_m"),
@@ -271,9 +282,7 @@ object SimilarityOps {
       .map { case (r, i) => (i, r.getSeq[Long](1)) }.toSeq
     def updateMap(c: Seq[(Int, Seq[Long])]): Map[Int, Seq[Long]] = {
       val cdf = broadcast(c.toDF("_cid", "_qc"))
-      val dist = aggregate(
-        zip_with(col("_qv"), col("_qc"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      val dist = sqDistQ(col("_qv"), col("_qc"))
       base.crossJoin(cdf)
         .groupBy(col("_vid"))
         .agg(min(struct(dist.as("d"), col("_cid").as("c"))).as("_m"),
@@ -335,9 +344,7 @@ object SimilarityOps {
     val qvecExpr = transform(col(vecCol),
       v => round(v.cast("double") * 1e6).cast("long"))
     def withCell(df: DataFrame, id: String, p: String) = {
-      val dist = aggregate(
-        zip_with(col("_qv"), col("_qc"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      val dist = sqDistQ(col("_qv"), col("_qc"))
       df.select(col(idCol).as(id), col(vecCol).as(p + "v"),
           l2Norm(col(vecCol)).as(p + "n"), qvecExpr.as("_qv"))
         .crossJoin(cdf)
@@ -546,9 +553,7 @@ object SimilarityOps {
       val (cellCents, pqCents) = fusedCellPqTrain(
         qcorpus, nCells, cellIters, dim, m, codebookK, pqIters)
       val cdf = broadcast(cellCents.toDF("_ccid", "_cqc"))
-      val cellDist = aggregate(
-        zip_with(col("_qv"), col("_cqc"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      val cellDist = sqDistQ(col("_qv"), col("_cqc"))
       def cellOfQ(qdf: DataFrame, id: String): DataFrame =
         qdf.crossJoin(cdf)
           .groupBy(col(id))
@@ -593,9 +598,7 @@ object SimilarityOps {
     // _st=0 with a constant _sub
     def cellUpdateDf(c: Seq[(Int, Seq[Long])]): DataFrame = {
       val cdf = broadcast(c.toDF("_cid", "_qc"))
-      val dist = aggregate(
-        zip_with(col("_qv"), col("_qc"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      val dist = sqDistQ(col("_qv"), col("_qc"))
       qcorpus.crossJoin(cdf)
         .groupBy(col("_vid"))
         .agg(min(struct(dist.as("d"), col("_cid").as("c"))).as("_m"),
@@ -736,9 +739,7 @@ object SimilarityOps {
     val spark = qrows.sparkSession
     import spark.implicits._
     val cdf = broadcast(cells.toDF("_ccid", "_cqc"))
-    val cellDist = aggregate(
-      zip_with(col("_qv"), col("_cqc"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    val cellDist = sqDistQ(col("_qv"), col("_cqc"))
     qrows.crossJoin(cdf)
       .groupBy(col(id))
       .agg(min(struct(cellDist.as("d"), col("_ccid").as("c"))).as("_m"),
@@ -839,9 +840,7 @@ object SimilarityOps {
   }
 
   /** Exact integer squared distance between _qs and _qc. */
-  private def pqSubDist: Column = aggregate(
-    zip_with(col("_qs"), col("_qc"), (a, b) => (a - b) * (a - b)),
-    lit(0L), (acc, x) => acc + x)
+  private def pqSubDist: Column = sqDistQ(col("_qs"), col("_qc"))
 
   /** Argmin cluster per (id, _sub): exact integer math, lower cid wins
     * ties (min over struct(d, cid)).
@@ -945,10 +944,8 @@ object SimilarityOps {
       val entries = cents.collect { case ((s, cid), qc) if s == j =>
         (cid, qc) }.toSeq.sortBy(_._1)
       val candidates = entries.map { case (cid, qc) =>
-        val d = aggregate(
-          zip_with(col(s"_s$j"), typedlit(qc), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
-        struct(d.as("d"), lit(cid).as("c"))
+        struct(sqDistQ(col(s"_s$j"), typedlit(qc)).as("d"),
+          lit(cid).as("c"))
       }
       array_min(array(candidates: _*)).getField("c")
     }
@@ -1126,9 +1123,7 @@ object SimilarityOps {
     val cdf = broadcast(cents.toDF("_cid", "_qc"))
     val qv = transform(col(vecCol),
       v => round(v.cast("double") * 1e6).cast("long"))
-    val dist = aggregate(
-      zip_with(col("_qv"), col("_qc"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    val dist = sqDistQ(col("_qv"), col("_qc"))
     val assigned = Rebalance(vecs)
       .select(col(idCol), col(vecCol).as("_v"),
         l2Norm(col(vecCol)).as("_n"), qv.as("_qv"))
@@ -1183,9 +1178,7 @@ object SimilarityOps {
     val cdf = broadcast(cents.toDF("_cid", "_qc"))
     val qv = transform(col(vecCol),
       v => round(v.cast("double") * 1e6).cast("long"))
-    val dist = aggregate(
-      zip_with(col("_qv"), col("_qc"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    val dist = sqDistQ(col("_qv"), col("_qc"))
     val assigned = Rebalance(vecs)
       .select(col(idCol).as("_vid"), col(vecCol).as("_v"),
         l2Norm(col(vecCol)).as("_n"), qv.as("_qv"))
