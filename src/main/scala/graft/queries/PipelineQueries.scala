@@ -151,7 +151,14 @@ object PipelineQueries {
 
     // Milestone4 cell 14: permutation importance of the numeric Ridge —
     // per-feature test-RMSE rise under deterministic salted shuffles.
-    // Model evaluation -> rows-only (spec-verified in TrainerMlSpec).
+    // METRIC-ENVELOPE ORACLE: the raw RMSEs are solver floats, but the
+    // semantics a user relies on are exact booleans — permuting a REAL
+    // feature (n_words / n_vowels, both strong functions of n_chars)
+    // must blow the test error past the base RMSE itself, permuting the
+    // pure-noise feature must move it by under 20% of base (measured
+    // margins are ~60x on both sides), and the importance ranking is
+    // n_words > n_vowels > id_noise with order-of-magnitude gaps. Raw
+    // numeric behavior stays pinned in TrainerMlSpec.
     "x_perm_importance" -> Entry(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
@@ -159,14 +166,23 @@ object PipelineQueries {
           .withColumn("n_vowels",
             length(regexp_replace(col("text"), "[^aeiou]", "")))
           .withColumn("id_noise", pmod(col("doc_id"), lit(7)))
-        TextRegression.permutationImportance(docs,
-            Seq("n_words", "n_vowels", "id_noise"), "n_chars", "doc_id")
-          .select(col("feature"),
-            round(col("base_rmse"), 4).as("base_rmse"),
-            round(col("permuted_rmse"), 4).as("permuted_rmse"),
-            round(col("importance"), 4).as("importance"))
+        val imp = TextRegression.permutationImportance(docs,
+          Seq("n_words", "n_vowels", "id_noise"), "n_chars", "doc_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("importance").desc)
+        imp.withColumn("imp_rank", row_number().over(w))
+          .select(col("feature"), col("imp_rank"),
+            (col("base_rmse") > 0).as("base_finite"),
+            (col("importance") > col("base_rmse")).as("is_signal"),
+            (abs(col("importance")) <= lit(0.2) * col("base_rmse"))
+              .as("is_inert"))
       },
-      None),
+      Some("""
+        SELECT * FROM (VALUES
+          ('n_words', 1, TRUE, TRUE, FALSE),
+          ('n_vowels', 2, TRUE, TRUE, FALSE),
+          ('id_noise', 3, TRUE, FALSE, TRUE))
+          AS t(feature, imp_rank, base_finite, is_signal, is_inert)""")),
 
     // P10: regex content filter (publisher-side Japanese-char drop,
     // twitter/stream_simulator_continuous.py:31-36 — same shape, corpus

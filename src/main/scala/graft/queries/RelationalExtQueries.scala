@@ -391,9 +391,16 @@ object RelationalExtQueries {
 
     // File-skipping manifest: write a z-ordered slice, then derive the
     // per-file (n_rows, min/max) manifest a lake format maintains —
-    // LayoutOps.fileStats, one narrow scan. Rows-only (physical file
-    // names are run-specific); ZOrderSpec pins the manifest semantics
-    // and the span-narrowing it exposes.
+    // LayoutOps.fileStats, one narrow scan. METRIC-ENVELOPE ORACLE:
+    // physical file names and the exact range-partition boundaries are
+    // run-specific (RangePartitioner samples), but the manifest's
+    // INVARIANTS are exact — file count equals the requested layout
+    // width, per-file rows sum back to the dataset, the union of file
+    // min/max envelopes is the dataset envelope, and the z-order
+    // clustering actually narrows the mean per-file span on BOTH
+    // dimensions (the whole point of the layout; a 1-D sort would leave
+    // the second axis at full span). ZOrderSpec pins the sharper
+    // numeric narrowing claims.
     "layout_file_stats" -> Entry(
       (s, dir) => {
         // write-once-per-JVM z-ordered slice (Scratch keys by absolute
@@ -404,13 +411,35 @@ object RelationalExtQueries {
             graft.ops.LayoutOps.writeZOrdered(
               Tables.lineitem(s, dir).select(
                 pmod(col("l_partkey"), lit(1024)).as("x"),
-                pmod(col("l_suppkey"), lit(1024)).as("y"),
+                // spread the low-cardinality suppkey over the full grid
+                // (odd multiplier, coprime to 1024): at small SF raw
+                // suppkey < 1024 leaves y's high bits constant, so the
+                // z-curve cannot cluster that axis at all
+                pmod(col("l_suppkey") * 131, lit(1024)).as("y"),
                 col("l_orderkey")),
               col("x"), col("y"), bits = 10, numFiles = 8, path)
         }
         graft.ops.LayoutOps.fileStats(s, out, Seq("x", "y"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("n_rows")).as("total_rows"),
+            min(col("min_x")).as("min_x"), max(col("max_x")).as("max_x"),
+            min(col("min_y")).as("min_y"), max(col("max_y")).as("max_y"),
+            avg(col("max_x") - col("min_x")).as("_sx"),
+            avg(col("max_y") - col("min_y")).as("_sy"))
+          .select(col("n_files"), col("total_rows"),
+            col("min_x"), col("max_x"), col("min_y"), col("max_y"),
+            (col("_sx") <= lit(0.8) * (col("max_x") - col("min_x")))
+              .as("span_narrowed_x"),
+            (col("_sy") <= lit(0.8) * (col("max_y") - col("min_y")))
+              .as("span_narrowed_y"))
       },
-      None),
+      Some("""
+        SELECT CAST(8 AS BIGINT) AS n_files, count(*) AS total_rows,
+               min(l_partkey % 1024) AS min_x, max(l_partkey % 1024) AS max_x,
+               min((l_suppkey * 131) % 1024) AS min_y,
+               max((l_suppkey * 131) % 1024) AS max_y,
+               TRUE AS span_narrowed_x, TRUE AS span_narrowed_y
+        FROM lineitem""")),
 
     // North-star layout op: Morton (z-order) clustering key over two
     // bucketized dimensions (graft.functions.InterleaveBits, the

@@ -145,16 +145,44 @@ object StatsQueries {
         WHERE share_gt100 < 0.5""")),
 
     // Sketch path for A8/A10 at 100 TB (SCALE.md "exact-vs-approx"):
-    // fixed-memory percentile_approx + HLL distinct. Rows-only check —
-    // sketch estimates are engine-specific by construction.
+    // fixed-memory percentile_approx + HLL distinct. METRIC-ENVELOPE
+    // ORACLE (the tdigest rank-bound trick): the estimates themselves
+    // are engine-specific by construction, but their GUARANTEES are
+    // exact booleans — the approx median's true rank sits within the
+    // KLL accuracy envelope (n/accuracy + 1), and the HLL distinct
+    // count sits within 3x its configured relative standard deviation
+    // of the exact count (which IS SQL-replayable and emitted). Any
+    // estimator drift outside its contract breaks the hash.
     "approx_sketch_stats" -> Entry(
-      (s, dir) => Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          round(expr("percentile_approx(l_extendedprice, 0.5, 10000)"), 2)
-            .as("approx_median"),
-          approx_count_distinct(col("l_partkey")).as("approx_parts")),
-      None),
+      (s, dir) => {
+        val est = Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("l_partkey")).as("n_parts_exact"),
+            expr("percentile_approx(l_extendedprice, 0.5, 10000)")
+              .as("_amed"),
+            approx_count_distinct(col("l_partkey"), rsd = 0.05)
+              .as("_aparts"))
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_extendedprice"))
+          .join(broadcast(est), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(first(col("n")).as("n"),
+            first(col("n_parts_exact")).as("n_parts_exact"),
+            sum(when(col("l_extendedprice") <= col("_amed"), 1L)
+              .otherwise(0L)).as("_rank"),
+            first(col("_aparts")).as("_aparts"))
+          .select(col("l_returnflag"), col("n"), col("n_parts_exact"),
+            (abs(col("_rank") - lit(0.5) * col("n")) <=
+              col("n") / lit(10000.0) + 1).as("median_rank_ok"),
+            (abs(col("_aparts") - col("n_parts_exact")).cast("double") <=
+              lit(3 * 0.05) * col("n_parts_exact")).as("hll_ok"))
+      },
+      Some("""
+        SELECT l_returnflag, count(*) AS n,
+               count(DISTINCT l_partkey) AS n_parts_exact,
+               TRUE AS median_rank_ok, TRUE AS hll_ok
+        FROM lineitem GROUP BY 1""")),
 
     // A8 at 100 TB: mergeable t-digest quantiles (typed Aggregator,
     // graft.functions.TDigestAgg) — O(compression) state per group vs
