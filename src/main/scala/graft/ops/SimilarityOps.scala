@@ -1189,9 +1189,97 @@ object SimilarityOps {
       .select(col("_vid"), col("_v"), col("_n"), col("_m.c").as("cell"))
       .transform(df => if (graft.PlanMode.isExplainOnly) df
         else df.localCheckpoint(eager = true))
+    pruneWithinCells(assigned, threshold, idCol)
+  }
+
+  /** SemDeDup with TWO-LEVEL (coarse-then-refine) cell assignment — the
+    * scale lever past [[semanticDedup]]'s flat argmin: bounding cluster
+    * size needs k ∝ n cells, but a flat assignment then costs O(n·k)
+    * distance evaluations (quadratic/cellSize — SCALE.md measures the
+    * flat form's exponent). Here k = k1·k2 effective cells cost only
+    * O(n·(k1+k2)): one argmin over k1 trained coarse centroids, then
+    * one argmin over the k2 sub-centroids OF THE VECTOR'S OWN COARSE
+    * CELL (the inverted-multi-index discipline, Babenko & Lempitsky
+    * 2012, applied to SemDeDup's cluster-then-prune shape).
+    *
+    * Determinism (oracle-replayable end to end): coarse level reuses
+    * [[kmeansCentroidArrays]]'s exact quantized trajectory; sub-level
+    * init is each coarse cell's k2 LOWEST-id members, one exact Lloyd
+    * update (same integer mean rounding), ties to the lower sub id.
+    * Final cell id = c1·k2 + sub; the within-cell prune (keep lowest
+    * id at cosine >= threshold) is [[semanticDedup]]'s, unchanged.
+    * Coarse cells with fewer than k2 members simply train fewer
+    * sub-centroids. Output schema matches [[semanticDedup]].
+    */
+  def semanticDedupTwoLevel(vecs: DataFrame, threshold: Double,
+                            k1: Int, k2: Int, iters: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(k1 > 0 && k2 > 0, s"k1=$k1 k2=$k2")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val coarse = kmeansCentroidArrays(vecs, k1, iters, idCol, vecCol)
+    val cdf = broadcast(coarse.toDF("_cid", "_qc"))
+    val qv = transform(col(vecCol),
+      v => round(v.cast("double") * 1e6).cast("long"))
+    val a1 = Rebalance(vecs)
+      .select(col(idCol).as("_vid"), col(vecCol).as("_v"),
+        l2Norm(col(vecCol)).as("_n"), qv.as("_qv"))
+      .crossJoin(cdf)
+      .groupBy(col("_vid"))
+      .agg(min(struct(sqDistQ(col("_qv"), col("_qc")).as("d"),
+          col("_cid").as("c"))).as("_m"),
+        first(col("_v")).as("_v"), first(col("_n")).as("_n"),
+        first(col("_qv")).as("_qv"))
+      .select(col("_vid"), col("_v"), col("_n"), col("_qv"),
+        col("_m.c").as("_c1"))
+      // feeds sub-init, sub-assignment, and the final assignment
+      .transform(df => if (graft.PlanMode.isExplainOnly) df
+        else df.localCheckpoint(eager = true))
+    // sub-init: the k2 lowest-id members of each coarse cell
+    val wCell = Window.partitionBy(col("_c1")).orderBy(col("_vid"))
+    val s0 = broadcast(a1
+      .withColumn("_rk", row_number().over(wCell))
+      .filter(col("_rk") <= k2)
+      .select(col("_c1"), (col("_rk") - 1).as("_sub"),
+        col("_qv").as("_sqc")))
+    // one exact Lloyd update of the sub-centroids, all cells in one pass
+    def subAssign(cents: DataFrame): DataFrame =
+      a1.join(cents, Seq("_c1"))
+        .groupBy(col("_vid"))
+        .agg(min(struct(sqDistQ(col("_qv"), col("_sqc")).as("d"),
+            col("_sub").as("s"))).as("_m"),
+          first(col("_c1")).as("_c1"), first(col("_v")).as("_v"),
+          first(col("_n")).as("_n"), first(col("_qv")).as("_qv"))
+        .select(col("_vid"), col("_v"), col("_n"), col("_qv"),
+          col("_c1"), col("_m.s").as("_sub"))
+    val s1 = broadcast(subAssign(s0)
+      .select(col("_c1"), col("_sub"),
+        posexplode(col("_qv")).as(Seq("_dim", "_q")))
+      .groupBy(col("_c1"), col("_sub"), col("_dim"))
+      .agg(sum(col("_q")).as("_s"), count(lit(1)).as("_cnt"))
+      .withColumn("_qm",
+        round(col("_s").cast("double") / col("_cnt")).cast("long"))
+      .groupBy(col("_c1"), col("_sub"))
+      .agg(transform(array_sort(collect_list(struct(col("_dim"),
+        col("_qm")))), e => e.getField("_qm")).as("_sqc")))
+    val assigned = subAssign(s1)
+      .select(col("_vid"), col("_v"), col("_n"),
+        (col("_c1") * k2 + col("_sub")).as("cell"))
+      .transform(df => if (graft.PlanMode.isExplainOnly) df
+        else df.localCheckpoint(eager = true))
+    pruneWithinCells(assigned, threshold, idCol)
+  }
+
+  /** The SemDeDup within-cell prune shared by [[semanticDedup]] and
+    * [[semanticDedupTwoLevel]]: over (_vid, _v, _n, cell), mark every
+    * vector with a lower-id cell-mate at cosine >= threshold dropped.
+    */
+  private def pruneWithinCells(assigned: DataFrame, threshold: Double,
+                               idCol: String): DataFrame = {
     val dups = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("b._vid") < col("a._vid"))
-      .select(col("a._vid").as("_vid"),  col("b._vid").as("_peer"),
+      .select(col("a._vid").as("_vid"), col("b._vid").as("_peer"),
         (dot(col("a._v"), col("b._v")) /
           (col("a._n") * col("b._n"))).as("_cos"))
       .filter(col("_cos") >= threshold)

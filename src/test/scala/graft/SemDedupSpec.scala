@@ -62,4 +62,62 @@ class SemDedupSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(base === repart)
   }
+
+  // four well-separated blobs, each with an exact duplicate of its
+  // anchor — a two-level (2 coarse x 2 sub) assignment must co-assign
+  // every duplicate pair and keep exactly the lower id of each. The two
+  // LOWEST ids anchor different blobs (the coarse lowest-id init seeds
+  // from them; identical seeds would collapse the coarse level).
+  private def blobs4 = Seq(
+    (1L, Array(0.0f, 0.0f, 1.0f)), (101L, Array(0.0f, 0.0f, 1.0f)),
+    (2L, Array(0.0f, 50.0f, 0.0f)), (102L, Array(0.0f, 50.0f, 0.0f)),
+    (20L, Array(50.0f, 0.0f, 0.0f)), (120L, Array(50.0f, 0.0f, 0.0f)),
+    (30L, Array(50.0f, 50.0f, 50.0f)), (130L, Array(50.0f, 50.0f, 50.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("two-level assignment: duplicates co-assign, lowest id survives," +
+      " partition-layout invariant, schema matches the flat op") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.semanticDedupTwoLevel(df, threshold = 0.99,
+        k1 = 2, k2 = 2, iters = 2)
+    val out = run(blobs4).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cell"), r.getAs[Boolean]("is_kept"),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))).toMap
+    assert(out.keySet ===
+      Set(1L, 101L, 2L, 102L, 20L, 120L, 30L, 130L))
+    // every anchor keeps, every exact duplicate drops onto its anchor
+    Seq((1L, 101L), (2L, 102L), (20L, 120L), (30L, 130L)).foreach {
+      case (keep, drop) =>
+        assert(out(keep)._2 === true, s"anchor $keep")
+        assert(out(drop)._2 === false, s"duplicate $drop")
+        assert(out(drop)._3 === Some(keep))
+        assert(out(keep)._1 === out(drop)._1, "duplicates co-assign")
+    }
+    // final cells are distinct per blob (2x2 levels resolve 4 blobs)
+    assert(Seq(1L, 2L, 20L, 30L).map(out(_)._1).distinct.size === 4)
+    // layout invariance (the checkpointed two-stage trajectory is exact
+    // integer math end to end)
+    val a = run(blobs4).collect().map(_.toString).sorted
+    val b = run(blobs4.repartition(5)).collect().map(_.toString).sorted
+    assert(a === b)
+  }
+
+  test("two-level on the 2-blob fixture agrees with the flat op's " +
+      "keep/drop when sub-splitting cannot separate near-parallels") {
+    // k1=2 coarse cells isolate the blobs; k2=1 sub-centroid per cell
+    // makes the two-level cells EQUAL the flat k=2 cells, so the whole
+    // output must match the flat op row for row (cell ids rescale)
+    val flat = SimilarityOps.semanticDedup(vecs, threshold = 0.95,
+        nClusters = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2),
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong),
+        r.getAs[Any]("dup_cos"))).sortBy(_._1).toSeq
+    val two = SimilarityOps.semanticDedupTwoLevel(vecs, threshold = 0.95,
+        k1 = 2, k2 = 1, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2),
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong),
+        r.getAs[Any]("dup_cos"))).sortBy(_._1).toSeq
+    assert(two === flat)
+  }
 }
