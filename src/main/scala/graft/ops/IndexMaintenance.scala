@@ -59,9 +59,10 @@ import org.apache.spark.sql.functions._
   * only re-reports an existing match), and the next compaction removes
   * the duplicates via `dedupKeys`. A crash before the manifest commit
   * leaves a dead base directory that the next successful prune deletes.
-  * At 100 TB compact bucket directories individually within a
-  * generation (same manifest commit at the end) so the rewrite unit
-  * stays bounded.
+  * At 100 TB use [[compactBucketedIncremental]]: only delta-touched
+  * buckets rewrite, untouched buckets transfer into the new generation
+  * by link/copy — O(touched) write amplification under the same
+  * all-or-nothing manifest commit.
   */
 object IndexMaintenance {
 
@@ -251,6 +252,108 @@ object IndexMaintenance {
         s"compactBucketed: delta snapshot rename $dp -> $fp failed")
     }
     foldOnce(spark, path, dedupKeys, partitionCol)
+  }
+
+  /** [[compactBucketed]] with a BOUNDED rewrite unit — the 100 TB form:
+    * only the bucket directories the delta actually touched are re-read
+    * and rewritten (a partition-pruned scan); every untouched bucket of
+    * the previous generation transfers into the new one by hard link
+    * (content copy where the filesystem can't link). Write
+    * amplification drops from O(index) to O(touched buckets) per fold,
+    * while the manifest commit keeps the all-or-nothing snapshot
+    * semantics — probes still flip atomically between complete
+    * generations. On an object store the link step becomes manifest-
+    * level file reuse (reference the same objects from the new
+    * generation's listing), which is the same idea one representation
+    * down. Falls back to a plain full fold when there is no manifested
+    * generation yet (legacy layout migration needs the full rewrite).
+    */
+  def compactBucketedIncremental(spark: SparkSession, path: String,
+                                 dedupKeys: Seq[String] = Nil,
+                                 partitionCol: String = "bucket"): Unit = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    if (manifestGens(f, root).isEmpty) {
+      compactBucketed(spark, path, dedupKeys, partitionCol)
+      return
+    }
+    if (hasParquet(spark, foldPath(path)))
+      foldIncremental(spark, path, dedupKeys, partitionCol)
+    val dp = new Path(deltaPath(path))
+    if (f.exists(dp)) {
+      val fp = new Path(foldPath(path))
+      require(f.rename(dp, fp),
+        s"compactBucketedIncremental: delta snapshot rename failed")
+      foldIncremental(spark, path, dedupKeys, partitionCol)
+    }
+  }
+
+  private def foldIncremental(spark: SparkSession, path: String,
+                              dedupKeys: Seq[String],
+                              partitionCol: String): Unit = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val prevBase = currentBase(spark, path)
+    // touched buckets: bounded by bucket width (driver-side list, the
+    // same boundedness class as the probes' bucket collects)
+    val touched: Set[Int] =
+      if (!hasParquet(spark, foldPath(path))) Set.empty
+      else spark.read.parquet(foldPath(path))
+        .select(col(partitionCol).cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) { // nothing to fold — drop any empty fold dir
+      f.delete(new Path(foldPath(path)), true)
+      return
+    }
+    val gen = manifestGens(f, root).lastOption.getOrElse(0L) + 1
+    val baseName =
+      s"base_${gen}_${java.util.UUID.randomUUID().toString.take(8)}"
+    val newBase = new Path(root, baseName)
+    // 1. rewrite ONLY the touched buckets: pruned base scan ∪ fold rows
+    val pred = col(partitionCol)
+      .isin(touched.toSeq.map(Integer.valueOf): _*)
+    val base = spark.read.parquet(prevBase).filter(pred)
+    val all = base.unionByName(spark.read.parquet(foldPath(path))
+      .filter(pred).select(base.columns.map(col).toIndexedSeq: _*))
+    val deduped =
+      if (dedupKeys.nonEmpty) all.dropDuplicates(dedupKeys) else all
+    deduped.repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(newBase.toString)
+    // 2. transfer untouched buckets from the previous generation by
+    // hard link (parquet files are immutable; copy where linking fails)
+    val prevPath = new Path(prevBase)
+    f.listStatus(prevPath).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith(partitionCol + "=") &&
+          !touched.contains(name.stripPrefix(partitionCol + "=").toInt)) {
+        val dstDir = new Path(newBase, name)
+        f.mkdirs(dstDir)
+        f.listStatus(st.getPath).foreach { fileSt =>
+          if (fileSt.isFile) {
+            val dstFile = new Path(dstDir, fileSt.getPath.getName)
+            val linked = f.getScheme == "file" && {
+              try {
+                java.nio.file.Files.createLink(
+                  java.nio.file.Paths.get(dstFile.toUri.getPath),
+                  java.nio.file.Paths.get(fileSt.getPath.toUri.getPath))
+                true
+              } catch {
+                case _: UnsupportedOperationException |
+                     _: java.nio.file.FileSystemException => false
+              }
+            }
+            if (!linked)
+              org.apache.hadoop.fs.FileUtil.copy(f, fileSt.getPath,
+                f, dstFile, false,
+                spark.sparkContext.hadoopConfiguration)
+          }
+        }
+      }
+    }
+    commitManifest(spark, path, gen, baseName)
+    f.delete(new Path(foldPath(path)), true)
+    prune(spark, path, partitionCol)
   }
 
   private def foldOnce(spark: SparkSession, path: String,

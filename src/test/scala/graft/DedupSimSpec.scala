@@ -194,6 +194,61 @@ class DedupSimSpec extends SparkSpec {
     assert(names.count(_.startsWith("base_")) === 2, names.toString)
   }
 
+  test("incremental compaction rewrites ONLY the delta-touched buckets;" +
+      " untouched bucket files transfer by link into the new generation") {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.IndexMaintenance
+    val idx = Files.createTempDirectory("graft_mhinc").toString + "/idx"
+    val docA = "the quick brown fox jumps over the lazy dog again today"
+    val docB = "completely different words nothing in common at all here now"
+    DedupOps.writeMinhashIndex(
+      Seq((1L, docA), (2L, docB)).toDF("doc_id", "text"), idx)
+    val gen1 = IndexMaintenance.currentBase(spark, idx)
+    def bucketFiles(base: String): Map[String, Set[String]] =
+      Files.list(Paths.get(base)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("bucket="))
+        .map(p => p.getFileName.toString ->
+          Files.list(p).iterator().asScala.map(_.getFileName.toString)
+            .filter(_.endsWith(".parquet")).toSet).toMap
+    val before = bucketFiles(gen1)
+
+    // append a duplicate of docA -> its band rows touch ONLY docA's
+    // buckets (docB's buckets must remain untouched)
+    DedupOps.appendMinhashIndexBands(
+      DedupOps.minhashBands(Seq((5L, docA)).toDF("doc_id", "text")), idx)
+    IndexMaintenance.compactBucketedIncremental(spark, idx,
+      dedupKeys = Seq("doc_id", "band"))
+
+    val gen2 = IndexMaintenance.currentBase(spark, idx)
+    assert(gen2 !== gen1, "incremental fold commits a new generation")
+    assert(!Files.exists(Paths.get(IndexMaintenance.deltaPath(idx))),
+      "delta folded")
+    val after = bucketFiles(gen2)
+    assert(after.keySet === before.keySet,
+      "every bucket present in the new generation")
+    // classify buckets by whether the fold landed doc 5 in them
+    val withDoc5 = spark.read.parquet(gen2)
+      .filter(col("doc_id") === 5L)
+      .select(col("bucket")).distinct().collect()
+      .map(r => s"bucket=${r.getInt(0)}").toSet
+    assert(withDoc5.nonEmpty)
+    assert(withDoc5.size < before.size,
+      "docB must own at least one untouched bucket for this test to bite")
+    before.keySet.foreach { b =>
+      if (withDoc5(b))
+        assert(after(b) !== before(b), s"touched $b must be rewritten")
+      else
+        assert(after(b) === before(b),
+          s"untouched $b must transfer with identical file names (link)")
+    }
+    // probe parity: the folded index answers exactly like a full fold
+    def hits(doc: String) = DedupOps.minhashIndexProbe(spark, idx,
+        Seq((99L, doc)).toDF("doc_id", "text"))
+      .select("doc_corpus").collect().map(_.getLong(0)).toSet
+    assert(hits(docA) === Set(1L, 5L))
+    assert(hits(docB) === Set(2L))
+  }
+
   test("minhash LSH: identical docs share all bands, disjoint docs none") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again today"),
