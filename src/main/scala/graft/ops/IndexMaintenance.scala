@@ -171,11 +171,15 @@ object IndexMaintenance {
   def writeBase(df: DataFrame, path: String,
                 partitionCol: String = "bucket",
                 mode: String = "overwrite"): Unit = {
+    require(mode == "overwrite" || mode == "append",
+      s"writeBase supports only overwrite|append, got '$mode' — " +
+        "other SaveModes would silently commit a new generation")
     val spark = df.sparkSession
     if (mode == "append") {
       df.write.mode("append").partitionBy(partitionCol)
         .parquet(currentBase(spark, path))
     } else {
+      healOrphans(spark, path)
       val root = new Path(path)
       val f = fs(spark, root)
       val gen = manifestGens(f, root).lastOption.getOrElse(0L) + 1
@@ -204,7 +208,14 @@ object IndexMaintenance {
         df.coalesce(1).write.mode("append").parquet(deltaPath(path))
         done = true
       } catch {
-        case _: Throwable if attempts < 3 => // racing a delta snapshot
+        case scala.util.control.NonFatal(e) if attempts < 3 =>
+          // expected cause: a compaction renamed the delta directory
+          // out from under this job's commit; the retry lands in the
+          // fresh delta. Deterministic failures (schema mismatch,
+          // disk full) surface on the final attempt; fatal errors are
+          // never swallowed.
+          System.err.println("[IndexMaintenance] delta append attempt " +
+            s"$attempts for $path failed (retrying): $e")
       }
     }
   }
@@ -219,12 +230,21 @@ object IndexMaintenance {
   def readBucketed(spark: SparkSession, path: String, buckets: Seq[Int],
                    partitionCol: String = "bucket"): DataFrame = {
     val pred = col(partitionCol).isin(buckets.map(Integer.valueOf): _*)
+    // extras are LISTED BEFORE the base generation is resolved, and read
+    // with ignoreMissingFiles: rows a racing fold moves into a newer
+    // generation are then covered by the base resolved afterwards (at
+    // worst a transient double-count, which candidacy tolerates by
+    // contract) rather than silently vanishing (read skew), and delta
+    // files deleted mid-probe are skipped instead of failing the scan.
+    val extras = Seq(deltaPath(path), foldPath(path)).flatMap { d =>
+      if (!hasParquet(spark, d)) None
+      else scala.util.Try(
+        spark.read.option("ignoreMissingFiles", "true").parquet(d)
+          .filter(pred)).toOption
+    }
     val base = spark.read.parquet(currentBase(spark, path)).filter(pred)
-    Seq(deltaPath(path), foldPath(path))
-      .filter(hasParquet(spark, _))
-      .foldLeft(base)((acc, d) =>
-        acc.unionByName(spark.read.parquet(d).filter(pred)
-          .select(base.columns.map(col).toIndexedSeq: _*)))
+    extras.foldLeft(base)((acc, e) =>
+      acc.unionByName(e.select(base.columns.map(col).toIndexedSeq: _*)))
   }
 
   /** Fold the delta into a NEW base generation, one file per bucket
@@ -241,17 +261,54 @@ object IndexMaintenance {
   def compactBucketed(spark: SparkSession, path: String,
                       dedupKeys: Seq[String] = Nil,
                       partitionCol: String = "bucket"): Unit = {
-    val f = fs(spark, new Path(path))
+    healOrphans(spark, path)
     // crash leftover: a stranded fold is folded before touching the delta
     if (hasParquet(spark, foldPath(path)))
       foldOnce(spark, path, dedupKeys, partitionCol)
-    val dp = new Path(deltaPath(path))
-    if (f.exists(dp)) {
-      val fp = new Path(foldPath(path))
-      require(f.rename(dp, fp),
-        s"compactBucketed: delta snapshot rename $dp -> $fp failed")
-    }
+    snapshotDelta(spark, path)
     foldOnce(spark, path, dedupKeys, partitionCol)
+  }
+
+  /** Snapshot the delta directory to the fold location by atomic rename.
+    * A leftover fold dir holding NO committed parquet (crash litter —
+    * only staging files from an append that died mid-job) is deleted
+    * first: Hadoop rename into an EXISTING directory nests the source
+    * inside it, and the later fold cleanup would then destroy committed
+    * appends. A fold dir WITH parquet must have been folded by the
+    * caller's heal step before this runs.
+    */
+  private def snapshotDelta(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, new Path(path))
+    val dp = new Path(deltaPath(path))
+    if (!f.exists(dp)) return
+    val fp = new Path(foldPath(path))
+    if (f.exists(fp)) {
+      require(!hasParquet(spark, foldPath(path)),
+        s"snapshotDelta: $fp still holds committed rows — fold it first")
+      f.delete(fp, true)
+    }
+    require(f.rename(dp, fp),
+      s"compact: delta snapshot rename $dp -> $fp failed")
+  }
+
+  /** Delete base_* directories left behind by a crashed FIRST write or
+    * legacy migration (no manifest was committed, so the orphan's inputs
+    * — the legacy flat layout and/or the fold — are intact and deleting
+    * it is always safe). Without this, partition discovery over a
+    * legacy root that gained a half-written base_* subdir fails with
+    * "conflicting directory structures" and never self-heals. Probes
+    * hitting that one-time window fail until the next maintenance call
+    * runs this heal — the legacy-migration caveat; manifested indexes
+    * never re-enter it.
+    */
+  private def healOrphans(spark: SparkSession, path: String): Unit = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    if (f.exists(root) && manifestGens(f, root).isEmpty)
+      f.listStatus(root).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith("base_"))
+          f.delete(st.getPath, true)
+      }
   }
 
   /** [[compactBucketed]] with a BOUNDED rewrite unit — the 100 TB form:
@@ -277,13 +334,12 @@ object IndexMaintenance {
       compactBucketed(spark, path, dedupKeys, partitionCol)
       return
     }
+    healOrphans(spark, path)
     if (hasParquet(spark, foldPath(path)))
       foldIncremental(spark, path, dedupKeys, partitionCol)
     val dp = new Path(deltaPath(path))
     if (f.exists(dp)) {
-      val fp = new Path(foldPath(path))
-      require(f.rename(dp, fp),
-        s"compactBucketedIncremental: delta snapshot rename failed")
+      snapshotDelta(spark, path)
       foldIncremental(spark, path, dedupKeys, partitionCol)
     }
   }

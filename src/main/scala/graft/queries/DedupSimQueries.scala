@@ -1256,7 +1256,7 @@ object DedupSimQueries {
     // k = max(8, n/1000), so cluster SIZE (and with it the only
     // quadratic step, the within-cell pair volume) stays bounded as the
     // corpus grows instead of clusters growing linearly. At the
-    // verify/bench scale factors (n <= 9000) the rule lands on k=8, so
+    // verify/bench scale factors (n < 9000) the rule lands on k=8, so
     // the oracle's 8-centroid Lloyd unroll (one exact quantized update —
     // same trajectory the IVF oracles replay) stays a bit-exact twin;
     // past that the measured ScaleUp runs exercise the growing-k leg the

@@ -177,12 +177,22 @@ object StatsQueries {
           .groupBy(col("l_returnflag"))
           .agg(first(col("n")).as("n"),
             first(col("n_parts_exact")).as("n_parts_exact"),
+            // the returned VALUE occupies the rank interval
+            // [count(<)+1, count(<=)] — with duplicates tied at the
+            // median, testing count(<=) alone would overshoot the
+            // envelope even for a perfectly accurate sketch; the
+            // guarantee is that SOME rank of the value is within bound
+            sum(when(col("l_extendedprice") < col("_amed"), 1L)
+              .otherwise(0L)).as("_rank_lt"),
             sum(when(col("l_extendedprice") <= col("_amed"), 1L)
-              .otherwise(0L)).as("_rank"),
+              .otherwise(0L)).as("_rank_le"),
             first(col("_aparts")).as("_aparts"))
           .select(col("l_returnflag"), col("n"), col("n_parts_exact"),
-            (abs(col("_rank") - lit(0.5) * col("n")) <=
-              col("n") / lit(10000.0) + 1).as("median_rank_ok"),
+            (col("_rank_lt") + 1 <=
+                lit(0.5) * col("n") + col("n") / lit(10000.0) + 1 &&
+              col("_rank_le") >=
+                lit(0.5) * col("n") - col("n") / lit(10000.0) - 1)
+              .as("median_rank_ok"),
             (abs(col("_aparts") - col("n_parts_exact")).cast("double") <=
               lit(3 * 0.05) * col("n_parts_exact")).as("hll_ok"))
       },
@@ -216,12 +226,20 @@ object StatsQueries {
           .join(broadcast(est), Seq("l_returnflag"))
           .groupBy(col("l_returnflag"))
           .agg(first(col("n")).as("n"),
-            qsSpec.indices.map(i =>
+            qsSpec.indices.flatMap(i => Seq(
+              sum(when(col("l_extendedprice") < col("_qs").getItem(i),
+                1L).otherwise(0L)).as(s"_rlt$i"),
               sum(when(col("l_extendedprice") <= col("_qs").getItem(i),
-                1L).otherwise(0L)).as(s"_r$i")): _*)
+                1L).otherwise(0L)).as(s"_rle$i"))): _*)
+        // the estimate's rank INTERVAL [count(<)+1, count(<=)] must
+        // overlap the envelope — count(<=) alone would overshoot when
+        // duplicates tie at the estimate
         val okCols = qsSpec.zipWithIndex.map { case (q, i) =>
-          (abs(col(s"_r$i") - lit(q) * col("n")) <=
-            lit(0.01) * col("n") + 1).as(s"rank_ok_q${(q * 100).toInt}")
+          (col(s"_rlt$i") + 1 <= lit(q) * col("n") +
+              lit(0.01) * col("n") + 1 &&
+            col(s"_rle$i") >= lit(q) * col("n") -
+              lit(0.01) * col("n") - 1)
+            .as(s"rank_ok_q${(q * 100).toInt}")
         }
         ranks.select(col("l_returnflag") +: col("n") +: okCols: _*)
       },
