@@ -424,13 +424,20 @@ object SeriesQueries {
         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)""")),
 
+    // ORDER tiebreak: (shipdate, orderkey, linenumber) is NOT unique in
+    // the synthetic lineitem (one full collision at sf0.1), so the value
+    // column joins the ordering — engines then agree on every frame, and
+    // rows still colliding on ALL five columns are identical rows, whose
+    // permutation cannot change any output (hash compare is row-set
+    // based).
     "w_rolling_stats" -> Entry(
       (s, dir) => WindowOps.rollingStats(Tables.lineitem(s, dir),
-        "l_suppkey", Seq("l_shipdate", "l_orderkey", "l_linenumber"),
+        "l_suppkey",
+        Seq("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"),
         "l_quantity", 5),
       Some("""
         SELECT l_suppkey, CAST(l_shipdate AS TIMESTAMP) AS l_shipdate,
-               l_orderkey, l_linenumber,
+               l_orderkey, l_linenumber, l_quantity,
                count(*) OVER w AS roll_n,
                sum(l_quantity) OVER w AS roll_sum,
                sum(l_quantity) OVER w / count(*) OVER w AS roll_mean,
@@ -443,7 +450,7 @@ object SeriesQueries {
         FROM lineitem
         WINDOW w AS (PARTITION BY l_suppkey
                      ORDER BY CAST(l_shipdate AS TIMESTAMP), l_orderkey,
-                              l_linenumber
+                              l_linenumber, l_quantity
                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"""))
   )
 }
