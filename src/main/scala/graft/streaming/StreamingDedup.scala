@@ -37,13 +37,24 @@ import graft.ops.DedupOps
   */
 object StreamingDedup {
 
+  /** `compactEvery` > 0 runs the in-loop maintenance cadence: after
+    * every `compactEvery`-th micro-batch (by batchId, so replays stay
+    * deterministic) the delta folds into a new base generation via
+    * [[graft.ops.IndexMaintenance.compactBucketedIncremental]] — only
+    * the buckets the accumulated deltas touched rewrite, untouched
+    * buckets transfer by link, and the manifest flip is atomic, so the
+    * L0 delta never grows past `compactEvery` batches of files and
+    * probe cost stays batch-proportional without any external
+    * maintenance job. 0 (the default) keeps maintenance external.
+    */
   def run(spark: SparkSession, docsStream: DataFrame, indexPath: String,
           outPath: String, checkpoint: String, idCol: String = "doc_id",
           textCol: String = "text", shingleWords: Int = 3, k: Int = 16,
           bands: Int = 4, minBands: Int = 1,
-          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+          trigger: Trigger = Trigger.AvailableNow(),
+          compactEvery: Int = 0): StreamingQuery =
     docsStream.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         // one signature pass per batch: the banded frame feeds the index
         // probe (bucket collect + broadcast side) AND the in-batch
         // self-join; the raw batch feeds the final anti-join; survivors
@@ -70,6 +81,9 @@ object StreamingDedup {
           banded.unpersist(blocking = true)
           b.unpersist(blocking = true)
         }
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          graft.ops.IndexMaintenance.compactBucketedIncremental(
+            spark, indexPath, dedupKeys = Seq(idCol, "band"))
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

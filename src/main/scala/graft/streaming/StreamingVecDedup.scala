@@ -29,13 +29,19 @@ import graft.ops.SimilarityOps
   */
 object StreamingVecDedup {
 
+  /** `compactEvery` > 0: same in-loop incremental maintenance cadence as
+    * [[StreamingDedup.run]] — every `compactEvery`-th micro-batch folds
+    * the delta into a new base generation, rewriting only the touched
+    * buckets ([[graft.ops.IndexMaintenance.compactBucketedIncremental]]).
+    */
   def run(spark: SparkSession, vecStream: DataFrame, indexPath: String,
           outPath: String, checkpoint: String, dim: Int, bits: Int,
           minCos: Double = 0.995, idCol: String = "vec_id",
           vecCol: String = "embedding",
-          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+          trigger: Trigger = Trigger.AvailableNow(),
+          compactEvery: Int = 0): StreamingQuery =
     vecStream.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val b = batch.persist()
         try {
           val survivors = dedupBatch(spark, b, indexPath, dim, bits,
@@ -46,6 +52,9 @@ object StreamingVecDedup {
               idCol, vecCol)
           } finally survivors.unpersist(blocking = true)
         } finally b.unpersist(blocking = true)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          graft.ops.IndexMaintenance.compactBucketedIncremental(
+            spark, indexPath, dedupKeys = Seq(idCol))
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

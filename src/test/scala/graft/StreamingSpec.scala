@@ -665,6 +665,69 @@ class StreamingSpec extends SparkSpec {
     assert(hits.contains(11L))
   }
 
+  test("streaming minhash dedup with in-loop incremental compaction: " +
+      "every batch folds the delta, generations advance, dedup " +
+      "semantics unchanged") {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.{DedupOps, IndexMaintenance}
+    import graft.streaming.StreamingDedup
+    val root = Files.createTempDirectory("graft_sdedupc").toString
+    val in = s"$root/in"; val out = s"$root/out"
+    val idx = s"$root/idx"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "completely different words nothing in common at all here now"))
+      .toDF("doc_id", "text")
+    DedupOps.writeMinhashIndex(corpus, idx)
+    val gen0 = IndexMaintenance.currentBase(spark, idx)
+
+    def writeFile(name: String, docs: Seq[(Long, String)]): Unit =
+      Files.write(Paths.get(in, name), docs.map { case (id, t) =>
+        s"""{"doc_id": $id, "text": "$t"}"""
+      }.mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+
+    writeFile("f1.json", Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again today"),
+      (11L, "fresh text that matches nothing previously indexed at all")))
+    val stream = graft.streaming.StreamingMetrics.fileStream(
+      spark, schema, in)
+    val q = StreamingDedup.run(spark, stream, idx, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      compactEvery = 1)
+    try {
+      q.processAllAvailable()
+      writeFile("f2.json", Seq(
+        (20L, "fresh text that matches nothing previously indexed at all"),
+        (23L, "yet another unrelated document about distributed query engines")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // dedup semantics identical to the non-compacting run
+    val kept = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept === Array(11L, 23L))
+    // every batch folded its delta: no L0 left, generations advanced
+    assert(!Files.exists(Paths.get(IndexMaintenance.deltaPath(idx))),
+      "in-loop compaction must fold each batch's delta")
+    assert(IndexMaintenance.currentBase(spark, idx) !== gen0)
+    // the folded index answers probes for both corpus and survivors
+    def hits(doc: String) = DedupOps.minhashIndexProbe(spark, idx,
+        Seq((99L, doc)).toDF("doc_id", "text"))
+      .select("doc_corpus").collect().map(_.getLong(0)).toSet
+    assert(hits(
+      "fresh text that matches nothing previously indexed at all")
+      === Set(11L))
+    assert(hits(
+      "the quick brown fox jumps over the lazy dog again today")
+      === Set(1L))
+  }
+
   test("transformWithState first-seen dedup: repeats drop across " +
        "micro-batches, the TTL horizon readmits an id (T8/T9)") {
     implicit val sql = spark.sqlContext
