@@ -195,6 +195,18 @@ object DedupOps {
     // re-fold of delta rows collapse instead of duplicating
     IndexMaintenance.compactBucketed(spark, path, Seq(idCol, "band"))
 
+  /** [[compactMinhashIndex]] with the bounded rewrite unit
+    * ([[IndexMaintenance.compactBucketedIncremental]]): only the buckets
+    * the delta touched rewrite. The dedup-key set lives HERE, with the
+    * index schema — callers (the streaming in-loop cadence) must not
+    * restate it.
+    */
+  def compactMinhashIndexIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String = "doc_id"): Unit =
+    IndexMaintenance.compactBucketedIncremental(spark, path,
+      Seq(idCol, "band"))
+
   /** Probe a written MinHash index with a NEW batch: candidate near-dup
     * pairs between batch docs and indexed corpus docs (within-batch pairs
     * are [[minhashCandidates]]'s job). The batch's distinct bucket ids —

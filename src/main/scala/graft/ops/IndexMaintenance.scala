@@ -81,7 +81,12 @@ object IndexMaintenance {
   private def hasParquet(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     val f = fs(spark, p)
-    f.exists(p) && f.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    try f.exists(p) &&
+      f.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    catch {
+      // a compaction may delete the dir between exists and listStatus
+      case _: java.io.FileNotFoundException => false
+    }
   }
 
   /** Manifest generations present at `path`, ascending. */
@@ -231,16 +236,28 @@ object IndexMaintenance {
                    partitionCol: String = "bucket"): DataFrame = {
     val pred = col(partitionCol).isin(buckets.map(Integer.valueOf): _*)
     // extras are LISTED BEFORE the base generation is resolved, and read
-    // with ignoreMissingFiles: rows a racing fold moves into a newer
-    // generation are then covered by the base resolved afterwards (at
-    // worst a transient double-count, which candidacy tolerates by
-    // contract) rather than silently vanishing (read skew), and delta
+    // with ignoreMissingFiles: a fold that commits BEFORE the base
+    // resolves is covered by the newer base (at worst a transient
+    // double-count, which candidacy tolerates by contract), and delta
     // files deleted mid-probe are skipped instead of failing the scan.
+    // RESIDUAL WINDOW (documented, not hidden): a fold that renames the
+    // delta between this listing and the probe's action can make those
+    // unfolded rows invisible to THIS probe (base already pinned) — the
+    // probe is then eventually consistent w.r.t. the newest appends,
+    // which near-dup candidacy tolerates (the next probe sees them).
+    // Only a MISSING path is swallowed; corrupt or schema-broken extras
+    // still fail loudly (silently dropping every unfolded row would be
+    // wrong results, not a race).
+    def readIfPresent(dir: String) =
+      try Some(spark.read.option("ignoreMissingFiles", "true").parquet(dir)
+        .filter(pred))
+      catch {
+        case _: java.io.FileNotFoundException => None
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass == "PATH_NOT_FOUND" => None
+      }
     val extras = Seq(deltaPath(path), foldPath(path)).flatMap { d =>
-      if (!hasParquet(spark, d)) None
-      else scala.util.Try(
-        spark.read.option("ignoreMissingFiles", "true").parquet(d)
-          .filter(pred)).toOption
+      if (!hasParquet(spark, d)) None else readIfPresent(d)
     }
     val base = spark.read.parquet(currentBase(spark, path)).filter(pred)
     extras.foldLeft(base)((acc, e) =>
@@ -304,11 +321,17 @@ object IndexMaintenance {
   private def healOrphans(spark: SparkSession, path: String): Unit = {
     val root = new Path(path)
     val f = fs(spark, root)
-    if (f.exists(root) && manifestGens(f, root).isEmpty)
-      f.listStatus(root).foreach { st =>
-        if (st.isDirectory && st.getPath.getName.startsWith("base_"))
-          f.delete(st.getPath, true)
-      }
+    if (f.exists(root) && manifestGens(f, root).isEmpty) {
+      val orphans = f.listStatus(root).filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith("base_"))
+      // re-check AFTER listing: if a concurrent first write committed a
+      // manifest in between, one of these dirs is now LIVE — abort the
+      // heal (narrows, not eliminates, the race: the FIRST write or
+      // legacy migration of an index is a single-writer step by
+      // contract; concurrency guarantees start once a manifest exists)
+      if (manifestGens(f, root).isEmpty)
+        orphans.foreach(st => f.delete(st.getPath, true))
+    }
   }
 
   /** [[compactBucketed]] with a BOUNDED rewrite unit — the 100 TB form:
@@ -334,7 +357,6 @@ object IndexMaintenance {
       compactBucketed(spark, path, dedupKeys, partitionCol)
       return
     }
-    healOrphans(spark, path)
     if (hasParquet(spark, foldPath(path)))
       foldIncremental(spark, path, dedupKeys, partitionCol)
     val dp = new Path(deltaPath(path))

@@ -431,6 +431,16 @@ object SimilarityOps {
                       path: String, idCol: String = "vec_id"): Unit =
     graft.ops.IndexMaintenance.compactBucketed(spark, path, Seq(idCol))
 
+  /** [[compactIvfIndex]] with the bounded rewrite unit ([[graft.ops
+    * .IndexMaintenance.compactBucketedIncremental]]); owns the index's
+    * dedup-key set so streaming callers cannot drift from it.
+    */
+  def compactIvfIndexIncremental(spark: org.apache.spark.sql.SparkSession,
+                                 path: String,
+                                 idCol: String = "vec_id"): Unit =
+    graft.ops.IndexMaintenance.compactBucketedIncremental(spark, path,
+      Seq(idCol))
+
   /** Probe a written IVF index. The probe set (own bucket + optional
     * hamming-1 neighbors per query) is computed from the query vectors —
     * a driver-side literal list, which is exactly what static partition

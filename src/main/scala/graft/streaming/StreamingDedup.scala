@@ -81,9 +81,20 @@ object StreamingDedup {
           banded.unpersist(blocking = true)
           b.unpersist(blocking = true)
         }
+        // maintenance is BEST-EFFORT: the batch's real work (sink +
+        // index append) already committed, so a maintenance failure
+        // (e.g. losing the manifest race to a sanctioned external
+        // compaction) must not fail the batch — a failed batch replays
+        // and re-appends the survivors to the sink. The delta simply
+        // waits for the next cadence tick.
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          graft.ops.IndexMaintenance.compactBucketedIncremental(
-            spark, indexPath, dedupKeys = Seq(idCol, "band"))
+          try DedupOps.compactMinhashIndexIncremental(spark, indexPath,
+            idCol)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println("[StreamingDedup] in-loop compaction " +
+                s"failed for batch $batchId (delta retained): $e")
+          }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

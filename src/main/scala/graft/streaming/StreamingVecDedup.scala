@@ -52,9 +52,16 @@ object StreamingVecDedup {
               idCol, vecCol)
           } finally survivors.unpersist(blocking = true)
         } finally b.unpersist(blocking = true)
+        // best-effort maintenance — see StreamingDedup.run: a failed
+        // fold must not fail a batch whose sink/append work committed
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          graft.ops.IndexMaintenance.compactBucketedIncremental(
-            spark, indexPath, dedupKeys = Seq(idCol))
+          try SimilarityOps.compactIvfIndexIncremental(spark, indexPath,
+            idCol)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println("[StreamingVecDedup] in-loop compaction" +
+                s" failed for batch $batchId (delta retained): $e")
+          }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
