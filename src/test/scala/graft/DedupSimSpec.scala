@@ -172,8 +172,11 @@ class DedupSimSpec extends SparkSpec {
     // must succeed and always see at least the base doc — under the old
     // delete+rename swap a probe could catch the base mid-swap, and a
     // compaction could wipe a racing append with the delta cleanup
-    for (_ <- 0 until 3) {
-      DedupOps.compactMinhashIndex(spark, idx)
+    for (i <- 0 until 3) {
+      // alternate the full fold and the bounded (incremental) fold —
+      // both must uphold the same concurrency contract
+      if (i % 2 == 0) DedupOps.compactMinhashIndex(spark, idx)
+      else DedupOps.compactMinhashIndexIncremental(spark, idx)
       assert(hits().contains(1L), "probe during compaction churn")
     }
     appender.join()

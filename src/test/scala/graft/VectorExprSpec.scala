@@ -44,6 +44,44 @@ class VectorExprSpec extends SparkSpec {
     assert(out === 11.0)
   }
 
+  test("sq_dist_long matches the HOF fold exactly on random long arrays" +
+      " (codegen and interpreted paths)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).map { _ =>
+      val n = 1 + rnd.nextInt(16)
+      (Array.fill(n)(rnd.nextLong() % 10000000L),
+        Array.fill(n)(rnd.nextLong() % 10000000L))
+    }
+    val df = rows.toDF("a", "b")
+    val hof = aggregate(
+      zip_with($"a", $"b", (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val out = df.select(
+      VectorFunctions.sq_dist_long($"a", $"b").as("native"),
+      hof.as("hof")).collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("sq_dist_long: null array yields null, shorter array truncates") {
+    val df = Seq(
+      (Some(Array(1L, 2L, 3L)), Some(Array(1L, 1L))),
+      (None: Option[Array[Long]], Some(Array(1L, 1L))))
+      .toDF("a", "b")
+    val out = df.select(
+      VectorFunctions.sq_dist_long($"a", $"b").as("d")).collect()
+    assert(out(0).getLong(0) === 1L) // (1-1)^2 + (2-1)^2, third truncated
+    assert(out(1).isNullAt(0))
+  }
+
+  test("sq_dist_long rejects non-long-array input at analysis") {
+    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(VectorFunctions.sq_dist_long($"a", $"b")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("sq_dist_long") ||
+      e.getMessage.toLowerCase.contains("datatype_mismatch"))
+  }
+
   test("dot_product rejects non-numeric-array input at analysis") {
     val df = Seq(("x", "y")).toDF("a", "b")
     val e = intercept[Exception] {
