@@ -410,11 +410,11 @@ object RelationalExtQueries {
           path =>
             graft.ops.LayoutOps.writeZOrdered(
               Tables.lineitem(s, dir).select(
-                pmod(col("l_partkey"), lit(1024)).as("x"),
-                // spread the low-cardinality suppkey over the full grid
-                // (odd multiplier, coprime to 1024): at small SF raw
-                // suppkey < 1024 leaves y's high bits constant, so the
-                // z-curve cannot cluster that axis at all
+                // spread BOTH low-cardinality keys over the full grid
+                // (odd multipliers, coprime to 1024): at small SF the
+                // raw keys stay below the grid width, leaving the high
+                // bits constant — an axis the z-curve cannot cluster
+                pmod(col("l_partkey") * 197, lit(1024)).as("x"),
                 pmod(col("l_suppkey") * 131, lit(1024)).as("y"),
                 col("l_orderkey")),
               col("x"), col("y"), bits = 10, numFiles = 8, path)
@@ -435,7 +435,8 @@ object RelationalExtQueries {
       },
       Some("""
         SELECT CAST(8 AS BIGINT) AS n_files, count(*) AS total_rows,
-               min(l_partkey % 1024) AS min_x, max(l_partkey % 1024) AS max_x,
+               min((l_partkey * 197) % 1024) AS min_x,
+               max((l_partkey * 197) % 1024) AS max_x,
                min((l_suppkey * 131) % 1024) AS min_y,
                max((l_suppkey * 131) % 1024) AS max_y,
                TRUE AS span_narrowed_x, TRUE AS span_narrowed_y
