@@ -789,6 +789,17 @@ object SimilarityOps {
     graft.ops.IndexMaintenance.compactBucketed(spark, s"$path/codes",
       Seq(idCol), partitionCol = "cell")
 
+  /** [[compactIvfPqCodes]] with the bounded rewrite unit: only the
+    * cells the appended codes touched rewrite
+    * ([[graft.ops.IndexMaintenance.compactBucketedIncremental]]); owns
+    * the codes index's dedup-key set like its minhash/IVF siblings.
+    */
+  def compactIvfPqCodesIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String = "vec_id"): Unit =
+    graft.ops.IndexMaintenance.compactBucketedIncremental(spark,
+      s"$path/codes", Seq(idCol), partitionCol = "cell")
+
   def ivfPqIndexTopK(spark: org.apache.spark.sql.SparkSession,
                      path: String, queries: DataFrame, k: Int, dim: Int,
                      m: Int, idCol: String = "vec_id",

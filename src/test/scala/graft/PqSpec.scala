@@ -225,8 +225,15 @@ class PqSpec extends SparkSpec {
       val best = before.collect { case ((qq, _), d) if qq == q => d }.min
       assert(clone.contains(best), s"clone of $q must sit at the minimum")
     }
+    // bounded-rewrite fold first: parity must hold through the
+    // incremental path too, and the delta clears
+    SimilarityOps.compactIvfPqCodesIncremental(spark, dir)
+    assert(!Files.exists(delta),
+      "incremental compaction should clear the codes delta")
+    assert(hits() === before)
+    // a follow-up full fold over the already-folded index is a no-op
+    // for probe results
     SimilarityOps.compactIvfPqCodes(spark, dir)
-    assert(!Files.exists(delta), "compaction should clear the codes delta")
     assert(hits() === before)
   }
 }
