@@ -253,8 +253,15 @@ object IndexMaintenance {
         .filter(pred))
       catch {
         case _: java.io.FileNotFoundException => None
+        // PATH_NOT_FOUND: dir deleted after the hasParquet check.
+        // UNABLE_TO_INFER_SCHEMA: dir recreated but holding only an
+        // in-flight append's staging files — zero committed rows, i.e.
+        // the same race one beat later, not corruption (a corrupt
+        // committed file fails footer/decode with OTHER errors and
+        // still surfaces loudly).
         case e: org.apache.spark.sql.AnalysisException
-            if e.getErrorClass == "PATH_NOT_FOUND" => None
+            if e.getErrorClass == "PATH_NOT_FOUND" ||
+              e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" => None
       }
     val extras = Seq(deltaPath(path), foldPath(path)).flatMap { d =>
       if (!hasParquet(spark, d)) None else readIfPresent(d)
@@ -318,17 +325,31 @@ object IndexMaintenance {
     * runs this heal — the legacy-migration caveat; manifested indexes
     * never re-enter it.
     */
+  /** How old an unmanifested base_* directory must be before the heal
+    * will delete it. A first writer that takes longer than this between
+    * its base write and its manifest commit is outside the mechanism's
+    * protection — but a base write's last mtime IS roughly its commit
+    * time, so in practice only a crashed write ever ages past it.
+    */
+  private val OrphanGraceMs = 10L * 60 * 1000
+
   private def healOrphans(spark: SparkSession, path: String): Unit = {
     val root = new Path(path)
     val f = fs(spark, root)
     if (f.exists(root) && manifestGens(f, root).isEmpty) {
+      val now = System.currentTimeMillis()
       val orphans = f.listStatus(root).filter(st =>
-        st.isDirectory && st.getPath.getName.startsWith("base_"))
-      // re-check AFTER listing: if a concurrent first write committed a
-      // manifest in between, one of these dirs is now LIVE — abort the
-      // heal (narrows, not eliminates, the race: the FIRST write or
-      // legacy migration of an index is a single-writer step by
-      // contract; concurrency guarantees start once a manifest exists)
+        st.isDirectory && st.getPath.getName.startsWith("base_") &&
+          // grace period closes the heal-vs-first-writer race at the
+          // MECHANISM level: a dir a concurrent first write is still
+          // producing (or just committed) is minutes old at most; only
+          // genuinely crashed writes age past the grace window. Until
+          // then a crashed legacy migration keeps its orphan (reads on
+          // an unmanifested root may fail during that window — the
+          // documented one-time migration caveat).
+          now - st.getModificationTime > OrphanGraceMs)
+      // re-check AFTER listing: a manifest committed in between makes
+      // one of these dirs live
       if (manifestGens(f, root).isEmpty)
         orphans.foreach(st => f.delete(st.getPath, true))
     }
