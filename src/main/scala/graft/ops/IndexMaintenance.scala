@@ -52,6 +52,19 @@ import org.apache.spark.sql.functions._
   * exactly one wins, the other throws and its orphan directory is
   * removed by a later prune.
   *
+  * FILESYSTEM REQUIREMENT: the whole concurrency contract rests on
+  * atomic creates and renames — the manifest's temp-write+rename, the
+  * delta→fold directory rename, and rename-to-existing returning false.
+  * These hold on HDFS and local filesystems but NOT on object stores
+  * (S3A's rename is a non-atomic copy+delete: a file appended mid-rename
+  * can be silently lost and two committers can both "win"). The commit
+  * paths therefore REFUSE to run on schemes known to emulate rename
+  * ([[atomicRenameScheme]]); on such stores run the index under the
+  * writer-quiesce contract instead (single maintenance owner, no
+  * concurrent appendDelta during compaction) via a rename-atomic staging
+  * filesystem, or put the index on HDFS — "may live off-cluster" means
+  * any rename-atomic FileSystem, not any FileSystem.
+  *
   * Crash recovery favors NO LOSS over no-duplicates: a crash between the
   * manifest commit and the fold cleanup leaves folded rows in both
   * levels; probes may transiently double-count a row (for near-dup
@@ -75,8 +88,27 @@ object IndexMaintenance {
   private val ManifestPrefix = "MANIFEST-"
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
-    // the PATH's filesystem, not defaultFS (index may live off-cluster)
+    // the PATH's filesystem, not defaultFS (index may live off-cluster —
+    // on any rename-atomic FileSystem; see the object scaladoc)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Whether `scheme` provides the atomic rename the commit paths rely
+    * on. Object-store connectors emulate rename as copy+delete, which
+    * breaks both the manifest's exactly-one-winner arbitration and the
+    * delta-snapshot no-lost-append guarantee.
+    */
+  private[graft] def atomicRenameScheme(scheme: String): Boolean =
+    scheme == null || !Set(
+      "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
+      "oss", "cosn", "swift").contains(scheme.toLowerCase)
+
+  private def requireAtomicRename(f: FileSystem, what: String): Unit =
+    require(atomicRenameScheme(f.getScheme),
+      s"$what requires an atomic-rename filesystem (HDFS/local); " +
+        s"scheme '${f.getScheme}' emulates rename as copy+delete, which " +
+        "breaks the manifest/fold concurrency contract. Host the index " +
+        "on a rename-atomic store, or run single-writer quiesced " +
+        "maintenance against a staging filesystem and publish the result.")
 
   private def hasParquet(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
@@ -122,12 +154,19 @@ object IndexMaintenance {
   }
 
   /** Atomically commit MANIFEST-<gen> (temp file + rename-to-new-name).
-    * Exactly one committer can win a generation.
+    * Exactly one committer can win a generation. After winning, the
+    * commit VERIFIES its base directory still exists: the prune grace
+    * window (see [[prune]]) already protects a written-but-uncommitted
+    * base from a concurrent compactor's prune, but if that protection is
+    * ever breached (clock skew, an operator's manual delete) the losing
+    * outcome must be a loud failure here — with the just-committed
+    * manifest withdrawn — not a live manifest pointing at nothing.
     */
   private def commitManifest(spark: SparkSession, path: String, gen: Long,
                              baseName: String): Unit = {
     val root = new Path(path)
     val f = fs(spark, root)
+    requireAtomicRename(f, "commitManifest")
     f.mkdirs(root)
     val tmp = new Path(root,
       s".manifest_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -140,29 +179,56 @@ object IndexMaintenance {
         s"manifest commit lost the race for $dst — a concurrent " +
           "compaction committed this generation first")
     }
+    if (!f.exists(new Path(root, baseName))) {
+      f.delete(dst, false) // withdraw before anyone resolves to a ghost
+      throw new IllegalStateException(
+        s"manifest commit for $dst aborted: base directory $baseName " +
+          "disappeared before the commit (deleted by an out-of-band " +
+          "prune or operator) — the manifest was withdrawn; re-run the " +
+          "compaction")
+    }
   }
 
   /** Drop superseded state: manifests and base directories older than
-    * the previous generation (the one probes in flight may still hold),
-    * plus base directories referenced by NO retained manifest (orphans
-    * of crashed or race-losing compactions) and, once two manifested
-    * generations exist, any legacy flat partition dirs at the root.
+    * the `retain` newest generations (probes in flight may still hold
+    * the previous one; deeper retention buys slower external probes more
+    * time between folds), plus base directories referenced by NO
+    * retained manifest (orphans of crashed or race-losing compactions)
+    * and, once `retain` manifested generations exist, any legacy flat
+    * partition dirs at the root.
+    *
+    * A base_* directory referenced by NO manifest at all is deleted only
+    * once it is older than [[OrphanGraceMs]]: a CONCURRENT compaction
+    * that has finished writing its base but not yet committed its
+    * manifest is never-referenced by construction, and deleting it here
+    * would let its commitManifest win a later generation that points at
+    * a missing directory. Within the grace window such a dir is either
+    * seconds from its commit or a fresh crash — both safe to leave;
+    * genuinely dead dirs age out and the NEXT prune removes them. A dir
+    * referenced by a SUPERSEDED (dropped) manifest needs no grace — its
+    * writer already committed and lost currency, so it deletes at once.
     */
   private def prune(spark: SparkSession, path: String,
-                    partitionCol: String): Unit = {
+                    partitionCol: String, retain: Int = 2): Unit = {
     val root = new Path(path)
     val f = fs(spark, root)
     val gens = manifestGens(f, root)
     if (gens.isEmpty) return
-    val keepGens = gens.takeRight(2)
+    val keepGens = gens.takeRight(retain)
+    val dropGens = gens.dropRight(retain)
     val keepBases = keepGens.map(readManifest(f, root, _)).toSet
-    gens.dropRight(2).foreach(g =>
+    val supersededBases = dropGens.map(readManifest(f, root, _)).toSet
+    val now = System.currentTimeMillis()
+    dropGens.foreach(g =>
       f.delete(new Path(root, s"$ManifestPrefix$g"), false))
     f.listStatus(root).foreach { st =>
       val name = st.getPath.getName
-      val isBaseDir = st.isDirectory && name.startsWith("base_")
+      val isStaleBase = st.isDirectory && name.startsWith("base_") &&
+        !keepBases(name) &&
+        (supersededBases(name) ||
+          now - st.getModificationTime > OrphanGraceMs)
       val isLegacyPart = st.isDirectory && name.startsWith(partitionCol + "=")
-      if ((isBaseDir && !keepBases(name)) || (isLegacyPart && keepGens.size >= 2))
+      if (isStaleBase || (isLegacyPart && keepGens.size >= retain))
         f.delete(st.getPath, true)
     }
   }
@@ -175,7 +241,8 @@ object IndexMaintenance {
     */
   def writeBase(df: DataFrame, path: String,
                 partitionCol: String = "bucket",
-                mode: String = "overwrite"): Unit = {
+                mode: String = "overwrite",
+                retain: Int = 2): Unit = {
     require(mode == "overwrite" || mode == "append",
       s"writeBase supports only overwrite|append, got '$mode' — " +
         "other SaveModes would silently commit a new generation")
@@ -193,7 +260,7 @@ object IndexMaintenance {
       df.write.mode("overwrite").partitionBy(partitionCol)
         .parquet(s"$path/$baseName")
       commitManifest(spark, path, gen, baseName)
-      prune(spark, path, partitionCol)
+      prune(spark, path, partitionCol, retain)
     }
   }
 
@@ -266,7 +333,25 @@ object IndexMaintenance {
     val extras = Seq(deltaPath(path), foldPath(path)).flatMap { d =>
       if (!hasParquet(spark, d)) None else readIfPresent(d)
     }
-    val base = spark.read.parquet(currentBase(spark, path)).filter(pred)
+    // base resolution retries once on a vanished generation: a probe
+    // arriving with compactions at a faster cadence than its own (e.g.
+    // compactEvery=1 folds racing an external probe) can resolve a
+    // generation that prune deletes before the listing; re-resolving
+    // currentBase lands on the newer, intact generation. Deeper
+    // protection for chronically slow probes is the `retain` knob on
+    // the compact* calls (retain N generations instead of 2).
+    def resolveBase(attempt: Int): DataFrame =
+      try spark.read.parquet(currentBase(spark, path)).filter(pred)
+      catch {
+        case e @ (_: java.io.FileNotFoundException |
+                  _: org.apache.spark.sql.AnalysisException)
+            if attempt < 2 && (e match {
+              case a: org.apache.spark.sql.AnalysisException =>
+                a.getErrorClass == "PATH_NOT_FOUND"
+              case _ => true
+            }) => resolveBase(attempt + 1)
+      }
+    val base = resolveBase(0)
     extras.foldLeft(base)((acc, e) =>
       acc.unionByName(e.select(base.columns.map(col).toIndexedSeq: _*)))
   }
@@ -284,13 +369,14 @@ object IndexMaintenance {
     */
   def compactBucketed(spark: SparkSession, path: String,
                       dedupKeys: Seq[String] = Nil,
-                      partitionCol: String = "bucket"): Unit = {
+                      partitionCol: String = "bucket",
+                      retain: Int = 2): Unit = {
     healOrphans(spark, path)
     // crash leftover: a stranded fold is folded before touching the delta
     if (hasParquet(spark, foldPath(path)))
-      foldOnce(spark, path, dedupKeys, partitionCol)
+      foldOnce(spark, path, dedupKeys, partitionCol, retain)
     snapshotDelta(spark, path)
-    foldOnce(spark, path, dedupKeys, partitionCol)
+    foldOnce(spark, path, dedupKeys, partitionCol, retain)
   }
 
   /** Snapshot the delta directory to the fold location by atomic rename.
@@ -303,6 +389,7 @@ object IndexMaintenance {
     */
   private def snapshotDelta(spark: SparkSession, path: String): Unit = {
     val f = fs(spark, new Path(path))
+    requireAtomicRename(f, "snapshotDelta")
     val dp = new Path(deltaPath(path))
     if (!f.exists(dp)) return
     val fp = new Path(foldPath(path))
@@ -371,25 +458,27 @@ object IndexMaintenance {
     */
   def compactBucketedIncremental(spark: SparkSession, path: String,
                                  dedupKeys: Seq[String] = Nil,
-                                 partitionCol: String = "bucket"): Unit = {
+                                 partitionCol: String = "bucket",
+                                 retain: Int = 2): Unit = {
     val root = new Path(path)
     val f = fs(spark, root)
     if (manifestGens(f, root).isEmpty) {
-      compactBucketed(spark, path, dedupKeys, partitionCol)
+      compactBucketed(spark, path, dedupKeys, partitionCol, retain)
       return
     }
     if (hasParquet(spark, foldPath(path)))
-      foldIncremental(spark, path, dedupKeys, partitionCol)
+      foldIncremental(spark, path, dedupKeys, partitionCol, retain)
     val dp = new Path(deltaPath(path))
     if (f.exists(dp)) {
       snapshotDelta(spark, path)
-      foldIncremental(spark, path, dedupKeys, partitionCol)
+      foldIncremental(spark, path, dedupKeys, partitionCol, retain)
     }
   }
 
   private def foldIncremental(spark: SparkSession, path: String,
                               dedupKeys: Seq[String],
-                              partitionCol: String): Unit = {
+                              partitionCol: String,
+                              retain: Int = 2): Unit = {
     val root = new Path(path)
     val f = fs(spark, root)
     val prevBase = currentBase(spark, path)
@@ -424,8 +513,14 @@ object IndexMaintenance {
     val prevPath = new Path(prevBase)
     f.listStatus(prevPath).foreach { st =>
       val name = st.getPath.getName
+      // an unparsable partition value (e.g. __HIVE_DEFAULT_PARTITION__
+      // from a null bucket written out-of-band) can never match the
+      // Int-typed touched set — transfer it verbatim instead of
+      // aborting the whole compaction on a NumberFormatException
+      val bucketOfDir = scala.util.Try(
+        name.stripPrefix(partitionCol + "=").toInt).toOption
       if (st.isDirectory && name.startsWith(partitionCol + "=") &&
-          !touched.contains(name.stripPrefix(partitionCol + "=").toInt)) {
+          !bucketOfDir.exists(touched.contains)) {
         val dstDir = new Path(newBase, name)
         f.mkdirs(dstDir)
         f.listStatus(st.getPath).foreach { fileSt =>
@@ -452,12 +547,13 @@ object IndexMaintenance {
     }
     commitManifest(spark, path, gen, baseName)
     f.delete(new Path(foldPath(path)), true)
-    prune(spark, path, partitionCol)
+    prune(spark, path, partitionCol, retain)
   }
 
   private def foldOnce(spark: SparkSession, path: String,
                        dedupKeys: Seq[String],
-                       partitionCol: String): Unit = {
+                       partitionCol: String,
+                       retain: Int = 2): Unit = {
     val root = new Path(path)
     val f = fs(spark, root)
     val base = spark.read.parquet(currentBase(spark, path))
@@ -476,6 +572,6 @@ object IndexMaintenance {
       .parquet(s"$path/$baseName")
     commitManifest(spark, path, gen, baseName)
     f.delete(new Path(foldPath(path)), true)
-    prune(spark, path, partitionCol)
+    prune(spark, path, partitionCol, retain)
   }
 }

@@ -252,6 +252,112 @@ class DedupSimSpec extends SparkSpec {
     assert(hits(docB) === Set(2L))
   }
 
+  test("prune grace: a young unmanifested base dir (a concurrent " +
+      "compaction's written-but-uncommitted output) survives prune; " +
+      "superseded generations still prune immediately; aged orphans go") {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.IndexMaintenance
+    val idx = Files.createTempDirectory("graft_mhgrace").toString + "/idx"
+    val doc = "the quick brown fox jumps over the lazy dog again today"
+    DedupOps.writeMinhashIndex(Seq((1L, doc)).toDF("doc_id", "text"), idx)
+    // plant a NEVER-referenced base dir with a fresh mtime — the shape a
+    // concurrent compactor leaves between its base write and its
+    // manifest commit
+    val orphan = Paths.get(idx, "base_999_pending1")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("marker"), Array[Byte](1))
+
+    // drive three compactions (each appends then folds) — prune runs
+    // each time, and the young orphan must survive every one of them
+    for (i <- 0 until 3) {
+      DedupOps.appendMinhashIndexBands(
+        DedupOps.minhashBands(Seq((10L + i, doc)).toDF("doc_id", "text")),
+        idx)
+      DedupOps.compactMinhashIndex(spark, idx)
+      assert(Files.exists(orphan),
+        s"young uncommitted base deleted by prune on cycle $i — the " +
+          "grace window must protect a compaction racing its commit")
+    }
+    def rootNames() = Files.list(Paths.get(idx)).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    // superseded generations needed NO grace: only 2 manifested bases
+    // (plus the protected orphan) remain after three fold cycles
+    assert(rootNames().count(n =>
+      n.startsWith("base_") && n != "base_999_pending1") === 2,
+      rootNames().toString)
+
+    // age the orphan past the grace window -> next prune removes it
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 11L * 60 * 1000))
+    DedupOps.appendMinhashIndexBands(
+      DedupOps.minhashBands(Seq((50L, doc)).toDF("doc_id", "text")), idx)
+    DedupOps.compactMinhashIndex(spark, idx)
+    assert(!Files.exists(orphan),
+      "aged-out orphan must be pruned once past the grace window")
+  }
+
+  test("retention depth is configurable: retain=3 keeps three " +
+      "manifested generations for slow external probes") {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.IndexMaintenance
+    val idx = Files.createTempDirectory("graft_mhret").toString + "/idx"
+    val doc = "the quick brown fox jumps over the lazy dog again today"
+    DedupOps.writeMinhashIndex(Seq((1L, doc)).toDF("doc_id", "text"), idx)
+    for (i <- 0 until 4) {
+      DedupOps.appendMinhashIndexBands(
+        DedupOps.minhashBands(Seq((20L + i, doc)).toDF("doc_id", "text")),
+        idx)
+      IndexMaintenance.compactBucketed(spark, idx,
+        dedupKeys = Seq("doc_id", "band"), retain = 3)
+    }
+    val names = Files.list(Paths.get(idx)).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(names.count(_.startsWith("MANIFEST-")) === 3, names.toString)
+    assert(names.count(_.startsWith("base_")) === 3, names.toString)
+  }
+
+  test("incremental fold tolerates a non-integer partition dir (e.g. " +
+      "__HIVE_DEFAULT_PARTITION__ from an out-of-band writer): " +
+      "transferred verbatim, compaction completes") {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.IndexMaintenance
+    val idx = Files.createTempDirectory("graft_mhhive").toString + "/idx"
+    val docA = "the quick brown fox jumps over the lazy dog again today"
+    DedupOps.writeMinhashIndex(Seq((1L, docA)).toDF("doc_id", "text"), idx)
+    // an external writer landed a null-bucket partition dir in the live
+    // generation — before the fix this NumberFormatException'd the fold
+    val weird = Paths.get(IndexMaintenance.currentBase(spark, idx),
+      "bucket=__HIVE_DEFAULT_PARTITION__")
+    Files.createDirectories(weird)
+    Files.write(weird.resolve("_stray.bin"), Array[Byte](0))
+
+    DedupOps.appendMinhashIndexBands(
+      DedupOps.minhashBands(Seq((2L, docA)).toDF("doc_id", "text")), idx)
+    IndexMaintenance.compactBucketedIncremental(spark, idx,
+      dedupKeys = Seq("doc_id", "band"))
+    val newBase = IndexMaintenance.currentBase(spark, idx)
+    assert(Files.exists(
+      Paths.get(newBase, "bucket=__HIVE_DEFAULT_PARTITION__", "_stray.bin")),
+      "unparsable partition dir must transfer verbatim into the new " +
+        "generation")
+    // and the index still answers
+    val hits = DedupOps.minhashIndexProbe(spark, idx,
+        Seq((99L, docA)).toDF("doc_id", "text"))
+      .select("doc_corpus").collect().map(_.getLong(0)).toSet
+    assert(hits === Set(1L, 2L))
+  }
+
+  test("atomicRenameScheme: object-store schemes are refused, " +
+      "rename-atomic ones pass") {
+    import graft.ops.IndexMaintenance.atomicRenameScheme
+    for (ok <- Seq("file", "hdfs", "viewfs", "o3fs", null))
+      assert(atomicRenameScheme(ok), s"$ok should be accepted")
+    for (bad <- Seq("s3a", "S3A", "s3", "s3n", "gs", "wasb", "wasbs",
+        "abfs", "abfss", "oss", "cosn", "swift"))
+      assert(!atomicRenameScheme(bad), s"$bad must be refused")
+  }
+
   test("minhash LSH: identical docs share all bands, disjoint docs none") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again today"),
