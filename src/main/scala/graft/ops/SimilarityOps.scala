@@ -1354,4 +1354,124 @@ object SimilarityOps {
       .filter(col("_cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("_cos"), 6).as("cos_sim"))
   }
+
+  /** Deterministic fixed-size anchor sample for recall evaluation: the
+    * `m` ids with the smallest md5 of their decimal string — a total,
+    * data-independent order both engines replay bit-exactly. A FIXED
+    * anchor COUNT (not a fixed fraction) is the 100 TB eval posture:
+    * every downstream "anchor × corpus" stage is then O(m·n) instead of
+    * the all-pairs O(n²), and the eval's cost scales linearly with the
+    * corpus no matter how large it grows.
+    */
+  def hashSampleAnchors(vecs: DataFrame, m: Int,
+                        idCol: String = "vec_id"): DataFrame =
+    vecs.withColumn("_h", md5(col(idCol).cast("string").cast("binary")))
+      .orderBy(col("_h")).limit(m).drop("_h")
+
+  /** EXACT similarity ground truth bounded to an anchor set: ordered
+    * (anchor_id, nbr_id, cos_sim) pairs with cos >= `floor`, mined by
+    * broadcasting the (small, fixed-size) anchor side into one
+    * partitioned corpus scan — O(|anchors|·n) similarity evaluations,
+    * the bounded-sample recall-eval posture SCALE.md prescribes (the
+    * quarantined all-pairs form stays available as
+    * [[cosineNearDupPairs]] for bounded subsets and specs). A pair whose
+    * endpoints are BOTH anchors appears once per anchoring orientation;
+    * recall ratios are unaffected (numerator and denominator count it
+    * identically).
+    */
+  def anchorExactPairs(corpus: DataFrame, anchors: DataFrame,
+                       floor: Double, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(vecCol).as("_av"), l2Norm(col(vecCol)).as("_an"))
+    val c = Rebalance(corpus).select(col(idCol).as("nbr_id"),
+      col(vecCol).as("_cv"), l2Norm(col(vecCol)).as("_cn"))
+    c.crossJoin(broadcast(a))
+      .filter(col("anchor_id") =!= col("nbr_id"))
+      .withColumn("_cos", dot(col("_av"), col("_cv")) /
+        (col("_an") * col("_cn")))
+      .filter(col("_cos") >= floor)
+      .select(col("anchor_id"), col("nbr_id"),
+        round(col("_cos"), 6).as("cos_sim"))
+  }
+
+  /** Banded sign-LSH candidate pairs bounded to an anchor set: the
+    * candidates [[cosineNearDupPairsBucketed]] would generate, restricted
+    * to pairs touching an anchor — the denominator-matched candidate set
+    * for anchor-bounded recall evaluation. Anchor band signatures (m·
+    * bands rows) broadcast into one banded corpus scan; the DISTINCT
+    * collapses multi-band collisions over a candidate set bounded by
+    * m · bands · (n / 2^bandBits) expected rows.
+    */
+  def anchorBandedCandidates(corpus: DataFrame, anchors: DataFrame,
+                             dim: Int, bands: Int, bandBits: Int,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    val bits = bands * bandBits
+    require(bits <= 30, s"bands*bandBits=$bits exceeds int bucket width")
+    val mask = (1 << bandBits) - 1
+    def banded(df: DataFrame, idAlias: String): DataFrame = {
+      val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("_sig"), b * bandBits).bitwiseAND(lit(mask))
+          .as("band_val")))
+      df.select(col(idCol).as(idAlias),
+          lshBucket(col(vecCol), dim, bits).as("_sig"))
+        .select(col(idAlias), explode(array(bandCols: _*)).as("kv"))
+        .select(col(idAlias), col("kv.band").as("band"),
+          col("kv.band_val").as("band_val"))
+    }
+    banded(Rebalance(corpus), "nbr_id")
+      .join(broadcast(banded(anchors, "anchor_id")),
+        Seq("band", "band_val"))
+      .filter(col("anchor_id") =!= col("nbr_id"))
+      .select(col("anchor_id"), col("nbr_id")).distinct()
+  }
+
+  /** [[anchorBandedCandidates]] for SEVERAL (bands, bandBits) configs in
+    * ONE corpus scan — the fused form a config sweep wants. The
+    * hyperplanes of [[lshBucket]] depend only on their bit index, so
+    * every config's signature IS the low `bands·bandBits` bits of the
+    * single widest signature; one explode emits each config's band
+    * values tagged with its `leg` index and one join + distinct serves
+    * all legs (vs one scan+shuffle per config — measured job-count, not
+    * data, dominates the per-config spelling at eval sizes).
+    */
+  /** `restrictTo`: optional (anchor_id, nbr_id) frame — candidates are
+    * semi-joined against it (broadcast) BEFORE the distinct. A recall
+    * eval only consults candidates at its ground-truth pairs, so the
+    * restriction is semantically free there and turns the distinct's
+    * shuffle over the raw collision stream (the dominant cost: anchors ·
+    * bands · n/2^bandBits rows across configs) into a broadcast filter
+    * followed by a tiny distinct.
+    */
+  def anchorBandedCandidatesMulti(corpus: DataFrame, anchors: DataFrame,
+                                  dim: Int, configs: Seq[(Int, Int)],
+                                  restrictTo: Option[DataFrame] = None,
+                                  idCol: String = "vec_id",
+                                  vecCol: String = "embedding"): DataFrame = {
+    val maxBits = configs.map { case (b, r) => b * r }.max
+    require(maxBits <= 30, s"widest config needs $maxBits bits > 30")
+    def banded(df: DataFrame, idAlias: String): DataFrame = {
+      val combos = configs.zipWithIndex.flatMap { case ((bands, r), leg) =>
+        val mask = (1 << r) - 1
+        (0 until bands).map(b => struct(lit(leg).as("leg"),
+          lit(b).as("band"),
+          shiftrightunsigned(col("_sig"), b * r).bitwiseAND(lit(mask))
+            .as("band_val")))
+      }
+      df.select(col(idCol).as(idAlias),
+          lshBucket(col(vecCol), dim, maxBits).as("_sig"))
+        .select(col(idAlias), explode(array(combos: _*)).as("kv"))
+        .select(col(idAlias), col("kv.leg").as("leg"),
+          col("kv.band").as("band"), col("kv.band_val").as("band_val"))
+    }
+    val collisions = banded(Rebalance(corpus), "nbr_id")
+      .join(broadcast(banded(anchors, "anchor_id")),
+        Seq("leg", "band", "band_val"))
+      .filter(col("anchor_id") =!= col("nbr_id"))
+    val kept = restrictTo.fold(collisions)(p => collisions.join(
+      broadcast(p.select(col("anchor_id"), col("nbr_id"))),
+      Seq("anchor_id", "nbr_id"), "left_semi"))
+    kept.select(col("leg"), col("anchor_id"), col("nbr_id")).distinct()
+  }
 }

@@ -358,6 +358,58 @@ class DedupSimSpec extends SparkSpec {
       assert(!atomicRenameScheme(bad), s"$bad must be refused")
   }
 
+  test("anchor-bounded recall primitives: hash anchors are deterministic;" +
+      " exact pairs match the all-pairs miner restricted to anchors; " +
+      "fused multi-config candidates match the per-config op") {
+    import graft.ops.SimilarityOps
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2f - 1f))).toDF(
+      "vec_id", "embedding")
+
+    val anchors = SimilarityOps.hashSampleAnchors(vecs, 8)
+    val anchorIds = anchors.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(anchorIds.size === 8)
+    assert(anchorIds === SimilarityOps.hashSampleAnchors(vecs, 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet,
+      "anchor sample must be deterministic")
+
+    // exact pairs == all-pairs ground truth restricted to anchor rows
+    // (ordered per anchoring orientation)
+    val exact = SimilarityOps.anchorExactPairs(vecs, anchors, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allPairs = SimilarityOps.cosineNearDupPairs(vecs, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = allPairs.flatMap { case (a, b) =>
+      Seq(a -> b, b -> a).filter(p => anchorIds(p._1))
+        .map(p => (p._1, p._2))
+    }
+    assert(exact === expected)
+
+    // fused multi-config candidates decompose into the per-config op
+    val configs = Seq((4, 2), (6, 3), (3, 4))
+    val multi = SimilarityOps.anchorBandedCandidatesMulti(
+        vecs, anchors, dim = 16, configs)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    configs.zipWithIndex.foreach { case ((bands, bits), leg) =>
+      val single = SimilarityOps.anchorBandedCandidates(
+          vecs, anchors, dim = 16, bands = bands, bandBits = bits)
+        .collect().map(r => (leg, r.getLong(0), r.getLong(1))).toSet
+      assert(multi.filter(_._1 == leg) === single,
+        s"leg $leg (bands=$bands, bits=$bits) must match the " +
+          "single-config candidates")
+    }
+
+    // the restriction is semantically a filter: restrictTo keeps exactly
+    // the candidates whose pair appears in the filter frame
+    val filt = SimilarityOps.anchorExactPairs(vecs, anchors, 0.2)
+    val restricted = SimilarityOps.anchorBandedCandidatesMulti(
+        vecs, anchors, dim = 16, configs, restrictTo = Some(filt))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(restricted === multi.filter(t => exact((t._2, t._3))))
+  }
+
   test("minhash LSH: identical docs share all bands, disjoint docs none") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again today"),
