@@ -714,6 +714,149 @@ object SimilarityOps {
     } finally qcorpus.unpersist()
   }
 
+  /** [[writeIvfPqIndex]] with a TWO-LEVEL coarse quantizer — the scale
+    * lever when coarse-cell count must track corpus size: bounding cell
+    * occupancy needs nCells ∝ n, but the flat assignment then costs
+    * O(n·nCells) distance evaluations per build. Here k1·k2 effective
+    * cells cost O(n·(k1+k2)): one argmin over k1 trained coarse
+    * centroids, then one argmin over the k2 sub-centroids OF THE
+    * VECTOR'S OWN COARSE CELL (the inverted-multi-index discipline of
+    * [[semanticDedupTwoLevel]], applied to the serving index). Stored
+    * layout adds `subcells/` (c1, sub, dim, centroid) and a one-row
+    * `meta/` (k2) beside the flat form's artifacts; `codes/` partitions
+    * by the combined cell id c1·k2 + sub. Determinism matches
+    * [[semanticDedupTwoLevel]]: coarse level is
+    * [[kmeansCentroidArrays]]'s exact quantized trajectory, sub-init is
+    * each coarse cell's k2 LOWEST-id members, one exact Lloyd update,
+    * ties to the lower sub id — an oracle replays the whole build.
+    */
+  def writeIvfPqIndexTwoLevel(corpus: DataFrame, path: String, dim: Int,
+                              k1: Int, k2: Int, cellIters: Int, m: Int,
+                              codebookK: Int, pqIters: Int,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): Unit = {
+    require(k1 > 0 && k2 > 0, s"k1=$k1 k2=$k2")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qcorpus = Rebalance(corpus)
+      .select(col(idCol).as("_vid"), pqQuant(vecCol).as("_qv")).cache()
+    try {
+      val (coarse, pqCents) = fusedCellPqTrain(
+        qcorpus, k1, cellIters, dim, m, codebookK, pqIters)
+      val a1 = assignIvfPqCells(qcorpus, "_vid", coarse)
+        .select(col("_vid"), col("cell").as("_c1"), col("_qv"))
+        // feeds sub-init, the sub update, and the final assignment
+        .transform(df => if (graft.PlanMode.isExplainOnly) df
+          else df.localCheckpoint(eager = true))
+      val subs: Seq[(Int, Int, Seq[Long])] = trainSubCells(a1, k2)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2))).toSeq
+      coarse.flatMap { case (cid, qc) =>
+        qc.zipWithIndex.map { case (q, d) => (cid, d, q / 1e6) }
+      }.toDF("cid", "dim", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/cells")
+      subs.flatMap { case (c1, sub, qc) =>
+        qc.zipWithIndex.map { case (q, d) => (c1, sub, d, q / 1e6) }
+      }.toDF("c1", "sub", "dim", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/subcells")
+      Seq(Tuple1(k2)).toDF("k2")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      pqCents.toSeq.flatMap { case ((sub, cid), qc) =>
+        qc.zipWithIndex.map { case (q, d) => (sub, cid, d, q / 1e6) }
+      }.toDF("sub", "cid", "dim", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      val cCell = subArgmin(a1, "_vid",
+          broadcast(subs.toDF("_c1", "_sub", "_sqc")), k2)
+        .select(col("_vid"), col("cell"))
+      val codes = pqAssign(pqSubFormQ(qcorpus, "_vid", m, dim / m),
+          "_vid", pqCents)
+        .groupBy(col("_vid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("_sub"),
+            col("_m.c").as("_cid")))),
+          e => e.getField("_cid")).as("codes"))
+      graft.ops.IndexMaintenance.writeBase(
+        codes.join(cCell, Seq("_vid"))
+          .select(col("_vid").as(idCol), col("codes"), col("cell"))
+          .repartition(col("cell")),
+        s"$path/codes", partitionCol = "cell")
+    } finally qcorpus.unpersist()
+  }
+
+  /** Sub-centroids after one exact Lloyd update over a coarse-assigned
+    * quantized frame `a1` (_vid, _c1, _qv): init is each coarse cell's
+    * k2 lowest-id members, update is the quantized integer mean —
+    * the [[semanticDedupTwoLevel]] trajectory, shared here with the
+    * serving-index build. Returns (_c1, _sub, _sqc) rows; coarse cells
+    * with fewer than k2 members train fewer subs, and subs left empty
+    * by the update vanish (exactly as the SemDeDup form).
+    */
+  private def trainSubCells(a1: DataFrame, k2: Int): DataFrame = {
+    val wCell = Window.partitionBy(col("_c1")).orderBy(col("_vid"))
+    val s0 = broadcast(a1
+      .withColumn("_rk", row_number().over(wCell))
+      .filter(col("_rk") <= k2)
+      .select(col("_c1"), (col("_rk") - 1).as("_sub"),
+        col("_qv").as("_sqc")))
+    a1.join(s0, Seq("_c1"))
+      .groupBy(col("_vid"))
+      .agg(min(struct(sqDistQ(col("_qv"), col("_sqc")).as("d"),
+          col("_sub").as("s"))).as("_m"),
+        first(col("_c1")).as("_c1"), first(col("_qv")).as("_qv"))
+      .select(col("_c1"), col("_m.s").as("_sub"),
+        posexplode(col("_qv")).as(Seq("_dim", "_q")))
+      .groupBy(col("_c1"), col("_sub"), col("_dim"))
+      .agg(sum(col("_q")).as("_s"), count(lit(1)).as("_cnt"))
+      .withColumn("_qm",
+        round(col("_s").cast("double") / col("_cnt")).cast("long"))
+      .groupBy(col("_c1"), col("_sub"))
+      .agg(transform(array_sort(collect_list(struct(col("_dim"),
+        col("_qm")))), e => e.getField("_qm")).as("_sqc"))
+  }
+
+  /** Refine a coarse-assigned frame (`id`, _c1, _qv) to its combined
+    * two-level cell: argmin over the row's own coarse cell's
+    * sub-centroids (broadcast `sdf`: _c1, _sub, _sqc), ties to the
+    * lower sub; cell = _c1·k2 + sub.
+    */
+  private def subArgmin(a1: DataFrame, id: String, sdf: DataFrame,
+                        k2: Int): DataFrame =
+    a1.join(sdf, Seq("_c1"))
+      .groupBy(col(id))
+      .agg(min(struct(sqDistQ(col("_qv"), col("_sqc")).as("d"),
+          col("_sub").as("s"))).as("_m"),
+        first(col("_c1")).as("_c1"), first(col("_qv")).as("_qv"))
+      .select(col(id), (col("_c1") * k2 + col("_m.s")).as("cell"),
+        col("_qv"))
+
+  /** Probe a [[writeIvfPqIndexTwoLevel]] index: queries take the same
+    * two-stage assignment (coarse argmin over k1 stored centroids, then
+    * sub argmin within their own coarse cell), then the shared
+    * cell-pruned ADC probe ranks the stored codes. Train-free, like the
+    * flat [[ivfPqIndexTopK]].
+    */
+  def ivfPqIndexTopKTwoLevel(spark: org.apache.spark.sql.SparkSession,
+                             path: String, queries: DataFrame, k: Int,
+                             dim: Int, m: Int, idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val cells = loadIvfPqCells(spark, path)
+    val subs = spark.read.parquet(s"$path/subcells").collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case ((c1, sub), rs) =>
+        (c1, sub, rs.sortBy(_.getInt(2))
+          .map(r => math.round(r.getDouble(3) * 1e6)).toSeq)
+      }.toSeq
+    val k2 = spark.read.parquet(s"$path/meta")
+      .collect().head.getInt(0)
+    val q = queries.select(col(idCol).as("_qid"), pqQuant(vecCol).as("_qv"))
+    val a1 = assignIvfPqCells(q, "_qid", cells)
+      .select(col("_qid"), col("cell").as("_c1"), col("_qv"))
+    val qCell = subArgmin(a1, "_qid",
+      broadcast(subs.toDF("_c1", "_sub", "_sqc")), k2)
+    adcProbeStored(spark, path, qCell, k, dim, m, idCol)
+  }
+
   /** Probe a written IVF-PQ index: NO training, no raw-vector scan — the
     * per-query cost is one broadcast distance table (m×codebookK integer
     * entries per query) against a cell-pruned scan of the stored codes,
@@ -805,9 +948,22 @@ object SimilarityOps {
                      m: Int, idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val cells = loadIvfPqCells(spark, path)
-    val cents = loadIvfPqCodebooks(spark, path)
     val q = queries.select(col(idCol).as("_qid"), pqQuant(vecCol).as("_qv"))
     val qCell = assignIvfPqCells(q, "_qid", cells)
+    adcProbeStored(spark, path, qCell, k, dim, m, idCol)
+  }
+
+  /** The stored-index ADC probe shared by the flat and two-level index
+    * forms: given each query's resolved coarse cell (`qCell`: _qid,
+    * cell, _qv), build the per-query distance table from the stored
+    * codebooks, scan only the probed cells' codes
+    * (partition-pruned through [[graft.ops.IndexMaintenance]]), and
+    * rank by aggregated ADC distance.
+    */
+  private def adcProbeStored(spark: org.apache.spark.sql.SparkSession,
+                             path: String, qCell: DataFrame, k: Int,
+                             dim: Int, m: Int, idCol: String): DataFrame = {
+    val cents = loadIvfPqCodebooks(spark, path)
     val probeCells: Array[Int] = qCell.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
     val qdist = pqSubFormQ(qCell.select(col("_qid"), col("_qv")),

@@ -138,6 +138,78 @@ object DedupSimQueries {
                             ORDER BY dist, corpus_id) AS rnk
                    FROM adc)"""
 
+  /** TWO-LEVEL IVF-PQ replay: the coarse trajectory (k1=2, lowest-id
+    * init, one exact Lloyd update) refined per coarse cell by k2=2
+    * sub-centroids (lowest-id init, one update, ties to lower sub) —
+    * the [[graft.ops.SimilarityOps.writeIvfPqIndexTwoLevel]] build —
+    * composed with the same PQ/ADC replay as `ivfpqRankedCte`. Combined
+    * cell id = c1*2 + sub on both corpus and query sides.
+    */
+  private lazy val ivfpq2RankedCte: String = s"""
+        WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+                             $qzSql AS qv
+                      FROM embeddings WHERE vec_id >= 10),
+        qry AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+                       $qzSql AS qv
+                FROM embeddings WHERE vec_id < 10),
+        cc0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
+                         - 1 AS cid, qv AS qc
+                FROM (SELECT vec_id, qv FROM corp ORDER BY vec_id LIMIT 2)),
+        ca1 AS (${kmAssignSql("corp", "cc0")}),
+        cu1 AS (${kmMeanSql("ca1")}),
+        cc1 AS (SELECT cid, list(qc ORDER BY dim) AS qc
+                FROM cu1 GROUP BY cid),
+        ax AS (SELECT vec_id, ev, qv, cid AS c1
+               FROM (${kmAssignSql("corp", "cc1")})),
+        s0 AS (SELECT c1, CAST(rn - 1 AS INTEGER) AS sub, qv AS sqc
+               FROM (SELECT c1, qv, row_number() OVER (PARTITION BY c1
+                       ORDER BY vec_id) AS rn
+                     FROM ax)
+               WHERE rn <= 2),
+        sa1 AS (SELECT vec_id, qv, c1, sub FROM (
+                  SELECT a.vec_id, a.qv, a.c1, s.sub,
+                         row_number() OVER (PARTITION BY a.vec_id
+                           ORDER BY ${kmDistSql("a.qv", "s.sqc")}, s.sub)
+                           AS rn
+                  FROM ax a JOIN s0 s ON a.c1 = s.c1) WHERE rn = 1),
+        su1 AS (SELECT c1, sub, CAST(i AS INTEGER) - 1 AS dim,
+                       CAST(round(CAST(sum(qv[CAST(i AS INTEGER)])
+                         AS DOUBLE) / count(*)) AS BIGINT) AS qc
+                FROM sa1, UNNEST(generate_series(1, len(qv))) AS t(i)
+                GROUP BY 1, 2, 3),
+        sc1 AS (SELECT c1, sub, list(qc ORDER BY dim) AS sqc
+                FROM su1 GROUP BY 1, 2),
+        cellc AS (SELECT vec_id, CAST(c1 * 2 + sub AS INTEGER) AS cell
+                  FROM (
+                    SELECT a.vec_id, a.c1, s.sub,
+                           row_number() OVER (PARTITION BY a.vec_id
+                             ORDER BY ${kmDistSql("a.qv", "s.sqc")}, s.sub)
+                             AS rn
+                    FROM ax a JOIN sc1 s ON a.c1 = s.c1) WHERE rn = 1),
+        qa1 AS (SELECT vec_id, qv, cid AS c1
+                FROM (${kmAssignSql("qry", "cc1")})),
+        cellq AS (SELECT vec_id, CAST(c1 * 2 + sub AS INTEGER) AS cell
+                  FROM (
+                    SELECT a.vec_id, a.c1, s.sub,
+                           row_number() OVER (PARTITION BY a.vec_id
+                             ORDER BY ${kmDistSql("a.qv", "s.sqc")}, s.sub)
+                             AS rn
+                    FROM qa1 a JOIN sc1 s ON a.c1 = s.c1) WHERE rn = 1),
+        cq AS (SELECT vec_id, qv FROM corp),
+        qq AS (SELECT vec_id, qv FROM qry),
+        $pqPipelineSql,
+        adc AS (SELECT qd.query_id, enc.vec_id AS corpus_id,
+                       sum(qd.d) AS dist
+                FROM enc JOIN qd ON enc.sub = qd.sub AND enc.cid = qd.cid
+                JOIN cellc ON cellc.vec_id = enc.vec_id
+                JOIN cellq ON cellq.vec_id = qd.query_id
+                          AND cellq.cell = cellc.cell
+                GROUP BY 1, 2),
+        ranked AS (SELECT query_id, corpus_id, dist,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, corpus_id) AS rnk
+                   FROM adc)"""
+
   private def pqDistSql(a: String, b: String, subLen: Int): String =
     s"list_sum(list_transform(generate_series(1, $subLen), i -> " +
       s"($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]) * " +
@@ -757,6 +829,32 @@ object DedupSimQueries {
           e.filter(col("vec_id") < 10), k = 5, dim = 64, m = 4)
       },
       Some(s"""$ivfpqRankedCte
+        SELECT query_id, corpus_id,
+               round(CAST(dist AS DOUBLE) / 1000000000000, 6)
+                 AS approx_dist,
+               CAST(rnk AS INTEGER) AS rnk
+        FROM ranked WHERE rnk <= 5""")),
+
+    // TWO-LEVEL IVF-PQ serving index: coarse-cell count can track corpus
+    // size without the flat build's O(n·nCells) assignment — k1·k2
+    // effective cells for O(n·(k1+k2)) assignment work
+    // (writeIvfPqIndexTwoLevel; the semantic_dedup_2level
+    // inverted-multi-index trick applied to the serving index). Probes
+    // take the same two-stage assignment against the stored coarse +
+    // sub centroids, then the shared cell-pruned ADC. The oracle
+    // replays BOTH quantizer levels and the PQ/ADC trajectory.
+    "ivfpq_2level_index_topk" -> Entry(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = graft.sources.Scratch.materialize("ivfpq2_idx", dir) {
+          p => SimilarityOps.writeIvfPqIndexTwoLevel(
+            e.filter(col("vec_id") >= 10), p, dim = 64, k1 = 2, k2 = 2,
+            cellIters = 1, m = 4, codebookK = 8, pqIters = 1)
+        }
+        SimilarityOps.ivfPqIndexTopKTwoLevel(s, idx,
+          e.filter(col("vec_id") < 10), k = 5, dim = 64, m = 4)
+      },
+      Some(s"""$ivfpq2RankedCte
         SELECT query_id, corpus_id,
                round(CAST(dist AS DOUBLE) / 1000000000000, 6)
                  AS approx_dist,

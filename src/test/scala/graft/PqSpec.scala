@@ -236,4 +236,57 @@ class PqSpec extends SparkSpec {
     SimilarityOps.compactIvfPqCodes(spark, dir)
     assert(hits() === before)
   }
+
+  test("two-level IVF-PQ index: k1=1 degenerates bit-identically to the " +
+      "flat index; k1=2,k2=2 partitions into in-range combined cells " +
+      "and the probe partition-prunes") {
+    def vecs(n: Int, seed: Int) = (0 until n).map { i =>
+      (i.toLong + seed * 1000L, (0 until 16).map(d =>
+        (((i * 31 + d * 17 + seed) % 13) - 6).toFloat / 3f))
+    }.toDF("vec_id", "embedding")
+    val corpus = vecs(50, seed = 1)
+    val queries = vecs(5, seed = 2)
+
+    // k1=1: the coarse level is a single cell, so the sub level IS the
+    // flat quantizer — same lowest-id init ranks, same single Lloyd
+    // update, same cell ids (0*k2 + sub == cid). Probes must be
+    // bit-identical to the flat index with nCells = k2.
+    val flatDir = java.nio.file.Files
+      .createTempDirectory("ivfpq_flat").toString
+    val twoDir = java.nio.file.Files
+      .createTempDirectory("ivfpq_two").toString
+    SimilarityOps.writeIvfPqIndex(corpus, flatDir, dim = 16, nCells = 3,
+      cellIters = 1, m = 4, codebookK = 6, pqIters = 1)
+    SimilarityOps.writeIvfPqIndexTwoLevel(corpus, twoDir, dim = 16,
+      k1 = 1, k2 = 3, cellIters = 1, m = 4, codebookK = 6, pqIters = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1),
+        r.getDouble(2))).toMap
+    assert(rows(SimilarityOps.ivfPqIndexTopKTwoLevel(spark, twoDir,
+        queries, k = 5, dim = 16, m = 4)) ===
+      rows(SimilarityOps.ivfPqIndexTopK(spark, flatDir, queries, k = 5,
+        dim = 16, m = 4)))
+
+    // k1=2, k2=2: combined cells live in [0, k1*k2), every corpus vector
+    // is coded exactly once, and the probe's codes scan partition-prunes
+    // on the combined cell
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("ivfpq_two22").toString
+    SimilarityOps.writeIvfPqIndexTwoLevel(corpus, dir2, dim = 16,
+      k1 = 2, k2 = 2, cellIters = 1, m = 4, codebookK = 6, pqIters = 1)
+    val codes = spark.read.parquet(
+      graft.ops.IndexMaintenance.currentBase(spark, s"$dir2/codes"))
+    assert(codes.count() === 50)
+    val cells = codes.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert(cells.forall(c => c >= 0 && c < 4), cells.toString)
+    val probed = SimilarityOps.ivfPqIndexTopKTwoLevel(spark, dir2,
+      queries, k = 5, dim = 16, m = 4)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected cell-pruned codes scan:\n$plan")
+    // every query gets a full top-5 from its probed cell
+    val got = probed.collect()
+    assert(got.map(_.getLong(0)).distinct.length === 5)
+  }
 }
