@@ -74,6 +74,49 @@ object MetricOps {
         col("last_value"), col("props_keys"))
   }
 
+  /** [[windowedMetricsWithTexts]] with a BOUNDED texts column — the
+    * 100 TB form of the flagship family's one non-combining aggregate:
+    * the uncapped collect_list ships EVERY text through the shuffle and
+    * into one row (the reference stores the full BQ REPEATED column, so
+    * the uncapped twin keeps those semantics), while here only the
+    * `maxTexts` lexicographically-smallest keys per (window, key)
+    * survive. The bound is enforced where it matters — BEFORE the
+    * shuffle: the texts leg runs through [[TopKOps.topKPerGroup]]
+    * (map-side bounded heaps, shuffle only per-partition survivors), so
+    * both the aggregation buffers and the shuffle volume are O(groups ·
+    * maxTexts), not O(texts). (`slice(array_sort(collect_list), 1, N)`
+    * would bound only the OUTPUT row — the buffers and shuffle would
+    * still carry every text.) The combining metrics leg is unchanged
+    * and joins back on its own (window, key) partitioning.
+    */
+  def windowedMetricsWithTextsCapped(events: DataFrame, dur: String,
+                                     maxTexts: Int): DataFrame = {
+    val n = count(lit(1))
+    val base = events
+      .withColumn("k", get_json_object(col("props"), "$.k"))
+      .withColumn("window_start",
+        window(col("ts"), dur).getField("start"))
+    val metrics = base
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(
+        n.as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        exactAvg(col("value"), n).as("avg_value"),
+        max_by(col("value"), col("ts")).as("last_value"))
+    val texts = graft.ops.TopKOps.topKPerGroup(
+        base.filter(col("k").isNotNull)
+          .select(col("window_start"), col("event_type"), col("k")),
+        Seq("window_start", "event_type"), "k", descending = false,
+        tieCol = "k", k = maxTexts)
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(concat_ws(" ", array_sort(collect_list(col("k"))))
+        .as("props_keys"))
+    metrics.join(texts, Seq("window_start", "event_type"), "left")
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        col("sum_value"), col("avg_value"), col("last_value"),
+        coalesce(col("props_keys"), lit("")).as("props_keys"))
+  }
+
   /** J2: the lambda-architecture batch join — two windowed metric legs
     * full-outer joined on (window_start, key), a key present in either leg
     * yields a row (reference batch_to_mongo.py:235; CoGroupByKey semantics

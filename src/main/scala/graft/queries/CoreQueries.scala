@@ -34,6 +34,46 @@ object CoreQueries {
                string_agg(k, ' ' ORDER BY k) AS props_keys
         FROM e GROUP BY 1, 2""")),
 
+    // The flagship family's bounded-shuffle twin: texts capped to the 5
+    // lexicographically-smallest keys per (window, key), enforced
+    // map-side through the TopKPerGroup plan (bounded heaps, shuffle
+    // carries only survivors) — the 100 TB posture for the one
+    // non-combining aggregate; the uncapped entry above keeps the
+    // reference's full-REPEATED-column semantics.
+    "a1a4_windowed_metrics_capped" -> Entry(
+      (s, dir) => MetricOps.windowedMetricsWithTextsCapped(
+        Tables.events(s, dir), "30 seconds", maxTexts = 5),
+      Some("""
+        WITH e AS (
+          SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+                 regexp_extract(props, '"k": ([0-9]+)', 1) AS k
+          FROM events),
+        g AS (SELECT time_bucket(INTERVAL '30 seconds', ts)
+                       AS window_start,
+                     event_type, count(*) AS n_events,
+                     round(sum(value), 2) AS sum_value,
+                     round(sum(value), 2) / count(*) AS avg_value,
+                     arg_max(value, ts) AS last_value
+              FROM e GROUP BY 1, 2),
+        t AS (SELECT window_start, event_type, k FROM (
+                SELECT time_bucket(INTERVAL '30 seconds', ts)
+                         AS window_start,
+                       event_type, k,
+                       row_number() OVER (
+                         PARTITION BY
+                           time_bucket(INTERVAL '30 seconds', ts),
+                           event_type
+                         ORDER BY k) AS rn
+                FROM e WHERE k IS NOT NULL)
+              WHERE rn <= 5),
+        ta AS (SELECT window_start, event_type,
+                      string_agg(k, ' ' ORDER BY k) AS props_keys
+               FROM t GROUP BY 1, 2)
+        SELECT g.window_start, g.event_type, n_events, sum_value,
+               avg_value, last_value,
+               coalesce(props_keys, '') AS props_keys
+        FROM g LEFT JOIN ta USING (window_start, event_type)""")),
+
     // J2 + T3: lambda-architecture batch join — two windowed metric legs,
     // full-outer on (window, key); a key present in either leg yields a row
     // (reference batch_to_mongo.py:235, CoGroupByKey stream_join.py:519-524).

@@ -37,6 +37,36 @@ class CoreOpsSpec extends SparkSpec {
     assert(a1.getAs[Double]("last_value") === 99.0)
   }
 
+  test("capped windowed metrics: texts hold the N smallest keys, metrics " +
+      "match the uncapped op, a large cap degenerates to uncapped") {
+    val df = Seq(
+      ("A", ts("2024-01-01 00:00:05"), 10.0, """{"k": 9}"""),
+      ("A", ts("2024-01-01 00:00:10"), 20.0, """{"k": 3}"""),
+      ("A", ts("2024-01-01 00:00:15"), 30.0, """{"k": 12}"""),
+      ("A", ts("2024-01-01 00:00:20"), 40.0, """{"k": 5}"""),
+      ("B", ts("2024-01-01 00:00:10"), 7.0, """{"k": 1}""")
+    ).toDF("event_type", "ts", "value", "props")
+    val capped = MetricOps
+      .windowedMetricsWithTextsCapped(df, "30 seconds", maxTexts = 2)
+      .collect()
+    val a = capped.find(_.getAs[String]("event_type") == "A").get
+    // LEXICOGRAPHIC smallest two of ("9","3","12","5") = "12","3"
+    assert(a.getAs[String]("props_keys") === "12 3")
+    // combining metrics are those of the FULL group, not the kept texts
+    assert(a.getAs[Long]("n_events") === 4L)
+    assert(a.getAs[Double]("avg_value") === 25.0)
+    assert(a.getAs[Double]("last_value") === 40.0)
+    assert(capped.find(_.getAs[String]("event_type") == "B").get
+      .getAs[String]("props_keys") === "1")
+    // cap >= group size reproduces the uncapped op row-for-row
+    val un = MetricOps.windowedMetricsWithTexts(df, "30 seconds")
+      .collect().map(_.toSeq).toSet
+    val wide = MetricOps
+      .windowedMetricsWithTextsCapped(df, "30 seconds", maxTexts = 10)
+      .collect().map(_.toSeq).toSet
+    assert(wide === un)
+  }
+
   test("forwardFill carries last non-null within key (W6/A12)") {
     val df = Seq(
       ("A", 1, Some(10.0)), ("A", 2, None), ("A", 3, None),
