@@ -442,6 +442,43 @@ object IndexMaintenance {
     }
   }
 
+  /** One-row inspection of an index root's manifest/GC state — the
+    * auditable face of the retention contract ([[prune]]): how many
+    * manifests and base generations are retained, the live generation
+    * number, how many base_* dirs no retained manifest references
+    * (orphans of crashed or race-losing compactions, destined for the
+    * next prune once aged), and how many committed parquet files sit in
+    * the L0 delta / fold. After a clean compaction cycle the invariants
+    * are exact: `retain` manifests, `retain` bases, zero orphans, zero
+    * delta/fold files — the catalog's GC entry pins them against a
+    * replayable oracle. Driver-side listing only (bounded by retention
+    * depth + crash litter, never by index size).
+    */
+  def manifestStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val gens = manifestGens(f, root)
+    val referenced = gens.map(readManifest(f, root, _)).toSet
+    val baseDirs =
+      if (!f.exists(root)) Seq.empty[String]
+      else f.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("base_"))
+        .map(_.getPath.getName)
+    def parquetCount(dir: String): Long = {
+      val p = new Path(dir)
+      if (!f.exists(p)) 0L
+      else f.listStatus(p).count(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet")).toLong
+    }
+    Seq((gens.size.toLong, gens.lastOption.getOrElse(0L),
+      baseDirs.size.toLong,
+      baseDirs.count(d => !referenced(d)).toLong,
+      parquetCount(deltaPath(path)), parquetCount(foldPath(path))))
+      .toDF("n_manifests", "live_gen", "n_bases", "n_orphans",
+        "delta_files", "fold_files")
+  }
+
   /** [[compactBucketed]] with a BOUNDED rewrite unit — the 100 TB form:
     * only the bucket directories the delta actually touched are re-read
     * and rewritten (a partition-pruned scan); every untouched bucket of

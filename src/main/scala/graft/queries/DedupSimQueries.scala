@@ -515,6 +515,48 @@ object DedupSimQueries {
         WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
         GROUP BY 1, 2""")),
 
+    // GC/retention contract of the commit-manifest index machinery,
+    // pinned the way layout_file_stats pins layout: build a minhash
+    // index, drive three append+incremental-compaction cycles, then
+    // audit the root (IndexMaintenance.manifestStats). The INVARIANTS
+    // are exact and replayable: 2 retained manifests and base
+    // generations (retention depth), live generation = 1 initial write
+    // + 3 folds = 4, zero unreferenced base dirs after prune, zero
+    // committed delta/fold files, and the live base holds exactly
+    // 4 band rows per indexed doc (16 minhashes / 4-row bands) — the
+    // row count DuckDB recomputes from the documents table.
+    "index_manifest_gc" -> Entry(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val idx = graft.sources.Scratch.materialize("mhgc", dir) { path =>
+          DedupOps.writeMinhashIndex(
+            docs.filter(col("doc_id") < 100), s"$path/idx")
+          (0 until 3).foreach { i =>
+            DedupOps.appendMinhashIndexBands(
+              DedupOps.minhashBands(docs.filter(
+                col("doc_id") >= 100 + 2 * i &&
+                col("doc_id") < 102 + 2 * i)),
+              s"$path/idx")
+            DedupOps.compactMinhashIndexIncremental(s, s"$path/idx")
+          }
+        } + "/idx"
+        val live = s.read.parquet(
+          graft.ops.IndexMaintenance.currentBase(s, idx))
+        graft.ops.IndexMaintenance.manifestStats(s, idx)
+          .crossJoin(live.agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("doc_id")).as("n_docs")))
+      },
+      Some("""
+        SELECT CAST(2 AS BIGINT) AS n_manifests,
+               CAST(4 AS BIGINT) AS live_gen,
+               CAST(2 AS BIGINT) AS n_bases,
+               CAST(0 AS BIGINT) AS n_orphans,
+               CAST(0 AS BIGINT) AS delta_files,
+               CAST(0 AS BIGINT) AS fold_files,
+               CAST(4 * count(*) AS BIGINT) AS n_rows,
+               count(*) AS n_docs
+        FROM documents WHERE doc_id < 106""")),
+
     // Exact word-2-gram Jaccard similarity pairs above a floor —
     // the LSH verification stage, bounded to a doc subset. Join-key
     // shingles are df-capped at 50 (DedupOps.ngramJaccardPairs maxDf):

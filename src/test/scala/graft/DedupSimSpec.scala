@@ -358,6 +358,48 @@ class DedupSimSpec extends SparkSpec {
       assert(!atomicRenameScheme(bad), s"$bad must be refused")
   }
 
+  test("manifestStats audits the GC contract: clean cycles report the " +
+      "retention invariants, crash litter is visible until the next " +
+      "maintenance cycle reclaims it") {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.IndexMaintenance
+    val idx = Files.createTempDirectory("graft_mhstats").toString + "/idx"
+    val doc = "the quick brown fox jumps over the lazy dog again today"
+    DedupOps.writeMinhashIndex(Seq((1L, doc)).toDF("doc_id", "text"), idx)
+    def stats() = IndexMaintenance.manifestStats(spark, idx).collect().head
+    val s0 = stats()
+    assert(s0.getAs[Long]("n_manifests") === 1L)
+    assert(s0.getAs[Long]("live_gen") === 1L)
+    assert(s0.getAs[Long]("n_orphans") === 0L)
+
+    // an append leaves a committed delta file the audit must count
+    DedupOps.appendMinhashIndexBands(
+      DedupOps.minhashBands(Seq((2L, doc)).toDF("doc_id", "text")), idx)
+    assert(stats().getAs[Long]("delta_files") === 1L)
+
+    // crash litter: an aged unreferenced base dir (race-losing
+    // compaction that died before its commit)
+    val orphan = Paths.get(idx, "base_77_deadc0de")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("marker"), Array[Byte](1))
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 11L * 60 * 1000))
+    assert(stats().getAs[Long]("n_orphans") === 1L,
+      "audit must surface the unreferenced base dir")
+
+    // one maintenance cycle folds the delta and reclaims the orphan;
+    // the audit returns to the clean invariants
+    DedupOps.compactMinhashIndexIncremental(spark, idx)
+    val s1 = stats()
+    assert(s1.getAs[Long]("live_gen") === 2L)
+    assert(s1.getAs[Long]("n_manifests") === 2L)
+    assert(s1.getAs[Long]("n_bases") === 2L)
+    assert(s1.getAs[Long]("n_orphans") === 0L, "orphan must be pruned")
+    assert(s1.getAs[Long]("delta_files") === 0L)
+    assert(s1.getAs[Long]("fold_files") === 0L)
+  }
+
   test("anchor-bounded recall primitives: hash anchors are deterministic;" +
       " exact pairs match the all-pairs miner restricted to anchors; " +
       "fused multi-config candidates match the per-config op") {
