@@ -665,10 +665,25 @@ class StreamingSpec extends SparkSpec {
     assert(hits.contains(11L))
   }
 
-  test("streaming minhash dedup with in-loop incremental compaction: " +
-      "every batch folds the delta, generations advance, dedup " +
+  // The in-loop-compaction soak runs under BOTH state-store providers:
+  // the default (HDFS-backed) one and RocksDB — the production
+  // combination the streaming index paths ship with. The dedup pipeline
+  // itself folds through foreachBatch, but the provider governs every
+  // stateful operator the stream composes with, so the soak must hold
+  // under each.
+  for (provider <- Seq(None, Some(
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")))
+  test("streaming minhash dedup with in-loop incremental compaction" +
+      provider.fold("")(_ => " under RocksDB state store") +
+      ": every batch folds the delta, generations advance, dedup " +
       "semantics unchanged") {
     import java.nio.file.{Files, Paths}
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    provider.foreach(p =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+    try {
     import graft.ops.{DedupOps, IndexMaintenance}
     import graft.streaming.StreamingDedup
     val root = Files.createTempDirectory("graft_sdedupc").toString
@@ -726,6 +741,14 @@ class StreamingSpec extends SparkSpec {
     assert(hits(
       "the quick brown fox jumps over the lazy dog again today")
       === Set(1L))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("transformWithState first-seen dedup: repeats drop across " +
