@@ -163,6 +163,144 @@ case class SqDistLong(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** Batched argmin over a centroid MATRIX in ONE call — the blocked form
+  * of [[SqDistLong]] for the k-means/IVF assignment sites: instead of k
+  * expression invocations per row (one crossJoin row per centroid, then
+  * a min-struct aggregate), the whole argmin runs inside one codegen'd
+  * expression. The query vector is copied to a primitive long[] ONCE and
+  * re-read across all k centroids (the loop-blocked, pre-SIMD shape);
+  * no join rows materialize and no per-row aggregation runs.
+  *
+  * Returns struct(c: int, d: bigint) — the 0-based POSITION of the
+  * nearest centroid in `cents` and its exact Σ(a-b)² distance. Ties
+  * break to the LOWER position (strict `<` replacement scan), which
+  * with cid-sorted matrices is exactly the min(struct(d, cid))
+  * convention of the join form — assignments are bit-identical. Null
+  * vector or null/empty matrix → null. Null ELEMENTS follow
+  * [[SqDistLong]]: a null on either side of a dimension skips that
+  * dimension's contribution (quantized vectors never carry them).
+  *
+  * SCALE BOUND: `cents` is usually a plan literal, serialized with the
+  * stage's task binary — fine to a few-million elements; past that the
+  * caller must fall back to the broadcast-join form (SimilarityOps'
+  * argmin helper picks automatically).
+  */
+case class ArgMinSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("c", IntegerType, nullable = false),
+    StructField("d", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okVec = left.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    val okMat = right.dataType match {
+      case ArrayType(ArrayType(LongType, _), _) => true
+      case _ => false
+    }
+    if (okVec && okMat)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"argmin_sq_dist expects (array<bigint>, array<array<bigint>>), " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val m = b.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    val q = new Array[Long](dim)
+    val qn = new Array[Boolean](dim)
+    var i = 0
+    while (i < dim) {
+      qn(i) = x.isNullAt(i)
+      q(i) = if (qn(i)) 0L else x.getLong(i)
+      i += 1
+    }
+    var bestD = Long.MaxValue
+    var bestC = -1
+    var j = 0
+    val k = m.numElements()
+    while (j < k) {
+      if (!m.isNullAt(j)) {
+        val c = m.getArray(j)
+        val n = math.min(dim, c.numElements())
+        var s = 0L
+        var t = 0
+        while (t < n) {
+          if (!qn(t) && !c.isNullAt(t)) {
+            val d = q(t) - c.getLong(t)
+            s += d * d
+          }
+          t += 1
+        }
+        if (s < bestD) { bestD = s; bestC = j }
+      }
+      j += 1
+    }
+    if (bestC < 0) null
+    else new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](bestC, bestD))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val t = ctx.freshName("t"); val n = ctx.freshName("n")
+      val dim = ctx.freshName("dim"); val k = ctx.freshName("k")
+      val q = ctx.freshName("q"); val qn = ctx.freshName("qn")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      val bd = ctx.freshName("bestD"); val bc = ctx.freshName("bestC")
+      val c = ctx.freshName("cent")
+      s"""
+         |final int $dim = $a.numElements();
+         |final long[] $q = new long[$dim];
+         |final boolean[] $qn = new boolean[$dim];
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  $qn[$i] = $a.isNullAt($i);
+         |  $q[$i] = $qn[$i] ? 0L : $a.getLong($i);
+         |}
+         |long $bd = Long.MAX_VALUE;
+         |int $bc = -1;
+         |final int $k = $b.numElements();
+         |for (int $j = 0; $j < $k; $j++) {
+         |  if (!$b.isNullAt($j)) {
+         |    final org.apache.spark.sql.catalyst.util.ArrayData $c =
+         |      $b.getArray($j);
+         |    final int $n = java.lang.Math.min($dim, $c.numElements());
+         |    long $s = 0L;
+         |    for (int $t = 0; $t < $n; $t++) {
+         |      if (!$qn[$t] && !$c.isNullAt($t)) {
+         |        final long $d = $q[$t] - $c.getLong($t);
+         |        $s += $d * $d;
+         |      }
+         |    }
+         |    if ($s < $bd) { $bd = $s; $bc = $j; }
+         |  }
+         |}
+         |if ($bc < 0) {
+         |  ${ev.isNull} = true;
+         |  ${ev.value} = null;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions
+         |    .GenericInternalRow(new Object[] {
+         |      java.lang.Integer.valueOf($bc),
+         |      java.lang.Long.valueOf($bd) });
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product over array<float|double> columns. */
   def dot_product(a: Column, b: Column): Column =
@@ -171,6 +309,14 @@ object VectorFunctions {
   /** Codegen'd exact Σ(a-b)² over array<bigint> columns. */
   def sq_dist_long(a: Column, b: Column): Column =
     Bridge.column(SqDistLong(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd one-call argmin of Σ(a-b)² over a centroid matrix:
+    * struct(c = 0-based position, d = distance), ties to the lower
+    * position.
+    */
+  def argmin_sq_dist(vec: Column, cents: Column): Column =
+    Bridge.column(ArgMinSqDist(Bridge.expression(vec),
+      Bridge.expression(cents)))
 
   /** Register dot_product for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

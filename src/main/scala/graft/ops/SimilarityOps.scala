@@ -34,6 +34,45 @@ object SimilarityOps {
   private def sqDistQ(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.sq_dist_long(a, b)
 
+  /** Nearest-centroid assignment over a `_qv` column — the one argmin
+    * rule every quantized k-means/IVF leg shares, in its BATCHED form:
+    * for a plan-embeddable centroid set the whole argmin is ONE
+    * codegen'd [[graft.functions.ArgMinSqDist]] call per row (query
+    * vector loaded into a primitive array once, scanned against the
+    * whole cid-sorted matrix — no crossJoin rows, no min-struct
+    * aggregation, no exchange). Past the literal-size bound (the matrix
+    * rides the stage's task binary) it falls back to the broadcast
+    * crossJoin + min(struct(d, cid)) spelling. Both forms break ties to
+    * the lowest cid and compute identical exact integer distances, so
+    * assignments — and every oracle-replayed trajectory — are
+    * bit-identical. Appends `cellName` (the winning cid); all other
+    * columns pass through.
+    */
+  private def argminAssign(df: DataFrame, id: String,
+                           cells: Seq[(Int, Seq[Long])],
+                           cellName: String): DataFrame = {
+    val sorted = cells.sortBy(_._1)
+    val nElems = sorted.iterator.map(_._2.size.toLong).sum
+    if (nElems <= 4L * 1000 * 1000) {
+      val m = graft.functions.VectorFunctions.argmin_sq_dist(
+        col("_qv"), typedLit(sorted.map(_._2)))
+      df.withColumn(cellName,
+        element_at(typedLit(sorted.map(_._1)),
+          m.getField("c") + lit(1)))
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val cdf = broadcast(sorted.toDF("_ccid", "_cqc"))
+      val dist = sqDistQ(col("_qv"), col("_cqc"))
+      val others = df.columns.filterNot(_ == id).toSeq
+      df.crossJoin(cdf)
+        .groupBy(col(id))
+        .agg(min(struct(dist.as("d"), col("_ccid").as("c"))).as("_mm"),
+          others.map(c => first(col(c)).as(c)): _*)
+        .withColumn(cellName, col("_mm.c")).drop("_mm")
+    }
+  }
+
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
@@ -210,15 +249,9 @@ object SimilarityOps {
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Long](1)) }.toSeq
 
-    def assigned(c: Seq[(Int, Seq[Long])]) = {
-      val cdf = broadcast(c.toDF("_cid", "_qc"))
-      val dist = sqDistQ(col("_qv"), col("_qc"))
-      base.crossJoin(cdf)
-        .groupBy(col("_vid"))
-        .agg(min(struct(dist.as("d"), col("_cid").as("c"))).as("_m"),
-          first(col("_qv")).as("_qv"))
-        .select(col("_m.c").as("_cid"), col("_qv"))
-    }
+    def assigned(c: Seq[(Int, Seq[Long])]) =
+      argminAssign(base, "_vid", c, "_cid")
+        .select(col("_cid"), col("_qv"))
     def update(c: Seq[(Int, Seq[Long])]) =
       assigned(c)
         .select(col("_cid"), posexplode(col("_qv")).as(Seq("_dim", "_q")))
@@ -281,13 +314,8 @@ object SimilarityOps {
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Long](1)) }.toSeq
     def updateMap(c: Seq[(Int, Seq[Long])]): Map[Int, Seq[Long]] = {
-      val cdf = broadcast(c.toDF("_cid", "_qc"))
-      val dist = sqDistQ(col("_qv"), col("_qc"))
-      base.crossJoin(cdf)
-        .groupBy(col("_vid"))
-        .agg(min(struct(dist.as("d"), col("_cid").as("c"))).as("_m"),
-          first(col("_qv")).as("_qv"))
-        .select(col("_m.c").as("_cid"),
+      argminAssign(base, "_vid", c, "_cid")
+        .select(col("_cid"),
           posexplode(col("_qv")).as(Seq("_dim", "_q")))
         .groupBy(col("_cid"), col("_dim"))
         .agg(sum(col("_q")).as("_s"), count(lit(1)).as("_n"))
@@ -340,20 +368,14 @@ object SimilarityOps {
     import spark.implicits._
     val cents: Seq[(Int, Seq[Long])] =
       kmeansCentroidArrays(corpus, nClusters, iters, idCol, vecCol)
-    val cdf = broadcast(cents.toDF("_cid", "_qc"))
     val qvecExpr = transform(col(vecCol),
       v => round(v.cast("double") * 1e6).cast("long"))
-    def withCell(df: DataFrame, id: String, p: String) = {
-      val dist = sqDistQ(col("_qv"), col("_qc"))
-      df.select(col(idCol).as(id), col(vecCol).as(p + "v"),
-          l2Norm(col(vecCol)).as(p + "n"), qvecExpr.as("_qv"))
-        .crossJoin(cdf)
-        .groupBy(col(id))
-        .agg(min(struct(dist.as("d"), col("_cid").as("c"))).as("_m"),
-          first(col(p + "v")).as(p + "v"), first(col(p + "n")).as(p + "n"))
-        .select(col(id), col(p + "v"), col(p + "n"),
-          col("_m.c").as("bucket"))
-    }
+    def withCell(df: DataFrame, id: String, p: String) =
+      argminAssign(
+          df.select(col(idCol).as(id), col(vecCol).as(p + "v"),
+            l2Norm(col(vecCol)).as(p + "n"), qvecExpr.as("_qv")),
+          id, cents, "bucket")
+        .select(col(id), col(p + "v"), col(p + "n"), col("bucket"))
     val q = withCell(queries, "query_id", "q")
     val c = withCell(Rebalance(corpus), "corpus_id", "c")
     val scored = c.join(broadcast(q), Seq("bucket"))
@@ -562,13 +584,9 @@ object SimilarityOps {
       // half the trainer jobs of running the two Lloyd loops back-to-back
       val (cellCents, pqCents) = fusedCellPqTrain(
         qcorpus, nCells, cellIters, dim, m, codebookK, pqIters)
-      val cdf = broadcast(cellCents.toDF("_ccid", "_cqc"))
-      val cellDist = sqDistQ(col("_qv"), col("_cqc"))
       def cellOfQ(qdf: DataFrame, id: String): DataFrame =
-        qdf.crossJoin(cdf)
-          .groupBy(col(id))
-          .agg(min(struct(cellDist.as("d"), col("_ccid").as("c"))).as("_m"))
-          .select(col(id), col("_m.c").as("_cell"))
+        argminAssign(qdf, id, cellCents, "_cell")
+          .select(col(id), col("_cell"))
       val cCell = cellOfQ(qcorpus, "_vid")
       val qCell = cellOfQ(queries.select(col(idCol).as("_qid"),
         pqQuant(vecCol).as("_qv")), "_qid")
@@ -607,13 +625,8 @@ object SimilarityOps {
     // both update branches emit (_st, _sub, _cid, _dim, _qc); cells ride
     // _st=0 with a constant _sub
     def cellUpdateDf(c: Seq[(Int, Seq[Long])]): DataFrame = {
-      val cdf = broadcast(c.toDF("_cid", "_qc"))
-      val dist = sqDistQ(col("_qv"), col("_qc"))
-      qcorpus.crossJoin(cdf)
-        .groupBy(col("_vid"))
-        .agg(min(struct(dist.as("d"), col("_cid").as("c"))).as("_m"),
-          first(col("_qv")).as("_qv"))
-        .select(col("_m.c").as("_cid"),
+      argminAssign(qcorpus, "_vid", c, "_cid")
+        .select(col("_cid"),
           posexplode(col("_qv")).as(Seq("_dim", "_q")))
         .groupBy(col("_cid"), col("_dim"))
         .agg(sum(col("_q")).as("_s"), count(lit(1)).as("_n"))
@@ -888,17 +901,9 @@ object SimilarityOps {
     * argmin rule every IVF-PQ leg (build, append, probe) shares.
     */
   private def assignIvfPqCells(qrows: DataFrame, id: String,
-      cells: Seq[(Int, Seq[Long])]): DataFrame = {
-    val spark = qrows.sparkSession
-    import spark.implicits._
-    val cdf = broadcast(cells.toDF("_ccid", "_cqc"))
-    val cellDist = sqDistQ(col("_qv"), col("_cqc"))
-    qrows.crossJoin(cdf)
-      .groupBy(col(id))
-      .agg(min(struct(cellDist.as("d"), col("_ccid").as("c"))).as("_m"),
-        first(col("_qv")).as("_qv"))
-      .select(col(id), col("_m.c").as("cell"), col("_qv"))
-  }
+      cells: Seq[(Int, Seq[Long])]): DataFrame =
+    argminAssign(qrows, id, cells, "cell")
+      .select(col(id), col("cell"), col("_qv"))
 
   /** Incrementally add vectors to a written IVF-PQ index WITHOUT
     * retraining: new rows encode against the STORED codebooks
@@ -1297,21 +1302,16 @@ object SimilarityOps {
     val spark = vecs.sparkSession
     import spark.implicits._
     val cents = kmeansCentroidArrays(vecs, nClusters, iters, idCol, vecCol)
-    val cdf = broadcast(cents.toDF("_cid", "_qc"))
     val qv = transform(col(vecCol),
       v => round(v.cast("double") * 1e6).cast("long"))
-    val dist = sqDistQ(col("_qv"), col("_qc"))
-    val assigned = Rebalance(vecs)
-      .select(col(idCol), col(vecCol).as("_v"),
-        l2Norm(col(vecCol)).as("_n"), qv.as("_qv"))
-      .crossJoin(cdf)
-      .groupBy(col(idCol))
-      .agg(min(struct(dist.as("d"), col("_cid").as("c"))).as("_m"),
-        first(col("_v")).as("_v"), first(col("_n")).as("_n"))
-      .select(col(idCol), col("_v"), col("_n"), col("_m.c").as("_cell"))
+    val assigned = argminAssign(
+        Rebalance(vecs).select(col(idCol), col(vecCol).as("_v"),
+          l2Norm(col(vecCol)).as("_n"), qv.as("_qv")),
+        idCol, cents, "_cell")
+      .select(col(idCol), col("_v"), col("_n"), col("_cell"))
       // both self-join sides read this frame; without the eager local
-      // checkpoint each side re-runs the crossJoin+argmin assignment over
-      // the whole corpus (Spark shares no common subplans). Blocks are
+      // checkpoint each side re-runs the argmin assignment over the
+      // whole corpus (Spark shares no common subplans). Blocks are
       // swept by the harness' persistent-RDD sweep (CheckpointLifecycle).
       .transform(df => if (graft.PlanMode.isExplainOnly) df
         else df.localCheckpoint(eager = true))
@@ -1352,18 +1352,14 @@ object SimilarityOps {
     val spark = vecs.sparkSession
     import spark.implicits._
     val cents = kmeansCentroidArrays(vecs, nClusters, iters, idCol, vecCol)
-    val cdf = broadcast(cents.toDF("_cid", "_qc"))
     val qv = transform(col(vecCol),
       v => round(v.cast("double") * 1e6).cast("long"))
-    val dist = sqDistQ(col("_qv"), col("_qc"))
-    val assigned = Rebalance(vecs)
-      .select(col(idCol).as("_vid"), col(vecCol).as("_v"),
-        l2Norm(col(vecCol)).as("_n"), qv.as("_qv"))
-      .crossJoin(cdf)
-      .groupBy(col("_vid"))
-      .agg(min(struct(dist.as("d"), col("_cid").as("c"))).as("_m"),
-        first(col("_v")).as("_v"), first(col("_n")).as("_n"))
-      .select(col("_vid"), col("_v"), col("_n"), col("_m.c").as("cell"))
+    val assigned = argminAssign(
+        Rebalance(vecs).select(col(idCol).as("_vid"),
+          col(vecCol).as("_v"), l2Norm(col(vecCol)).as("_n"),
+          qv.as("_qv")),
+        "_vid", cents, "cell")
+      .select(col("_vid"), col("_v"), col("_n"), col("cell"))
       .transform(df => if (graft.PlanMode.isExplainOnly) df
         else df.localCheckpoint(eager = true))
     pruneWithinCells(assigned, threshold, idCol)
@@ -1396,20 +1392,14 @@ object SimilarityOps {
     val spark = vecs.sparkSession
     import spark.implicits._
     val coarse = kmeansCentroidArrays(vecs, k1, iters, idCol, vecCol)
-    val cdf = broadcast(coarse.toDF("_cid", "_qc"))
     val qv = transform(col(vecCol),
       v => round(v.cast("double") * 1e6).cast("long"))
-    val a1 = Rebalance(vecs)
-      .select(col(idCol).as("_vid"), col(vecCol).as("_v"),
-        l2Norm(col(vecCol)).as("_n"), qv.as("_qv"))
-      .crossJoin(cdf)
-      .groupBy(col("_vid"))
-      .agg(min(struct(sqDistQ(col("_qv"), col("_qc")).as("d"),
-          col("_cid").as("c"))).as("_m"),
-        first(col("_v")).as("_v"), first(col("_n")).as("_n"),
-        first(col("_qv")).as("_qv"))
-      .select(col("_vid"), col("_v"), col("_n"), col("_qv"),
-        col("_m.c").as("_c1"))
+    val a1 = argminAssign(
+        Rebalance(vecs).select(col(idCol).as("_vid"),
+          col(vecCol).as("_v"), l2Norm(col(vecCol)).as("_n"),
+          qv.as("_qv")),
+        "_vid", coarse, "_c1")
+      .select(col("_vid"), col("_v"), col("_n"), col("_qv"), col("_c1"))
       // feeds sub-init, sub-assignment, and the final assignment
       .transform(df => if (graft.PlanMode.isExplainOnly) df
         else df.localCheckpoint(eager = true))

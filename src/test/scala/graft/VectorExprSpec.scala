@@ -90,4 +90,52 @@ class VectorExprSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("dot_product") ||
       e.getMessage.toLowerCase.contains("data type"))
   }
+
+  test("argmin_sq_dist: one-call batched argmin matches the " +
+      "crossJoin+min(struct) form on random data, ties break to the " +
+      "lower position, null/empty matrix yields null") {
+    val rnd = new scala.util.Random(11)
+    val k = 7
+    val cents: Seq[Seq[Long]] = (0 until k).map(_ =>
+      Seq.fill(16)(rnd.nextInt(2000000).toLong - 1000000L))
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(16)(rnd.nextInt(2000000).toLong - 1000000L)))
+      .toDF("id", "qv")
+    val got = vecs.select($"id",
+        VectorFunctions.argmin_sq_dist($"qv", typedLit(cents)).as("m"))
+      .select($"id", $"m.c".as("c"), $"m.d".as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2)))
+      .toMap
+    // reference: the join form's min(struct(d, cid)) semantics
+    val cdf = cents.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cid", "cv")
+    val ref = vecs.crossJoin(broadcast(cdf))
+      .groupBy($"id")
+      .agg(min(struct(
+        VectorFunctions.sq_dist_long($"qv", $"cv").as("d"),
+        $"cid".as("c"))).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getStruct(1).getInt(1), r.getStruct(1).getLong(0))).toMap
+    assert(got === ref)
+
+    // exact ties break to the LOWER position: duplicate centroids
+    val dup = Seq(Seq(5L, 5L), Seq(1L, 1L), Seq(1L, 1L))
+    val t = Seq((0L, Seq(1L, 1L))).toDF("id", "qv")
+      .select(VectorFunctions.argmin_sq_dist($"qv", typedLit(dup)).as("m"))
+      .collect().head.getStruct(0)
+    assert(t.getInt(0) === 1 && t.getLong(1) === 0L)
+
+    // null vector / null matrix / empty matrix -> null
+    val n = Seq((Some(Seq(1L)), Some(Seq(Seq(1L)))),
+        (None, Some(Seq(Seq(1L)))),
+        (Some(Seq(1L)), None))
+      .toDF("qv", "m")
+      .select(VectorFunctions.argmin_sq_dist($"qv", $"m").as("r"))
+      .collect()
+    assert(!n(0).isNullAt(0) && n(1).isNullAt(0) && n(2).isNullAt(0))
+    val e = Seq((0L, Seq(1L))).toDF("id", "qv")
+      .select(VectorFunctions.argmin_sq_dist($"qv",
+        typedLit(Seq.empty[Seq[Long]])).as("r")).collect().head
+    assert(e.isNullAt(0), "empty matrix must yield null")
+  }
 }
