@@ -1027,12 +1027,31 @@ object SimilarityOps {
   /** Argmin cluster per (id, _sub): exact integer math, lower cid wins
     * ties (min over struct(d, cid)).
     */
+  /** Nearest sub-codeword per (row, subspace) — the PQ twin of
+    * [[argminAssign]]'s batched form: the m sub-codebooks ride as ONE
+    * nested plan literal indexed by `_sub`, and each row's argmin over
+    * its subspace's codebookK codewords is a single
+    * [[graft.functions.ArgMinSqDist]] call (was: join on _sub fanning
+    * codebookK rows per subvector + min-struct aggregate). Positions
+    * map back to cids through a parallel per-sub cid table, cid-sorted,
+    * so ties and therefore codes are bit-identical to the join form.
+    */
   private def pqAssign(df: DataFrame, id: String,
-                       c: Map[(Int, Int), Seq[Long]]): DataFrame =
-    df.join(pqCentsDF(df.sparkSession, c), Seq("_sub"))
-      .groupBy(col(id), col("_sub"))
-      .agg(min(struct(pqSubDist.as("d"), col("_cid").as("c"))).as("_m"),
-        first(col("_qs")).as("_qs"))
+                       c: Map[(Int, Int), Seq[Long]]): DataFrame = {
+    val bySub: Seq[Seq[(Int, Seq[Long])]] = c.groupBy(_._1._1).toSeq
+      .sortBy(_._1)
+      .map(_._2.toSeq.map { case ((_, cid), v) => (cid, v) }.sortBy(_._1))
+    val mats = typedLit(bySub.map(_.map(_._2)))
+    val cids = typedLit(bySub.map(_.map(_._1)))
+    val m0 = graft.functions.VectorFunctions.argmin_sq_dist(
+      col("_qs"), element_at(mats, col("_sub") + lit(1)))
+    df.withColumn("_m0", m0)
+      .withColumn("_m", struct(
+        col("_m0").getField("d").as("d"),
+        element_at(element_at(cids, col("_sub") + lit(1)),
+          col("_m0").getField("c") + lit(1)).as("c")))
+      .drop("_m0")
+  }
 
   /** Lloyd training of all m sub-codebooks in one pass per round.
     * Deterministic init: subvectors of the codebookK lowest-id corpus
