@@ -48,12 +48,19 @@ object SimilarityOps {
     * bit-identical. Appends `cellName` (the winning cid); all other
     * columns pass through.
     */
+  /** Literal-size bound for [[argminAssign]]'s batched branch, in matrix
+    * ELEMENTS (longs): ~32 MB of centroid data riding the task binary.
+    * Test-injectable so the fallback branch's parity is spec-pinned on
+    * small data (ArgMinAssignSpec) — production code never mutates it.
+    */
+  private[graft] var argminLiteralMaxElems: Long = 4L * 1000 * 1000
+
   private def argminAssign(df: DataFrame, id: String,
                            cells: Seq[(Int, Seq[Long])],
                            cellName: String): DataFrame = {
     val sorted = cells.sortBy(_._1)
     val nElems = sorted.iterator.map(_._2.size.toLong).sum
-    if (nElems <= 4L * 1000 * 1000) {
+    if (nElems <= argminLiteralMaxElems) {
       val m = graft.functions.VectorFunctions.argmin_sq_dist(
         col("_qv"), typedLit(sorted.map(_._2)))
       df.withColumn(cellName,

@@ -120,4 +120,32 @@ class SemDedupSpec extends SparkSpec {
         r.getAs[Any]("dup_cos"))).sortBy(_._1).toSeq
     assert(two === flat)
   }
+
+  test("argminAssign fallback (broadcast-join branch) is row-identical " +
+      "to the batched-kernel branch across the ops that share it") {
+    val rnd = new scala.util.Random(21)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    def both(f: => org.apache.spark.sql.DataFrame)
+        : (Set[Seq[Any]], Set[Seq[Any]]) = {
+      val kernel = rows(f)
+      val saved = SimilarityOps.argminLiteralMaxElems
+      SimilarityOps.argminLiteralMaxElems = 0L // force the join branch
+      try { (kernel, rows(f)) }
+      finally SimilarityOps.argminLiteralMaxElems = saved
+    }
+    val (k1, f1) = both(SimilarityOps.semanticDedup(
+      vecs, threshold = 0.2, nClusters = 4, iters = 2))
+    assert(k1 === f1, "semanticDedup branches diverge")
+    val (k2, f2) = both(SimilarityOps.kmeansCentroids(
+      vecs, k = 4, iters = 2))
+    assert(k2 === f2, "kmeansCentroids branches diverge")
+    val (k3, f3) = both(SimilarityOps.kmeansIvfTopK(
+      vecs.filter($"vec_id" < 5), vecs.filter($"vec_id" >= 5),
+      k = 3, nClusters = 3, iters = 2))
+    assert(k3 === f3, "kmeansIvfTopK branches diverge")
+  }
 }
