@@ -1352,6 +1352,56 @@ object SimilarityOps {
         round(col("_cos"), 6).as("cos_sim"))
   }
 
+  /** [[cosineNearDupPairsIvf]] with the TWO-LEVEL coarse assignment —
+    * the same scale lever [[semanticDedupTwoLevel]] and
+    * [[writeIvfPqIndexTwoLevel]] apply: k1·k2 effective cells at
+    * O(n·(k1+k2)) assignment cost, so cell count can track corpus size
+    * without the flat O(n·k) blowup. Shares [[trainSubCells]] /
+    * [[subArgmin]] with the serving-index build (identical trajectory:
+    * lowest-id sub-init, one exact Lloyd update, ties to the lower
+    * sub), then the flat form's same-cell cosine-verify tail. The same
+    * recall caveat applies doubled: pairs straddling EITHER level's
+    * boundary are missed — a high-similarity tool.
+    */
+  def cosineNearDupPairsIvfTwoLevel(vecs: DataFrame, threshold: Double,
+                                    k1: Int, k2: Int, iters: Int,
+                                    idCol: String = "vec_id",
+                                    vecCol: String = "embedding")
+      : DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val coarse = kmeansCentroidArrays(vecs, k1, iters, idCol, vecCol)
+    val qv = transform(col(vecCol),
+      v => round(v.cast("double") * 1e6).cast("long"))
+    val a1 = argminAssign(
+        Rebalance(vecs).select(col(idCol).as("_vid"),
+          col(vecCol).as("_v"), l2Norm(col(vecCol)).as("_n"),
+          qv.as("_qv")),
+        "_vid", coarse, "_c1")
+      // feeds sub-init, sub update, final argmin, and the payload join
+      .transform(df => if (graft.PlanMode.isExplainOnly) df
+        else df.localCheckpoint(eager = true))
+    val subs: Seq[(Int, Int, Seq[Long])] =
+      trainSubCells(a1.select(col("_vid"), col("_c1"), col("_qv")), k2)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2))).toSeq
+    val assigned = subArgmin(a1, "_vid",
+        broadcast(subs.toDF("_c1", "_sub", "_sqc")), k2)
+      .select(col("_vid"), col("cell"))
+      .join(a1.select(col("_vid"), col("_v"), col("_n")), Seq("_vid"))
+      .transform(df => if (graft.PlanMode.isExplainOnly) df
+        else df.localCheckpoint(eager = true))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+        col("a._vid") < col("b._vid"))
+      .select(col("a._vid").as("id_a"), col("b._vid").as("id_b"),
+        (dot(col("a._v"), col("b._v")) /
+          (col("a._n") * col("b._n"))).as("_cos"))
+      .filter(col("_cos") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("_cos"), 6).as("cos_sim"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication by clustering the embedding space with k-means and
     * pruning WITHIN clusters only — every vector with a lower-id

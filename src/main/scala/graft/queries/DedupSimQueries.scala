@@ -1340,6 +1340,64 @@ object DedupSimQueries {
         SELECT id_a, id_b, round(c, 6) AS cos_sim
         FROM pairs WHERE c >= 0.3""")),
 
+    // Two-level twin of cosine_near_dup_ivf: k1·k2 effective cells for
+    // O(n·(k1+k2)) assignment (shared trainSubCells/subArgmin machinery
+    // with the two-level serving index). Oracle replays the identical
+    // two-stage trajectory as semantic_dedup_2level, then the same-cell
+    // pair tail.
+    "cosine_near_dup_ivf2" -> Entry(
+      (s, dir) => SimilarityOps.cosineNearDupPairsIvfTwoLevel(
+        Tables.embeddings(s, dir), 0.3, k1 = 3, k2 = 3, iters = 1),
+      Some(s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+                          $qzSql AS qv
+                   FROM embeddings),
+        cc0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
+                         - 1 AS cid, qv AS qc
+                FROM (SELECT vec_id, qv FROM v ORDER BY vec_id LIMIT 3)),
+        ca1 AS (${kmAssignSql("v", "cc0")}),
+        cu1 AS (${kmMeanSql("ca1")}),
+        cc1 AS (SELECT cid, list(qc ORDER BY dim) AS qc
+                FROM cu1 GROUP BY cid),
+        a1 AS (SELECT vec_id, ev, qv, cid AS c1
+               FROM (${kmAssignSql("v", "cc1")})),
+        s0 AS (SELECT c1, CAST(rn - 1 AS INTEGER) AS sub, qv AS sqc
+               FROM (SELECT c1, qv, row_number() OVER (PARTITION BY c1
+                       ORDER BY vec_id) AS rn
+                     FROM a1)
+               WHERE rn <= 3),
+        sa1 AS (SELECT vec_id, qv, c1, sub FROM (
+                  SELECT a.vec_id, a.qv, a.c1, s.sub,
+                         row_number() OVER (PARTITION BY a.vec_id
+                           ORDER BY ${kmDistSql("a.qv", "s.sqc")}, s.sub)
+                           AS rn
+                  FROM a1 a JOIN s0 s ON a.c1 = s.c1) WHERE rn = 1),
+        su1 AS (SELECT c1, sub, CAST(i AS INTEGER) - 1 AS dim,
+                       CAST(round(CAST(sum(qv[CAST(i AS INTEGER)])
+                         AS DOUBLE) / count(*)) AS BIGINT) AS qc
+                FROM sa1, UNNEST(generate_series(1, len(qv))) AS t(i)
+                GROUP BY 1, 2, 3),
+        sc1 AS (SELECT c1, sub, list(qc ORDER BY dim) AS sqc
+                FROM su1 GROUP BY 1, 2),
+        fa AS (SELECT vec_id, ev, c1, sub FROM (
+                 SELECT a.vec_id, a.ev, a.c1, s.sub,
+                        row_number() OVER (PARTITION BY a.vec_id
+                          ORDER BY ${kmDistSql("a.qv", "s.sqc")}, s.sub)
+                          AS rn
+                 FROM a1 a JOIN sc1 s ON a.c1 = s.c1) WHERE rn = 1),
+        asg AS (SELECT vec_id, ev,
+                       CAST(c1 * 3 + sub AS INTEGER) AS cell
+                FROM fa),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_dot_product(a.ev, b.ev) /
+                   (sqrt(list_dot_product(a.ev, a.ev)) *
+                    sqrt(list_dot_product(b.ev, b.ev))) AS c
+          FROM asg a JOIN asg b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, round(c, 6) AS cos_sim
+        FROM pairs WHERE c >= 0.3""")),
+
     // IVF/LSH-bucketed ANN top-k (approximate scale path). The hyperplanes
     // are deterministic, so the oracle embeds them as generated double
     // literals and replays the exact bucket-join + rank.

@@ -912,6 +912,51 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("cosineNearDupPairsIvfTwoLevel: subset of the exact form with " +
+       "identical scores; full recall on the high-similarity corpus; " +
+       "k2=1 degenerates to the flat IVF form") {
+    val rnd = new scala.util.Random(7)
+    val bases = Seq.tabulate(20)(_ => Array.fill(8)(rnd.nextGaussian()))
+    val rows = bases.zipWithIndex.flatMap { case (b, i) =>
+      Seq.tabulate(3) { c =>
+        val v = b.zipWithIndex.map { case (x, d) =>
+          (x + (if (c == 0) 0.0 else 0.01 * ((i + c + d) % 3 - 1))).toFloat
+        }
+        (i * 10L + c, v.toSeq)
+      }
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val two = SimilarityOps.cosineNearDupPairsIvfTwoLevel(vecs, 0.99,
+        k1 = 2, k2 = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val exact = SimilarityOps.cosineNearDupPairs(vecs, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    two.foreach { case (pair, score) =>
+      assert(exact.contains(pair) && exact(pair) === score, pair)
+    }
+    // near-identical triples co-assign through BOTH levels
+    bases.indices.foreach { i =>
+      val ids = Seq(i * 10L, i * 10L + 1, i * 10L + 2)
+      ids.combinations(2).foreach { case Seq(a, b) =>
+        assert(two.contains((a, b)),
+          s"near-dup pair ($a,$b) missed by two-level cell restriction")
+      }
+    }
+    // k2=1: the sub level is a single centroid per coarse cell, so the
+    // pair set equals the flat IVF form at the same k1/iters
+    val flatEq = SimilarityOps.cosineNearDupPairsIvfTwoLevel(vecs, 0.99,
+        k1 = 4, k2 = 1, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val flat = SimilarityOps.cosineNearDupPairsIvf(vecs, 0.99,
+        nClusters = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(flatEq === flat, "k2=1 must reproduce the flat cell partition")
+  }
+
   // keep LAST in the suite: setting a checkpoint dir flips dupClusters
   // to reliable mode for the rest of this session
   test("dupClusters under a configured checkpoint dir uses RELIABLE " +
