@@ -1352,6 +1352,38 @@ object SimilarityOps {
         round(col("_cos"), 6).as("cos_sim"))
   }
 
+  /** Embedding-space decontamination — the SEMANTIC member of the
+    * decontamination family (n-gram exact set membership, Bloom
+    * approximate membership, and now cosine proximity): flag every
+    * train row whose embedding sits within `floor` cosine of ANY eval
+    * row — paraphrased or lightly-reworded eval leakage that no n-gram
+    * overlap can see. The (small, bounded) eval side broadcasts into
+    * one partitioned train scan — O(|eval|·n) dot products, the same
+    * shape as [[hardNegatives]]/[[anchorExactPairs]]; no shuffle except
+    * the per-train-row max aggregate, which partial-aggregates
+    * map-side. Output keeps every train id with its strongest eval
+    * similarity and the flag (filtering vs routing is the caller's
+    * policy, like [[DedupOps.bloomDecontaminate]]). At eval sets past
+    * broadcast size, pre-reduce the eval side (e.g. k-means centroids
+    * at a tightened floor) or run per-eval-shard and OR the flags.
+    */
+  def semanticDecontaminate(train: DataFrame, evalSet: DataFrame,
+                            floor: Double, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val ev = evalSet.select(col(vecCol).as("_ev"),
+      l2Norm(col(vecCol)).as("_en"))
+    Rebalance(train)
+      .select(col(idCol), col(vecCol).as("_tv"),
+        l2Norm(col(vecCol)).as("_tn"))
+      .crossJoin(broadcast(ev))
+      .select(col(idCol), (dot(col("_tv"), col("_ev")) /
+        (col("_tn") * col("_en"))).as("_cos"))
+      .groupBy(col(idCol))
+      .agg(max(col("_cos")).as("_maxc"))
+      .select(col(idCol), round(col("_maxc"), 6).as("max_eval_cos"),
+        (col("_maxc") >= floor).as("is_contaminated"))
+  }
+
   /** [[cosineNearDupPairsIvf]] with the TWO-LEVEL coarse assignment —
     * the same scale lever [[semanticDedupTwoLevel]] and
     * [[writeIvfPqIndexTwoLevel]] apply: k1·k2 effective cells at

@@ -1340,6 +1340,31 @@ object DedupSimQueries {
         SELECT id_a, id_b, round(c, 6) AS cos_sim
         FROM pairs WHERE c >= 0.3""")),
 
+    // Semantic decontamination: flag train vectors within cosine floor
+    // of ANY eval vector — the paraphrase-leakage check the n-gram and
+    // Bloom decontaminators cannot see. Eval side broadcast; one train
+    // scan + a map-side-combining max aggregate.
+    "semantic_decontaminate" -> Entry(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilarityOps.semanticDecontaminate(
+          e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+          floor = 0.3)
+      },
+      Some("""
+        WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS tv
+                   FROM embeddings WHERE vec_id >= 10),
+        ev AS (SELECT CAST(embedding AS DOUBLE[]) AS evv
+               FROM embeddings WHERE vec_id < 10),
+        m AS (SELECT t.vec_id,
+                     max(list_dot_product(tv, evv) /
+                         (sqrt(list_dot_product(tv, tv)) *
+                          sqrt(list_dot_product(evv, evv)))) AS maxc
+              FROM t CROSS JOIN ev GROUP BY 1)
+        SELECT vec_id, round(maxc, 6) AS max_eval_cos,
+               maxc >= 0.3 AS is_contaminated
+        FROM m""")),
+
     // Two-level twin of cosine_near_dup_ivf: k1·k2 effective cells for
     // O(n·(k1+k2)) assignment (shared trainSubCells/subArgmin machinery
     // with the two-level serving index). Oracle replays the identical

@@ -912,6 +912,28 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("semanticDecontaminate: a near-clone of an eval vector flags, " +
+       "orthogonal vectors do not, and the flag is the cosine max") {
+    // eval: two axis vectors. train: a tiny perturbation of eval#1 (the
+    // paraphrase leak n-grams cannot see), an orthogonal vector, and an
+    // anti-parallel one (cos = -1: proximity, not distance, decides)
+    val evalSet = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (10L, Seq(0.99f, 0.05f, 0f, 0f)),  // leak
+      (11L, Seq(0f, 0f, 1f, 0f)),        // clean
+      (12L, Seq(-1f, 0f, 0f, 0f)))       // anti-parallel: clean
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.semanticDecontaminate(train, evalSet, 0.8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out(10L)._2 && out(10L)._1 > 0.99)
+    assert(!out(11L)._2 && out(11L)._1 === 0.0)
+    assert(!out(12L)._2 && out(12L)._1 === 0.0) // max vs eval#2 is 0
+    assert(out.size === 3, "every train row keeps a row + flag")
+  }
+
   test("cosineNearDupPairsIvfTwoLevel: subset of the exact form with " +
        "identical scores; full recall on the high-similarity corpus; " +
        "k2=1 degenerates to the flat IVF form") {
