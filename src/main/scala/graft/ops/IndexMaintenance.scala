@@ -102,13 +102,18 @@ object IndexMaintenance {
       "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
       "oss", "cosn", "swift").contains(scheme.toLowerCase)
 
-  private def requireAtomicRename(f: FileSystem, what: String): Unit =
-    require(atomicRenameScheme(f.getScheme),
+  private def requireAtomicRename(f: FileSystem, what: String): Unit = {
+    // FileSystem.getScheme's base implementation THROWS — a connector
+    // that never overrides it is treated as unknown, and unknown is
+    // allowed (the set above is a denylist of known-emulated renames)
+    val scheme = scala.util.Try(f.getScheme).getOrElse(null)
+    require(atomicRenameScheme(scheme),
       s"$what requires an atomic-rename filesystem (HDFS/local); " +
-        s"scheme '${f.getScheme}' emulates rename as copy+delete, which " +
+        s"scheme '$scheme' emulates rename as copy+delete, which " +
         "breaks the manifest/fold concurrency contract. Host the index " +
         "on a rename-atomic store, or run single-writer quiesced " +
         "maintenance against a staging filesystem and publish the result.")
+  }
 
   private def hasParquet(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
@@ -210,6 +215,9 @@ object IndexMaintenance {
     */
   private def prune(spark: SparkSession, path: String,
                     partitionCol: String, retain: Int = 2): Unit = {
+    require(retain >= 1, s"retain=$retain would delete every retained " +
+      "generation including the one just committed; retain >= 2 is the " +
+      "contract that also protects in-flight probes")
     val root = new Path(path)
     val f = fs(spark, root)
     val gens = manifestGens(f, root)
@@ -217,7 +225,13 @@ object IndexMaintenance {
     val keepGens = gens.takeRight(retain)
     val dropGens = gens.dropRight(retain)
     val keepBases = keepGens.map(readManifest(f, root, _)).toSet
-    val supersededBases = dropGens.map(readManifest(f, root, _)).toSet
+    // a CONCURRENT prune may delete a superseded manifest between our
+    // listing and this read — losing the read only costs that base dir
+    // one grace-window cycle (it falls into the aged-orphan path), so a
+    // vanished manifest must not fail a compaction that already
+    // committed
+    val supersededBases = dropGens.flatMap(g =>
+      scala.util.Try(readManifest(f, root, g)).toOption).toSet
     val now = System.currentTimeMillis()
     dropGens.foreach(g =>
       f.delete(new Path(root, s"$ManifestPrefix$g"), false))
@@ -243,6 +257,7 @@ object IndexMaintenance {
                 partitionCol: String = "bucket",
                 mode: String = "overwrite",
                 retain: Int = 2): Unit = {
+    require(retain >= 1, s"retain=$retain (see prune contract)")
     require(mode == "overwrite" || mode == "append",
       s"writeBase supports only overwrite|append, got '$mode' — " +
         "other SaveModes would silently commit a new generation")
@@ -371,6 +386,7 @@ object IndexMaintenance {
                       dedupKeys: Seq[String] = Nil,
                       partitionCol: String = "bucket",
                       retain: Int = 2): Unit = {
+    require(retain >= 1, s"retain=$retain (see prune contract)")
     healOrphans(spark, path)
     // crash leftover: a stranded fold is folded before touching the delta
     if (hasParquet(spark, foldPath(path)))
@@ -497,6 +513,7 @@ object IndexMaintenance {
                                  dedupKeys: Seq[String] = Nil,
                                  partitionCol: String = "bucket",
                                  retain: Int = 2): Unit = {
+    require(retain >= 1, s"retain=$retain (see prune contract)")
     val root = new Path(path)
     val f = fs(spark, root)
     if (manifestGens(f, root).isEmpty) {

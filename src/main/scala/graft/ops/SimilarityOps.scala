@@ -76,7 +76,14 @@ object SimilarityOps {
         .groupBy(col(id))
         .agg(min(struct(dist.as("d"), col("_ccid").as("c"))).as("_mm"),
           others.map(c => first(col(c)).as(c)): _*)
-        .withColumn(cellName, col("_mm.c")).drop("_mm")
+        // null-vector parity with the kernel branch: a null _qv makes
+        // every distance null, and min(struct(null, cid)) would resolve
+        // on cid alone — the kernel yields a NULL cell for such rows,
+        // so this branch must too (quantized vectors are never null in
+        // practice; this keeps the two branches bit-identical anyway)
+        .withColumn(cellName,
+          when(col("_qv").isNull, lit(null)).otherwise(col("_mm.c")))
+        .drop("_mm")
     }
   }
 
@@ -642,7 +649,7 @@ object SimilarityOps {
           round(col("_s").cast("double") / col("_n")).cast("long").as("_qc"))
     }
     def pqUpdateDf(c: Map[(Int, Int), Seq[Long]]): DataFrame =
-      pqAssign(csub, "_vid", c)
+      pqAssign(csub, c)
         .select(col("_sub"), col("_m.c").as("_cid"),
           posexplode(col("_qs")).as(Seq("_dim", "_q")))
         .groupBy(col("_sub"), col("_cid"), col("_dim"))
@@ -719,8 +726,7 @@ object SimilarityOps {
         .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
       val cCell = assignIvfPqCells(qcorpus, "_vid", cellCents)
         .select(col("_vid"), col("cell"))
-      val codes = pqAssign(pqSubFormQ(qcorpus, "_vid", m, dim / m),
-          "_vid", pqCents)
+      val codes = pqAssign(pqSubFormQ(qcorpus, "_vid", m, dim / m), pqCents)
         .groupBy(col("_vid"))
         .agg(transform(
           array_sort(collect_list(struct(col("_sub"),
@@ -788,8 +794,7 @@ object SimilarityOps {
       val cCell = subArgmin(a1, "_vid",
           broadcast(subs.toDF("_c1", "_sub", "_sqc")), k2)
         .select(col("_vid"), col("cell"))
-      val codes = pqAssign(pqSubFormQ(qcorpus, "_vid", m, dim / m),
-          "_vid", pqCents)
+      val codes = pqAssign(pqSubFormQ(qcorpus, "_vid", m, dim / m), pqCents)
         .groupBy(col("_vid"))
         .agg(transform(
           array_sort(collect_list(struct(col("_sub"),
@@ -1031,9 +1036,6 @@ object SimilarityOps {
   /** Exact integer squared distance between _qs and _qc. */
   private def pqSubDist: Column = sqDistQ(col("_qs"), col("_qc"))
 
-  /** Argmin cluster per (id, _sub): exact integer math, lower cid wins
-    * ties (min over struct(d, cid)).
-    */
   /** Nearest sub-codeword per (row, subspace) — the PQ twin of
     * [[argminAssign]]'s batched form: the m sub-codebooks ride as ONE
     * nested plan literal indexed by `_sub`, and each row's argmin over
@@ -1043,7 +1045,7 @@ object SimilarityOps {
     * map back to cids through a parallel per-sub cid table, cid-sorted,
     * so ties and therefore codes are bit-identical to the join form.
     */
-  private def pqAssign(df: DataFrame, id: String,
+  private def pqAssign(df: DataFrame,
                        c: Map[(Int, Int), Seq[Long]]): DataFrame = {
     val bySub: Seq[Seq[(Int, Seq[Long])]] = c.groupBy(_._1._1).toSeq
       .sortBy(_._1)
@@ -1087,7 +1089,7 @@ object SimilarityOps {
       }.toMap
     }
     def update(c: Map[(Int, Int), Seq[Long]]): Map[(Int, Int), Seq[Long]] =
-      pqAssign(csub, "_vid", c)
+      pqAssign(csub, c)
         .select(col("_sub"), col("_m.c").as("_cid"),
           posexplode(col("_qs")).as(Seq("_dim", "_q")))
         .groupBy(col("_sub"), col("_cid"), col("_dim"))
@@ -1185,7 +1187,7 @@ object SimilarityOps {
         pqTrainCents(qcorpus, csub, dim, m, codebookK, iters))
       // encode the corpus under the trained codebooks; queries get a
       // per-(query, subspace, cluster) distance table instead
-      val codes0 = pqAssign(csub, "_vid", cents)
+      val codes0 = pqAssign(csub, cents)
         .select(col("_vid"), col("_sub"), col("_m.c").as("_cid"))
       val qdist0 = pqSubForm(queries, "_qid", idCol, vecCol, m, subLen)
         .join(pqCentsDF(spark, cents), Seq("_sub"))
@@ -1372,7 +1374,7 @@ object SimilarityOps {
                             vecCol: String = "embedding"): DataFrame = {
     val ev = evalSet.select(col(vecCol).as("_ev"),
       l2Norm(col(vecCol)).as("_en"))
-    Rebalance(train)
+    val scored = Rebalance(train)
       .select(col(idCol), col(vecCol).as("_tv"),
         l2Norm(col(vecCol)).as("_tn"))
       .crossJoin(broadcast(ev))
@@ -1380,8 +1382,14 @@ object SimilarityOps {
         (col("_tn") * col("_en"))).as("_cos"))
       .groupBy(col(idCol))
       .agg(max(col("_cos")).as("_maxc"))
+    // LEFT join back so an EMPTY eval set (e.g. one shard of a sharded
+    // sweep filtering to nothing) still yields every train id with
+    // is_contaminated = false, honoring the every-row contract — the
+    // cross join alone would silently drop the whole train set
+    train.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
       .select(col(idCol), round(col("_maxc"), 6).as("max_eval_cos"),
-        (col("_maxc") >= floor).as("is_contaminated"))
+        coalesce(col("_maxc") >= floor, lit(false)).as("is_contaminated"))
   }
 
   /** [[cosineNearDupPairsIvf]] with the TWO-LEVEL coarse assignment —

@@ -1105,10 +1105,13 @@ object DedupSimQueries {
         val configs = floors.map(f =>
           SimilarityOps.autoBandConfig(nBase + math.min(64L, nBase), f))
         // ONE fused job: all five configs' candidates off one shared
-        // signature scan, restricted (broadcast semi) to the truth
-        // pairs — the left join below never consults any other
-        // candidate; exact pairs fanned out per floor by explode
-        // (no per-leg checkpoint, no per-leg shuffle)
+        // signature scan; exact pairs fanned out per floor by explode
+        // (no per-leg checkpoint, no per-leg shuffle). restrictTo is
+        // deliberately NOT passed: semi-filtering by the truth pairs
+        // would re-evaluate the O(m·n) exact mine as a broadcast build,
+        // which measured SLOWER here than shuffling the collision
+        // stream through the distinct (SCALE.md) — the restricted form
+        // wins only when the collision shuffle, not the mine, binds
         val exactRaw = SimilarityOps.anchorExactPairs(corpus, anchors,
           floors.min)
         val cand = SimilarityOps.anchorBandedCandidatesMulti(
@@ -1122,16 +1125,24 @@ object DedupSimQueries {
           .filter(col("cos_sim") >= col("lf.floor"))
           .select(col("anchor_id"), col("nbr_id"),
             col("lf.leg").as("leg"), col("lf.floor").as("floor"))
+        // the static config frame drives the output so a floor whose
+        // truth set is EMPTY still emits its row (n_exact=0, hits=0,
+        // recall null) — the oracle's per-leg aggregates always emit
+        // one row per leg, and the aggregate-side groupBy alone would
+        // not
         val cfgDf = floors.indices
-          .map(i => (i, configs(i)._1, configs(i)._2))
-          .toDF("leg", "bands", "band_bits")
-        exploded.join(cand, Seq("leg", "anchor_id", "nbr_id"), "left")
-          .groupBy(col("leg"), col("floor"))
-          .agg(count(lit(1)).as("n_exact"), count(col("_hit")).as("hits"))
-          .join(broadcast(cfgDf), Seq("leg"))
+          .map(i => (i, floors(i), configs(i)._1, configs(i)._2))
+          .toDF("leg", "floor", "bands", "band_bits")
+        val perLeg = exploded
+          .join(cand, Seq("leg", "anchor_id", "nbr_id"), "left")
+          .groupBy(col("leg"))
+          .agg(count(lit(1)).as("_ne"), count(col("_hit")).as("_h"))
+        cfgDf.join(perLeg, Seq("leg"), "left")
           .select(col("floor"), col("bands"), col("band_bits"),
-            col("n_exact"), col("hits"),
-            (col("hits").cast("double") / col("n_exact")).as("recall"))
+            coalesce(col("_ne"), lit(0L)).as("n_exact"),
+            coalesce(col("_h"), lit(0L)).as("hits"),
+            (coalesce(col("_h"), lit(0L)).cast("double") /
+              coalesce(col("_ne"), lit(0L))).as("recall"))
       },
       Some {
         def leg(floor: String, bands: Int, bits: Int): String = {
