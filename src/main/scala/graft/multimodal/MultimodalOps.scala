@@ -27,6 +27,14 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
+  // ImageIO defaults to a DISK-backed stream cache: every decode/encode
+  // creates (and deletes) a temp FILE, which for corpora of small blobs
+  // costs more than the codec itself and is the measured source of the
+  // 2-3x run-to-run swings on the decode entries. Memory-backed streams
+  // change no bytes of any output. Applied once per JVM at first use of
+  // this object (executors touch it through the per-partition decoders).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** media record: opaque payload + typed metadata. */
   final case class MediaRecord(media_id: Long, kind: String,
       payload: Array[Byte], mime: String, captured_at: Timestamp)
