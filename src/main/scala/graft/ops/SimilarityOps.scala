@@ -865,6 +865,12 @@ object SimilarityOps {
                              dim: Int, m: Int, idCol: String = "vec_id",
                              vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
+    val subPath = new org.apache.hadoop.fs.Path(s"$path/subcells")
+    require(subPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(subPath),
+      s"$path has no subcells/ — it is a FLAT IVF-PQ index " +
+        "(writeIvfPqIndex); probe it with ivfPqIndexTopK, or rebuild " +
+        "with writeIvfPqIndexTwoLevel for the two-level probe")
     val cells = loadIvfPqCells(spark, path)
     val subs = spark.read.parquet(s"$path/subcells").collect()
       .groupBy(r => (r.getInt(0), r.getInt(1)))
