@@ -252,6 +252,59 @@ class DedupSimSpec extends SparkSpec {
     assert(hits(docB) === Set(2L))
   }
 
+  test("two compactions racing head-on: at most one wins each " +
+      "generation, a loser fails loudly with the manifest-race error, " +
+      "and no append is lost either way") {
+    import java.nio.file.Files
+    import java.util.concurrent.CountDownLatch
+    import graft.ops.IndexMaintenance
+    val idx = Files.createTempDirectory("graft_mhcc").toString + "/idx"
+    val doc = "the quick brown fox jumps over the lazy dog again today"
+    DedupOps.writeMinhashIndex(Seq((1L, doc)).toDF("doc_id", "text"), idx)
+    DedupOps.appendMinhashIndexBands(
+      DedupOps.minhashBands(Seq((2L, doc)).toDF("doc_id", "text")), idx)
+
+    val start = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 2).map { _ =>
+      new Thread(() => {
+        start.await()
+        try DedupOps.compactMinhashIndex(spark, idx)
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown()
+    threads.foreach(_.join(120000))
+    // allowed outcomes: both serialized cleanly, or a loser failed at
+    // the manifest commit / the fold snapshot it lost — never any other
+    // failure class
+    import scala.jdk.CollectionConverters._
+    errs.asScala.foreach { t =>
+      val msg = String.valueOf(t.getMessage)
+      assert(
+        msg.contains("manifest commit lost the race") ||
+        msg.contains("still holds committed rows") ||
+        msg.contains("delta snapshot rename") ||
+        msg.contains("Unable to infer schema") ||
+        msg.contains("PATH_NOT_FOUND") ||
+        msg.contains("does not exist"),
+        s"unexpected failure class from a racing compaction: $t")
+    }
+    // whatever the interleaving, the surviving state is consistent:
+    // a final (quiet) maintenance cycle folds any stranded state and
+    // the index answers with BOTH docs, exactly once each
+    DedupOps.compactMinhashIndex(spark, idx)
+    val rows = spark.read
+      .parquet(IndexMaintenance.currentBase(spark, idx))
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === Map(1L -> 4L, 2L -> 4L),
+      s"post-race state lost or duplicated rows: $rows")
+    val stats = IndexMaintenance.manifestStats(spark, idx).collect().head
+    assert(stats.getAs[Long]("delta_files") === 0L)
+    assert(stats.getAs[Long]("fold_files") === 0L)
+  }
+
   test("prune grace: a young unmanifested base dir (a concurrent " +
       "compaction's written-but-uncommitted output) survives prune; " +
       "superseded generations still prune immediately; aged orphans go") {
