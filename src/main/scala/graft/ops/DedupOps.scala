@@ -115,6 +115,53 @@ object DedupOps {
     minhashCandidatesBands(
       minhashBands(docs, idCol, textCol, shingleWords, k, bands), idCol)
 
+  /** [[minhashCandidates]] plus the MinHash Jaccard ESTIMATE — the
+    * cheap triage stage of the standard LSH pipeline (bands nominate →
+    * signature agreement estimates J → exact verification runs only on
+    * what survives the estimate threshold). For each banded candidate
+    * pair: n_agree = hashes where the two k-signatures match and
+    * est_jaccard = n_agree/k, the unbiased MinHash estimator with
+    * standard error ~sqrt(J(1-J)/k). Signatures ride the band join as
+    * an array column, so the estimate is a post-aggregate projection —
+    * no extra scan and no per-pair text access (at corpus scale the
+    * texts never move; the k·hash arrays do).
+    */
+  def minhashEstimatedPairs(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text",
+                            shingleWords: Int = 3,
+                            k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val rows = k / bands
+    val sigArr = graft.functions.TextHashFunctions
+      .minhash_sigs(col(textCol), shingleWords, k)
+    val bandCols = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows)
+        .map(i => col("_sig").getItem(i))
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", cols: _*)).as("band_hash"))
+    }
+    val banded = Rebalance(docs)
+      .select(col(idCol), sigArr.as("_sig"))
+      .select(col(idCol), col("_sig"),
+        explode(array(bandCols: _*)).as("kv"))
+      .select(col(idCol), col("_sig"), col("kv.band"),
+        col("kv.band_hash"))
+    val agree = (0 until k).map(i =>
+      when(col("_sa").getItem(i) === col("_sb").getItem(i), 1)
+        .otherwise(0)).reduce(_ + _)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"),
+        first(col("a._sig")).as("_sa"), first(col("b._sig")).as("_sb"))
+      .withColumn("n_agree", agree)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        col("n_agree"),
+        (col("n_agree").cast("double") / k).as("est_jaccard"))
+  }
+
   /** [[minhashCandidates]] from a precomputed (idCol, band, band_hash)
     * frame — callers that also probe an index ([[graft.streaming.StreamingDedup]])
     * compute the signatures once, persist, and feed both consumers.

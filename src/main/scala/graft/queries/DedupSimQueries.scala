@@ -446,6 +446,50 @@ object DedupSimQueries {
 
     // MinHash + LSH banding candidate pairs (16 hashes, 4 bands of 4).
     // MD5-hex min over seeded shingle hashes = portable min-hash.
+    // MinHash Jaccard estimate over the banded candidates — the cheap
+    // triage stage between banding and exact verification: n_agree of
+    // the 16-hash signatures and est_jaccard = n_agree/16 (unbiased,
+    // se ~ sqrt(J(1-J)/16)). Oracle replays signatures, band hashes,
+    // candidacy, and the per-pair agreement count.
+    "minhash_jaccard_est" -> Entry(
+      (s, dir) => DedupOps.minhashEstimatedPairs(Tables.documents(s, dir)),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            array_to_string(list_slice(ws, CAST(i AS INTEGER),
+              CAST(i AS INTEGER) + 2), ' ') AS s
+          FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 1)))
+            AS t(i)),
+        mh AS (
+          SELECT doc_id, CAST(h AS INTEGER) AS h,
+                 min(md5(CAST(h AS VARCHAR) || '|' || s)) AS minh
+          FROM sh, UNNEST(generate_series(0, 15)) AS ht(h)
+          GROUP BY 1, 2),
+        bands AS (
+          SELECT doc_id, h // 4 AS band,
+                 md5(string_agg(minh, '|' ORDER BY h)) AS band_hash
+          FROM mh GROUP BY 1, 2),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS n_shared_bands
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        agr AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(sum(CASE WHEN x.minh = y.minh THEN 1 ELSE 0 END)
+                   AS INTEGER) AS n_agree
+          FROM cand c
+          JOIN mh x ON x.doc_id = c.doc_a
+          JOIN mh y ON y.doc_id = c.doc_b AND y.h = x.h
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_shared_bands, n_agree,
+               CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
+        FROM cand JOIN agr USING (doc_a, doc_b)""")),
+
     "dedup_minhash_lsh" -> Entry(
       (s, dir) => DedupOps.minhashCandidates(Tables.documents(s, dir)),
       Some("""

@@ -505,6 +505,44 @@ class DedupSimSpec extends SparkSpec {
     assert(restricted === multi.filter(t => exact((t._2, t._3))))
   }
 
+  test("minhashEstimatedPairs: identical docs estimate J=1, every shared" +
+      " band pins its row of hashes, estimates track exact Jaccard " +
+      "within the k=16 standard-error band") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val df = Seq(
+      (1L, base),
+      (2L, base),                                  // exact dup: J = 1
+      (3L, base + " extra trailing words appended here"), // high J
+      (4L, "completely different text with no shared shingles at all " +
+        "anywhere in this entire document body")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.minhashEstimatedPairs(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getInt(3), r.getDouble(4))).toMap
+    val (b12, a12, e12) = out((1L, 2L))
+    assert(b12 === 4L && a12 === 16 && e12 === 1.0)
+    // a shared band hash means that band's 4 minhashes agree
+    out.foreach { case (pair, (nb, na, est)) =>
+      assert(na >= 4 * nb.toInt, s"$pair: n_agree $na < 4*bands $nb")
+      assert(est === na / 16.0)
+    }
+    // doc 4 shares nothing: no candidate pair involves it
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // (1,3): true Jaccard of the distinct 3-shingle sets; the estimate
+    // must sit within 3 standard errors (se = sqrt(J(1-J)/16))
+    def shingles(t: String) = t.split(" ").sliding(3).map(_.mkString(" "))
+      .toSet
+    val (s1, s3) = (shingles(base),
+      shingles(base + " extra trailing words appended here"))
+    val j = s1.intersect(s3).size.toDouble / s1.union(s3).size
+    out.get((1L, 3L)).foreach { case (_, _, est) =>
+      val se = math.sqrt(j * (1 - j) / 16)
+      assert(math.abs(est - j) <= 3 * se + 1e-9,
+        s"estimate $est vs true $j (se $se)")
+    }
+  }
+
   test("minhash LSH: identical docs share all bands, disjoint docs none") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again today"),
