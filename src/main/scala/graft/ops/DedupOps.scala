@@ -162,6 +162,55 @@ object DedupOps {
         (col("n_agree").cast("double") / k).as("est_jaccard"))
   }
 
+  /** Estimate-TRIAGED dedup apply — the full LSH pipeline at its 100 TB
+    * cost shape: bands nominate candidates, the signature estimate
+    * ([[minhashEstimatedPairs]]) splits them into sure-duplicate
+    * (est >= `estHi` — no text access at all), sure-distinct
+    * (est <= `estLo`), and an UNCERTAIN middle band where alone the
+    * exact shingle-set Jaccard is computed and cut at
+    * `jaccardThreshold`. Confirmed edges (sure ∪ verified) feed the
+    * pointer-doubling components and the min-id survivors filter the
+    * corpus — [[dupClusters]]' apply contract, but with the expensive
+    * exact-verification join bounded to the estimate's uncertainty
+    * band instead of every candidate. Wrong-side triage risk is the
+    * estimator's ±sqrt(J(1-J)/k) tail; widen [lo, hi] to trade verify
+    * volume for certainty.
+    */
+  def minhashTriageApply(docs: DataFrame, jaccardThreshold: Double,
+                         estLo: Double, estHi: Double,
+                         idCol: String = "doc_id",
+                         textCol: String = "text",
+                         shingleWords: Int = 3): DataFrame = {
+    require(estLo <= estHi, s"estLo=$estLo > estHi=$estHi")
+    val est = minhashEstimatedPairs(docs, idCol, textCol, shingleWords)
+    val sure = est.filter(col("est_jaccard") >= estHi)
+      .select(col("doc_a"), col("doc_b"))
+    val mid = est.filter(col("est_jaccard") < estHi &&
+        col("est_jaccard") > estLo)
+      .select(col("doc_a"), col("doc_b"))
+    val sh = docs.select(col(idCol),
+      explode(wordShingles(textCol, shingleWords)).as("s"))
+    val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+    val inter = mid
+      .join(sh.select(col(idCol).as("doc_a"), col("s")), Seq("doc_a"))
+      .join(sh.select(col(idCol).as("doc_b"), col("s")),
+        Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("_i"))
+    val verified = mid
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(cnt.select(col(idCol).as("doc_a"), col("_n").as("_na")),
+        Seq("doc_a"))
+      .join(cnt.select(col(idCol).as("doc_b"), col("_n").as("_nb")),
+        Seq("doc_b"))
+      .filter(coalesce(col("_i"), lit(0L)).cast("double") /
+        (col("_na") + col("_nb") - coalesce(col("_i"), lit(0L)))
+        >= jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = dupClusters(sure.unionByName(verified))
+    docs.join(clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
   /** [[minhashCandidates]] from a precomputed (idCol, band, band_hash)
     * frame — callers that also probe an index ([[graft.streaming.StreamingDedup]])
     * compute the signatures once, persist, and feed both consumers.

@@ -490,6 +490,83 @@ object DedupSimQueries {
                CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
         FROM cand JOIN agr USING (doc_a, doc_b)""")),
 
+    // Estimate-TRIAGED dedup apply: candidates split by the signature
+    // estimate into sure-dup (n_agree >= 12 of 16 — no text access),
+    // sure-distinct (<= 4), and an uncertain band where alone the exact
+    // shingle Jaccard runs (>= 0.5). Confirmed edges -> components ->
+    // min-id survivors. The oracle replays signatures, estimate
+    // thresholds, the middle-band exact verify, and the recursive CC.
+    "dedup_triage_apply" -> Entry(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        DedupOps.minhashTriageApply(docs, jaccardThreshold = 0.5,
+            estLo = 0.25, estHi = 0.75)
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some("""
+        WITH RECURSIVE w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            array_to_string(list_slice(ws, CAST(i AS INTEGER),
+              CAST(i AS INTEGER) + 2), ' ') AS s
+          FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 1)))
+            AS t(i)),
+        mh AS (
+          SELECT doc_id, CAST(h AS INTEGER) AS h,
+                 min(md5(CAST(h AS VARCHAR) || '|' || s)) AS minh
+          FROM sh, UNNEST(generate_series(0, 15)) AS ht(h)
+          GROUP BY 1, 2),
+        bands AS (
+          SELECT doc_id, h // 4 AS band,
+                 md5(string_agg(minh, '|' ORDER BY h)) AS band_hash
+          FROM mh GROUP BY 1, 2),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        agr AS (
+          SELECT c.doc_a, c.doc_b,
+                 sum(CASE WHEN x.minh = y.minh THEN 1 ELSE 0 END)
+                   AS n_agree
+          FROM cand c
+          JOIN mh x ON x.doc_id = c.doc_a
+          JOIN mh y ON y.doc_id = c.doc_b AND y.h = x.h
+          GROUP BY 1, 2),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        mid AS (SELECT doc_a, doc_b FROM agr
+                WHERE n_agree < 12 AND n_agree > 4),
+        inter AS (
+          SELECT m.doc_a, m.doc_b, count(*) AS i
+          FROM mid m
+          JOIN sh x ON x.doc_id = m.doc_a
+          JOIN sh y ON y.doc_id = m.doc_b AND y.s = x.s
+          GROUP BY 1, 2),
+        ver AS (
+          SELECT m.doc_a, m.doc_b
+          FROM mid m
+          LEFT JOIN inter i USING (doc_a, doc_b)
+          JOIN cnt ca ON ca.doc_id = m.doc_a
+          JOIN cnt cb ON cb.doc_id = m.doc_b
+          WHERE CAST(COALESCE(i.i, 0) AS DOUBLE) /
+                (ca.n + cb.n - COALESCE(i.i, 0)) >= 0.5),
+        pairs AS (SELECT doc_a, doc_b FROM agr WHERE n_agree >= 12
+                  UNION SELECT doc_a, doc_b FROM ver),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT src AS id, src AS r FROM edges
+          UNION
+          SELECT reach.id, edges.dst
+          FROM reach JOIN edges ON reach.r = edges.src),
+        comp AS (SELECT id AS doc_id, min(r) AS cluster_id
+                 FROM reach GROUP BY 1)
+        SELECT d.doc_id, d.lang, d.source FROM documents d
+        WHERE d.doc_id NOT IN
+          (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)""")),
+
     "dedup_minhash_lsh" -> Entry(
       (s, dir) => DedupOps.minhashCandidates(Tables.documents(s, dir)),
       Some("""

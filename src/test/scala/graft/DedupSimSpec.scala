@@ -543,6 +543,47 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("minhashTriageApply: sure-dups drop without verification, the " +
+      "uncertain band is settled by exact Jaccard, degenerate " +
+      "thresholds reproduce the candidates-as-edges apply") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, base), (2L, base),                       // exact dup pair
+      (3L, base + " small tail difference here"),   // high-J near dup
+      (4L, "totally unrelated words in this one with nothing shared " +
+        "anywhere across the whole text body at all"),
+      (5L, "another fully distinct document about storage engines and " +
+        "columnar formats with zero overlap")
+    ).toDF("doc_id", "text")
+    def kept(out: org.apache.spark.sql.DataFrame) =
+      out.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val triaged = DedupOps.minhashTriageApply(docs,
+      jaccardThreshold = 0.5, estLo = 0.25, estHi = 0.75)
+    // 2 drops (dup of 1); 3's fate is decided by its band (sure-dup or
+    // exact-verified J vs 1 — its true J is high, so it drops too)
+    assert(kept(triaged) === Set(1L, 4L, 5L))
+
+    // estHi = 0: every candidate is a sure edge — identical to the
+    // plain candidates-as-edges apply contract
+    val allSure = DedupOps.minhashTriageApply(docs,
+      jaccardThreshold = 0.99, estLo = 0.0, estHi = 0.0)
+    val plain = {
+      val clusters = DedupOps.dupClusters(DedupOps.minhashCandidates(docs))
+      docs.join(clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+    }
+    assert(kept(allSure) === kept(plain))
+
+    // a strict exact threshold with everything routed through the
+    // verify band keeps the near-dup (J < 0.99) and drops only the
+    // exact dup
+    val strict = DedupOps.minhashTriageApply(docs,
+      jaccardThreshold = 0.99, estLo = 0.0, estHi = 1.01)
+    assert(kept(strict) === Set(1L, 3L, 4L, 5L))
+  }
+
   test("minhash LSH: identical docs share all bands, disjoint docs none") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again today"),
