@@ -182,7 +182,12 @@ object DedupOps {
                          textCol: String = "text",
                          shingleWords: Int = 3): DataFrame = {
     require(estLo <= estHi, s"estLo=$estLo > estHi=$estHi")
+    // both triage branches read the estimate frame; without the eager
+    // checkpoint each branch re-runs the whole signature+band+agreement
+    // pipeline (pair-count-sized frame — cheap to hold)
     val est = minhashEstimatedPairs(docs, idCol, textCol, shingleWords)
+      .transform(df => if (graft.PlanMode.isExplainOnly) df
+        else df.localCheckpoint(eager = true))
     val sure = est.filter(col("est_jaccard") >= estHi)
       .select(col("doc_a"), col("doc_b"))
     val mid = est.filter(col("est_jaccard") < estHi &&
