@@ -67,30 +67,54 @@ object Bench {
         finally sweep()
       }
 
-    // min over N passes per query: a single pass is at the mercy of GC
-    // pauses and background JIT (observed 10x+ outliers on single runs);
-    // the min is the steady-state cost the query actually has.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
-    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // min over (reps × passes) timings per query. Two decorrelation axes:
+    //  - PASSES: back-to-back runs of the same query inside one sweep —
+    //    masks GC pauses and background JIT (observed 10x+ single-run
+    //    outliers);
+    //  - REPS: whole-catalog sweeps, so the two timings of any one query
+    //    are minutes apart. A host-level load spike (co-tenant CPU — the
+    //    measured ±10-12% swing source, which taxes BOTH consecutive
+    //    passes equally) lands on different queries in different sweeps,
+    //    and the per-entry min across sweeps discards it. This encodes
+    //    the "min-combine >= 2 fresh runs" protocol that used to be
+    //    manual discipline.
+    // Defaults (reps=2, passes=1) keep total timed work at two
+    // executions per query, decorrelated in time.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "1").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val samples = scala.collection.mutable
+      .LinkedHashMap[String, List[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    selected.foreach { case (name, fn) =>
-      var times = List.empty[Double]
-      var pass = 0
-      while (pass < passes && !errors.contains(name)) {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          times ::= (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            errors(name) = s"${e.getClass.getName}: " +
-              Option(e.getMessage).getOrElse("").linesIterator
-                .take(1).mkString.take(200)
-        } finally sweep()
-        pass += 1
+    (1 to reps).foreach { _ =>
+      selected.foreach { case (name, fn) =>
+        var pass = 0
+        while (pass < passes && !errors.contains(name)) {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            samples(name) =
+              ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(name, Nil)
+          } catch {
+            case e: Throwable =>
+              errors(name) = s"${e.getClass.getName}: " +
+                Option(e.getMessage).getOrElse("").linesIterator
+                  .take(1).mkString.take(200)
+          } finally sweep()
+          pass += 1
+        }
       }
-      if (!errors.contains(name)) timings(name) = times.min
     }
+    val timings = samples.collect {
+      case (name, times) if !errors.contains(name) => name -> times.min
+    }
+    // cross-sample spread evidence: median over entries of max/min - 1
+    // (0 when only one sample per entry survives)
+    val spreads = samples.collect {
+      case (name, times) if !errors.contains(name) && times.size > 1 =>
+        times.max / times.min - 1.0
+    }.toSeq.sorted
+    val spreadMed =
+      if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2)
 
     def esc(s: String): String =
       s.flatMap {
@@ -104,7 +128,7 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errs,"sf":"$sfDir","reps":$reps,"passes":$passes,"spread_med":$spreadMed}""")
     spark.stop()
     // a failed query must fail the run visibly, not just in the JSON
     if (errors.nonEmpty) sys.exit(1)

@@ -33,7 +33,16 @@ object MultimodalOps {
   // 2-3x run-to-run swings on the decode entries. Memory-backed streams
   // change no bytes of any output. Applied once per JVM at first use of
   // this object (executors touch it through the per-partition decoders).
-  javax.imageio.ImageIO.setUseCache(false)
+  //
+  // CAVEAT — this is a JVM-GLOBAL mutation: any OTHER code sharing the
+  // driver/executor JVM that decodes LARGE images now buffers the whole
+  // stream in heap instead of a disk-backed temp file. That is the right
+  // trade for this framework's small-blob corpora, but a co-resident
+  // large-image workload can opt back into the disk cache by setting
+  // -Dgraft.imageio.diskCache=true BEFORE this object initializes (the
+  // multimodal entries then pay the temp-file churn and its variance).
+  if (!sys.props.get("graft.imageio.diskCache").contains("true"))
+    javax.imageio.ImageIO.setUseCache(false)
 
   /** media record: opaque payload + typed metadata. */
   final case class MediaRecord(media_id: Long, kind: String,

@@ -174,18 +174,22 @@ object DedupOps {
     * exact-verification join bounded to the estimate's uncertainty
     * band instead of every candidate. Wrong-side triage risk is the
     * estimator's ±sqrt(J(1-J)/k) tail; widen [lo, hi] to trade verify
-    * volume for certainty.
+    * volume for certainty. `estLo`/`estHi` are calibrated in n_agree/k
+    * units, so `k`/`bands` must match the signature shape the thresholds
+    * were chosen for — both forward to [[minhashEstimatedPairs]].
     */
   def minhashTriageApply(docs: DataFrame, jaccardThreshold: Double,
                          estLo: Double, estHi: Double,
                          idCol: String = "doc_id",
                          textCol: String = "text",
-                         shingleWords: Int = 3): DataFrame = {
+                         shingleWords: Int = 3,
+                         k: Int = 16, bands: Int = 4): DataFrame = {
     require(estLo <= estHi, s"estLo=$estLo > estHi=$estHi")
     // both triage branches read the estimate frame; without the eager
     // checkpoint each branch re-runs the whole signature+band+agreement
     // pipeline (pair-count-sized frame — cheap to hold)
-    val est = minhashEstimatedPairs(docs, idCol, textCol, shingleWords)
+    val est = minhashEstimatedPairs(docs, idCol, textCol, shingleWords,
+        k, bands)
       .transform(df => if (graft.PlanMode.isExplainOnly) df
         else df.localCheckpoint(eager = true))
     val sure = est.filter(col("est_jaccard") >= estHi)

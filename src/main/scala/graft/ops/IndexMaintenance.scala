@@ -215,9 +215,12 @@ object IndexMaintenance {
     */
   private def prune(spark: SparkSession, path: String,
                     partitionCol: String, retain: Int = 2): Unit = {
-    require(retain >= 1, s"retain=$retain would delete every retained " +
-      "generation including the one just committed; retain >= 2 is the " +
-      "contract that also protects in-flight probes")
+    require(retain >= 2, s"retain=$retain: retain >= 2 is the contract — " +
+      "the newest generation for the commit that just landed PLUS the " +
+      "previous one an in-flight probe may still hold; retain=1 would " +
+      "delete the generation a concurrent probe resolved before our " +
+      "commit, reintroducing the vanished-base race the probe-side " +
+      "retry only partially papers over")
     val root = new Path(path)
     val f = fs(spark, root)
     val gens = manifestGens(f, root)
@@ -257,7 +260,7 @@ object IndexMaintenance {
                 partitionCol: String = "bucket",
                 mode: String = "overwrite",
                 retain: Int = 2): Unit = {
-    require(retain >= 1, s"retain=$retain (see prune contract)")
+    require(retain >= 2, s"retain=$retain (see prune contract: >= 2)")
     require(mode == "overwrite" || mode == "append",
       s"writeBase supports only overwrite|append, got '$mode' — " +
         "other SaveModes would silently commit a new generation")
@@ -386,7 +389,7 @@ object IndexMaintenance {
                       dedupKeys: Seq[String] = Nil,
                       partitionCol: String = "bucket",
                       retain: Int = 2): Unit = {
-    require(retain >= 1, s"retain=$retain (see prune contract)")
+    require(retain >= 2, s"retain=$retain (see prune contract: >= 2)")
     healOrphans(spark, path)
     // crash leftover: a stranded fold is folded before touching the delta
     if (hasParquet(spark, foldPath(path)))
@@ -474,8 +477,14 @@ object IndexMaintenance {
     import spark.implicits._
     val root = new Path(path)
     val f = fs(spark, root)
-    val gens = manifestGens(f, root)
-    val referenced = gens.map(readManifest(f, root, _)).toSet
+    // same race prune guards against: a concurrent compaction's prune may
+    // delete a superseded manifest between our listing and the reads — an
+    // audit must report the surviving state (vanished manifests counted
+    // absent), not throw FileNotFoundException
+    val surviving = manifestGens(f, root).flatMap(g =>
+      scala.util.Try(readManifest(f, root, g)).toOption.map(g -> _))
+    val gens = surviving.map(_._1)
+    val referenced = surviving.map(_._2).toSet
     val baseDirs =
       if (!f.exists(root)) Seq.empty[String]
       else f.listStatus(root).toSeq
@@ -513,7 +522,7 @@ object IndexMaintenance {
                                  dedupKeys: Seq[String] = Nil,
                                  partitionCol: String = "bucket",
                                  retain: Int = 2): Unit = {
-    require(retain >= 1, s"retain=$retain (see prune contract)")
+    require(retain >= 2, s"retain=$retain (see prune contract: >= 2)")
     val root = new Path(path)
     val f = fs(spark, root)
     if (manifestGens(f, root).isEmpty) {

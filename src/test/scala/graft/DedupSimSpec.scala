@@ -582,6 +582,28 @@ class DedupSimSpec extends SparkSpec {
     val strict = DedupOps.minhashTriageApply(docs,
       jaccardThreshold = 0.99, estLo = 0.0, estHi = 1.01)
     assert(kept(strict) === Set(1L, 3L, 4L, 5L))
+
+    // k/bands forward to the estimator (thresholds are calibrated in
+    // n_agree/k units, so the triage must run the caller's signature
+    // shape): at k=8/bands=2 the all-sure degenerate form still equals
+    // the candidates-as-edges apply AT THAT SHAPE, whose candidate set
+    // differs from the 16/4 default's on this corpus or not — either
+    // way both sides now use the same (k, bands)
+    val allSure82 = DedupOps.minhashTriageApply(docs,
+      jaccardThreshold = 0.99, estLo = 0.0, estHi = 0.0,
+      k = 8, bands = 2)
+    val plain82 = {
+      val clusters = DedupOps.dupClusters(
+        DedupOps.minhashCandidates(docs, k = 8, bands = 2))
+      docs.join(clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+    }
+    assert(kept(allSure82) === kept(plain82))
+    // and the estimate itself is on the k=8 grid: n_agree/8 steps
+    val est82 = DedupOps.minhashEstimatedPairs(docs, k = 8, bands = 2)
+      .select("est_jaccard").collect().map(_.getDouble(0))
+    assert(est82.nonEmpty &&
+      est82.forall(e => math.abs(e * 8 - math.round(e * 8)) < 1e-9))
   }
 
   test("minhash LSH: identical docs share all bands, disjoint docs none") {
