@@ -686,6 +686,54 @@ object SimilarityOps {
     (cellC, pqC)
   }
 
+  /** [[ivfPqTopK]] with TWO-LEVEL (coarse-then-refine) cell assignment —
+    * the last flat-O(n·k) assignment form, given the inverted-multi-index
+    * treatment the serving index ([[writeIvfPqIndexTwoLevel]]) and the
+    * near-dup miner ([[cosineNearDupPairsIvfTwoLevel]]) already have:
+    * k1·k2 effective coarse cells cost O(n·(k1+k2)) assignment work
+    * (one argmin over k1 trained coarse centroids, then one over the k2
+    * sub-centroids of the row's own coarse cell), instead of the flat
+    * form's O(n·k1·k2). Training, sub-init/update, tie and rounding
+    * rules are the exact shared trajectory ([[fusedCellPqTrain]] +
+    * [[trainSubCells]]/[[subArgmin]]); the ADC tail is [[ivfPqTopK]]'s,
+    * restricted to the combined cell id c1·k2+sub. With k1=1 the
+    * sub-level IS the flat single-update trainer, so results degenerate
+    * bit-identically to ivfPqTopK(nCells=k2, cellIters=1) — spec-pinned.
+    */
+  def ivfPqTopKTwoLevel(queries: DataFrame, corpus: DataFrame, k: Int,
+                        dim: Int, k1: Int, k2: Int, cellIters: Int,
+                        m: Int, codebookK: Int, pqIters: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(k1 > 0 && k2 > 0, s"k1=$k1 k2=$k2")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qcorpus = Rebalance(corpus)
+      .select(col(idCol).as("_vid"), pqQuant(vecCol).as("_qv")).cache()
+    try {
+      val (coarse, pqCents) = fusedCellPqTrain(
+        qcorpus, k1, cellIters, dim, m, codebookK, pqIters)
+      val a1 = assignIvfPqCells(qcorpus, "_vid", coarse)
+        .select(col("_vid"), col("cell").as("_c1"), col("_qv"))
+        // feeds sub-init, the sub update, and the final assignment
+        .transform(df => if (graft.PlanMode.isExplainOnly) df
+          else df.localCheckpoint(eager = true))
+      val subs = broadcast(trainSubCells(a1, k2)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2))).toSeq
+        .toDF("_c1", "_sub", "_sqc"))
+      val cCell = subArgmin(a1, "_vid", subs, k2)
+        .select(col("_vid"), col("cell").as("_cell"))
+      val qa1 = assignIvfPqCells(queries.select(col(idCol).as("_qid"),
+          pqQuant(vecCol).as("_qv")), "_qid", coarse)
+        .select(col("_qid"), col("cell").as("_c1"), col("_qv"))
+      val qCell = subArgmin(qa1, "_qid", subs, k2)
+        .select(col("_qid"), col("cell").as("_cell"))
+      pqAdc(queries, corpus, k, dim, m, codebookK, pqIters, idCol, vecCol,
+        Some((cCell, qCell)), Some(qcorpus), Some(pqCents))
+    } finally qcorpus.unpersist()
+  }
+
   /** Materialize the IVF-PQ SERVING index — train once, probe many, the
     * layout that separates the expensive build from the per-query cost
     * (FAISS's IVFADC split; every in-query entry above retrains per call

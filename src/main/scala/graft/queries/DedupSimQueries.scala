@@ -1024,6 +1024,29 @@ object DedupSimQueries {
                CAST(rnk AS INTEGER) AS rnk
         FROM ranked WHERE rnk <= 5""")),
 
+    // TWO-LEVEL assignment for the IN-QUERY IVF-PQ — the self-contained
+    // retrain-per-call twin of ivfpq_2level_index_topk (exactly as
+    // ivfpq_topk is the in-query twin of ivfpq_index_topk). Same build
+    // parameters, so the same two-level oracle replay verifies it; the
+    // measured delta vs the index entry is the per-call training cost,
+    // and the delta vs ivfpq_topk is the second assignment stage
+    // (crossover note in SCALE.md: two-level pays off when nCells
+    // tracks corpus size, not at the fixture's 4 effective cells).
+    "ivfpq_2level_topk" -> Entry(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilarityOps.ivfPqTopKTwoLevel(
+          e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+          k = 5, dim = 64, k1 = 2, k2 = 2, cellIters = 1, m = 4,
+          codebookK = 8, pqIters = 1)
+      },
+      Some(s"""$ivfpq2RankedCte
+        SELECT query_id, corpus_id,
+               round(CAST(dist AS DOUBLE) / 1000000000000, 6)
+                 AS approx_dist,
+               CAST(rnk AS INTEGER) AS rnk
+        FROM ranked WHERE rnk <= 5""")),
+
     // Two-stage serving: the ADC ranking nominates 20 candidates per
     // query, exact cosine over the raw vectors re-ranks to top 5 — the
     // standard fidelity-recovery pattern on top of IVF-PQ. The oracle

@@ -289,4 +289,39 @@ class PqSpec extends SparkSpec {
     val got = probed.collect()
     assert(got.map(_.getLong(0)).distinct.length === 5)
   }
+
+  test("two-level IN-QUERY IVF-PQ: k1=1 degenerates bit-identically to " +
+      "flat ivfPqTopK(nCells=k2, cellIters=1); at k1=2,k2=2 it matches " +
+      "the serving index built with the same parameters") {
+    def vecs(n: Int, seed: Int) = (0 until n).map { i =>
+      (i.toLong + seed * 1000L, (0 until 16).map(d =>
+        (((i * 31 + d * 17 + seed) % 13) - 6).toFloat / 3f))
+    }.toDF("vec_id", "embedding")
+    val corpus = vecs(50, seed = 1)
+    val queries = vecs(5, seed = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1),
+        r.getDouble(2))).toMap
+
+    // k1=1: coarse level is one cell, so the sub level IS the flat
+    // single-update quantizer — same init ranks, same Lloyd update,
+    // same cell ids (0*k2 + sub == cid), same ADC
+    assert(rows(SimilarityOps.ivfPqTopKTwoLevel(queries, corpus, k = 5,
+        dim = 16, k1 = 1, k2 = 3, cellIters = 1, m = 4, codebookK = 6,
+        pqIters = 1)) ===
+      rows(SimilarityOps.ivfPqTopK(queries, corpus, k = 5, dim = 16,
+        nCells = 3, cellIters = 1, m = 4, codebookK = 6, pqIters = 1)))
+
+    // in-query vs serving: identical trained trajectory, so the
+    // retrain-per-call form and the stored-index probe agree exactly
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq_two_inq").toString
+    SimilarityOps.writeIvfPqIndexTwoLevel(corpus, dir, dim = 16,
+      k1 = 2, k2 = 2, cellIters = 1, m = 4, codebookK = 6, pqIters = 1)
+    assert(rows(SimilarityOps.ivfPqTopKTwoLevel(queries, corpus, k = 5,
+        dim = 16, k1 = 2, k2 = 2, cellIters = 1, m = 4, codebookK = 6,
+        pqIters = 1)) ===
+      rows(SimilarityOps.ivfPqIndexTopKTwoLevel(spark, dir, queries,
+        k = 5, dim = 16, m = 4)))
+  }
 }
