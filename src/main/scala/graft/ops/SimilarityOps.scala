@@ -1099,21 +1099,56 @@ object SimilarityOps {
     * map back to cids through a parallel per-sub cid table, cid-sorted,
     * so ties and therefore codes are bit-identical to the join form.
     */
+  /** Per-subspace nearest-codeword assignment over a long-form subvector
+    * frame (`_vid`, `_sub`, `_qs`): appends `_m` = struct(d, c), the
+    * winning codeword's distance and cid for the ROW's own subspace.
+    * Sub-codebooks are m·codebookK·subLen = dim·codebookK elements —
+    * small by construction — so the primary form rides ONE nested plan
+    * literal (all m codebooks; one codegen'd argmin call per row). Past
+    * [[argminLiteralMaxElems]] (same injectable bound as
+    * [[argminAssign]], shared so the two kernels age together) it falls
+    * back to a broadcast join on `_sub` + min(struct(d, cid)) regroup —
+    * same tie rule (lowest cid) and exact integer distances, so
+    * assignments are bit-identical (spec-pinned, PqSpec). A null `_qs`
+    * yields a null `_m.c`/`_m.d` in both branches (the kernel through a
+    * null argmin result, the join through the explicit null guard);
+    * only the struct-level nullability differs, which no consumer
+    * observes (callers read the fields, never the struct itself).
+    */
   private def pqAssign(df: DataFrame,
                        c: Map[(Int, Int), Seq[Long]]): DataFrame = {
     val bySub: Seq[Seq[(Int, Seq[Long])]] = c.groupBy(_._1._1).toSeq
       .sortBy(_._1)
       .map(_._2.toSeq.map { case ((_, cid), v) => (cid, v) }.sortBy(_._1))
-    val mats = typedLit(bySub.map(_.map(_._2)))
-    val cids = typedLit(bySub.map(_.map(_._1)))
-    val m0 = graft.functions.VectorFunctions.argmin_sq_dist(
-      col("_qs"), element_at(mats, col("_sub") + lit(1)))
-    df.withColumn("_m0", m0)
-      .withColumn("_m", struct(
-        col("_m0").getField("d").as("d"),
-        element_at(element_at(cids, col("_sub") + lit(1)),
-          col("_m0").getField("c") + lit(1)).as("c")))
-      .drop("_m0")
+    val nElems = c.valuesIterator.map(_.size.toLong).sum
+    if (nElems <= argminLiteralMaxElems) {
+      val mats = typedLit(bySub.map(_.map(_._2)))
+      val cids = typedLit(bySub.map(_.map(_._1)))
+      val m0 = graft.functions.VectorFunctions.argmin_sq_dist(
+        col("_qs"), element_at(mats, col("_sub") + lit(1)))
+      df.withColumn("_m0", m0)
+        .withColumn("_m", struct(
+          col("_m0").getField("d").as("d"),
+          element_at(element_at(cids, col("_sub") + lit(1)),
+            col("_m0").getField("c") + lit(1)).as("c")))
+        .drop("_m0")
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val cdf = broadcast(bySub.zipWithIndex.flatMap {
+        case (cents, sub) => cents.map { case (cid, v) => (sub, cid, v) }
+      }.toDF("_sub", "_ccid", "_cqc"))
+      val dist = sqDistQ(col("_qs"), col("_cqc"))
+      val others = df.columns.filterNot(n => n == "_vid" || n == "_sub")
+        .toSeq
+      df.join(cdf, Seq("_sub"))
+        .groupBy(col("_vid"), col("_sub"))
+        .agg(min(struct(dist.as("d"), col("_ccid").as("c"))).as("_mm"),
+          others.map(n => first(col(n)).as(n)): _*)
+        .withColumn("_m",
+          when(col("_qs").isNull, lit(null)).otherwise(col("_mm")))
+        .drop("_mm")
+    }
   }
 
   /** Lloyd training of all m sub-codebooks in one pass per round.

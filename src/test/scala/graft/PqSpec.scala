@@ -324,4 +324,26 @@ class PqSpec extends SparkSpec {
       rows(SimilarityOps.ivfPqIndexTopKTwoLevel(spark, dir, queries,
         k = 5, dim = 16, m = 4)))
   }
+
+  test("pqAssign fallback (broadcast-join branch past the literal " +
+      "bound) is bit-identical to the nested-literal kernel through " +
+      "the full IVF-PQ pipeline") {
+    def vecs(n: Int, seed: Int) = (0 until n).map { i =>
+      (i.toLong + seed * 1000L, (0 until 16).map(d =>
+        (((i * 29 + d * 13 + seed) % 11) - 5).toFloat / 4f))
+    }.toDF("vec_id", "embedding")
+    val corpus = vecs(60, seed = 1)
+    val queries = vecs(4, seed = 2)
+    def run() = SimilarityOps.ivfPqTopK(queries, corpus, k = 5,
+        dim = 16, nCells = 3, cellIters = 2, m = 4, codebookK = 6,
+        pqIters = 2)
+      .collect().map(_.toSeq).toSet
+    val kernel = run()
+    val saved = SimilarityOps.argminLiteralMaxElems
+    SimilarityOps.argminLiteralMaxElems = 0L // force both join branches
+    val joined = try run()
+      finally SimilarityOps.argminLiteralMaxElems = saved
+    assert(kernel === joined,
+      "pqAssign kernel and broadcast-join branches diverge")
+  }
 }
