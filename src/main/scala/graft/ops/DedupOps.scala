@@ -446,7 +446,15 @@ object DedupOps {
     * [1.9 vs 1.3 s] and sf1 [14.3 vs ~7 s] — the join re-evaluates the
     * explode and shuffles it twice — but its partial aggregation absorbs
     * per-key skew map-side) or a known-boilerplate pre-filter is the
-    * escape hatch at that regime.
+    * escape hatch at that regime. A third spelling — checkpoint the gram
+    * stream once, aggregate df per hash, LEFT-join only the FILTERED
+    * dup-set (df >= minDf, small, AQE-broadcastable) back onto the
+    * checkpointed stream — was measured r11 and is also slower at both
+    * scales (1.09 vs 0.78 s at sf0.1, 2.36 vs 1.78 s at sf1): the
+    * checkpoint materialization plus the extra aggregate job cost more
+    * than the window's narrow (long, long) sort. The window form is the
+    * measured local optimum; its fresh sf0.1→sf1 exponent is 0.36
+    * (SCALE.md — the old 0.75 row was a stale r7 measurement).
     *
     * Reference analog: the duplicate/spam text-quality filtering over tweet
     * text (/root/reference/dataflow/stream_join.py spam heuristics), lifted
