@@ -33,6 +33,31 @@ object PipelineQueries {
     } + "/media"
   }
 
+  /** (media_id, ahash) over the PNG archive — the decoded-signature
+    * frame the ahash entries share. Checkpointed: downstream self-joins
+    * read it from both sides, and unlike the text-simhash case (narrow
+    * codegen'd projection, cheaper to recompute) the upstream here is a
+    * real ImageIO decode per row.
+    */
+  private def ahashFrame(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    s.read.parquet(pngArchive(s, dir))
+      .select(col("media_id"), col("png"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val dec = new MultimodalOps.MediaDecoder
+        rows.map { case (id, png) =>
+          (id, dec.aHash64(png).getOrElse(
+            throw new IllegalStateException(
+              s"png decode failed for $id")))
+        }
+      }
+      .toDF("media_id", "ahash")
+      .transform(df => if (graft.PlanMode.isExplainOnly) df
+        else df.localCheckpoint(eager = true))
+  }
+
   def defs: Map[String, Entry] = Map(
 
     // X5 + A5 + A12 + K4: per-key ARIMA(p,d,q) trainer (Hannan–Rissanen
@@ -379,29 +404,8 @@ object PipelineQueries {
     // 0), so hamming-0 pairs are guaranteed present; the oracle replays
     // pixel generator -> NN grid -> threshold -> banding in closed form.
     "multimodal_ahash_dups" -> Entry(
-      (s, dir) => {
-        import s.implicits._
-        val hashes = s.read.parquet(pngArchive(s, dir))
-          .select(col("media_id"), col("png"))
-          .as[(Long, Array[Byte])]
-          .mapPartitions { rows =>
-            val dec = new MultimodalOps.MediaDecoder
-            rows.map { case (id, png) =>
-              (id, dec.aHash64(png).getOrElse(
-                throw new IllegalStateException(
-                  s"png decode failed for $id")))
-            }
-          }
-          .toDF("media_id", "ahash")
-          // both self-join sides of the banding read this frame; unlike
-          // the text-simhash case (narrow codegen'd projection, cheaper
-          // to recompute), the upstream here is a real ImageIO decode
-          // per row — materialize the tiny (id, hash) frame once
-          .transform(df => if (graft.PlanMode.isExplainOnly) df
-            else df.localCheckpoint(eager = true))
-        graft.ops.DedupOps.hammingNearDups(hashes, "media_id", "ahash",
-          maxHamming = 8)
-      },
+      (s, dir) => graft.ops.DedupOps.hammingNearDups(
+        ahashFrame(s, dir), "media_id", "ahash", maxHamming = 8),
       Some("""
         WITH px AS (SELECT doc_id, 16 + doc_id % 16 AS w,
                            16 + doc_id % 8 AS h
@@ -435,6 +439,76 @@ object PipelineQueries {
          AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING min(bit_count(xor(a.ahash, b.ahash))) <= 8""")),
+
+    // Dedup-APPLY posture for clique-dense image corpora — the linear
+    // form of the entry above. multimodal_ahash_dups is CONTRACTED to
+    // emit every qualifying pair, which is Omega(pairs) and therefore
+    // quadratic in clique size when the corpus repeats images (SCALE.md
+    // measures 100x output growth for 10x input on the synthetic
+    // archive). A production pipeline doesn't want the pairs — it wants
+    // the survivors: collapse exact-hash groups first (groupBy on the
+    // 64-bit ahash, O(n), keep min media_id + copy count), then run the
+    // hamming-band near-dup prune among the REPRESENTATIVES only (a set
+    // bounded by distinct perceptual content, not corpus size — <= 256
+    // here at every SF). One row per representative: is_kept, the
+    // lowest-id near-duplicate representative it folds into (semanticDedup's
+    // keep-lowest rule), and the strongest (minimum) hamming distance.
+    "multimodal_ahash_apply" -> Entry(
+      (s, dir) => {
+        val reps = ahashFrame(s, dir).groupBy(col("ahash"))
+          .agg(min(col("media_id")).as("media_id"),
+            count(lit(1)).as("n_copies"))
+        val pairs = graft.ops.DedupOps.hammingNearDups(
+          reps.select(col("media_id"), col("ahash")), "media_id",
+          "ahash", maxHamming = 8)
+        val dropped = pairs.groupBy(col("id_b").as("media_id"))
+          .agg(min(col("id_a")).as("dup_of"),
+            min(col("hamming")).as("min_hamming"))
+        reps.join(dropped, Seq("media_id"), "left")
+          .select(col("media_id"), col("ahash"), col("n_copies"),
+            col("dup_of").isNull.as("is_kept"), col("dup_of"),
+            col("min_hamming"))
+      },
+      Some("""
+        WITH px AS (SELECT doc_id, 16 + doc_id % 16 AS w,
+                           16 + doc_id % 8 AS h
+                    FROM documents),
+        samp AS (
+          SELECT doc_id, CAST(j*8+i AS INTEGER) AS b,
+                 (doc_id*31 + ((i*w)//8)*7 + ((j*h)//8)*13) % 256 AS g
+          FROM px, UNNEST(generate_series(0,7)) AS ti(i),
+               UNNEST(generate_series(0,7)) AS tj(j)),
+        tot AS (SELECT doc_id, sum(g) AS s FROM samp GROUP BY 1),
+        sig AS (
+          SELECT samp.doc_id,
+                 CAST(sum(CASE WHEN 64*g > s THEN
+                       CASE WHEN b = 63
+                            THEN CAST(-9223372036854775808 AS BIGINT)
+                            ELSE (CAST(1 AS BIGINT) << b) END
+                     ELSE 0 END) AS BIGINT) AS ahash
+          FROM samp JOIN tot USING (doc_id) GROUP BY 1),
+        reps AS (SELECT min(doc_id) AS media_id, ahash,
+                        count(*) AS n_copies
+                 FROM sig GROUP BY ahash),
+        banded AS (
+          SELECT media_id, ahash, CAST(k AS INTEGER) AS band,
+                 (ahash >> (CAST(k AS INTEGER) * 16)) & 65535 AS band_val
+          FROM reps, UNNEST([0,1,2,3]) AS t(k)),
+        pairs AS (
+          SELECT a.media_id AS id_a, b.media_id AS id_b,
+                 CAST(min(bit_count(xor(a.ahash, b.ahash))) AS INTEGER)
+                   AS hamming
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_val = b.band_val
+           AND a.media_id < b.media_id
+          GROUP BY 1, 2
+          HAVING min(bit_count(xor(a.ahash, b.ahash))) <= 8),
+        dropped AS (SELECT id_b AS media_id, min(id_a) AS dup_of,
+                           min(hamming) AS min_hamming
+                    FROM pairs GROUP BY 1)
+        SELECT r.media_id, r.ahash, r.n_copies,
+               d.dup_of IS NULL AS is_kept, d.dup_of, d.min_hamming
+        FROM reps r LEFT JOIN dropped d USING (media_id)""")),
 
     // Audio twin of multimodal_image_stats: deterministic 16-bit mono
     // PCM wavs per doc, parsed back with the SAME RIFF/PCM decoder the
