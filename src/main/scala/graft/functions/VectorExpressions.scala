@@ -211,38 +211,107 @@ case class ArgMinSqDist(left: Expression, right: Expression)
           s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
 
+  /** The centroid matrix hoisted ONCE into primitive long[][] — only
+    * when `right` is a foldable literal with no null rows/elements (the
+    * shape every argminAssign site produces). Per-row evaluation then
+    * scans contiguous primitive arrays instead of re-walking the
+    * literal's ArrayData (bitmap null check + offset arithmetic per
+    * element, per row); the per-row-varying matrix form ([[graft.ops
+    * .SimilarityOps]]'s pqAssign, `element_at(mats, _sub+1)`) keeps the
+    * generic path. Computed lazily per JVM — `right` is a Literal, so
+    * the fold is identical on driver and executors. Null when
+    * inapplicable.
+    */
+  @transient private lazy val foldedMat: Array[Array[Long]] =
+    computeFoldedMat()
+
+  private def computeFoldedMat(): Array[Array[Long]] =
+    if (!right.foldable) null
+    else right.eval(null) match {
+      case m: ArrayData =>
+        val k = m.numElements()
+        val out = new Array[Array[Long]](k)
+        var j = 0
+        while (j < k) {
+          if (m.isNullAt(j)) return null
+          val cr = m.getArray(j)
+          val n = cr.numElements()
+          val row = new Array[Long](n)
+          var t = 0
+          while (t < n) {
+            if (cr.isNullAt(t)) return null
+            row(t) = cr.getLong(t)
+            t += 1
+          }
+          out(j) = row
+          j += 1
+        }
+        out
+      case _ => null
+    }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
-    val m = b.asInstanceOf[ArrayData]
     val dim = x.numElements()
     val q = new Array[Long](dim)
     val qn = new Array[Boolean](dim)
+    var anyNullQ = false
     var i = 0
     while (i < dim) {
       qn(i) = x.isNullAt(i)
+      anyNullQ |= qn(i)
       q(i) = if (qn(i)) 0L else x.getLong(i)
       i += 1
     }
     var bestD = Long.MaxValue
     var bestC = -1
-    var j = 0
-    val k = m.numElements()
-    while (j < k) {
-      if (!m.isNullAt(j)) {
-        val c = m.getArray(j)
-        val n = math.min(dim, c.numElements())
+    val fm = foldedMat
+    if (fm != null) {
+      var j = 0
+      while (j < fm.length) {
+        val c = fm(j)
+        val n = math.min(dim, c.length)
         var s = 0L
         var t = 0
-        while (t < n) {
-          if (!qn(t) && !c.isNullAt(t)) {
-            val d = q(t) - c.getLong(t)
+        if (!anyNullQ) {
+          while (t < n) {
+            val d = q(t) - c(t)
             s += d * d
+            t += 1
           }
-          t += 1
+        } else {
+          while (t < n) {
+            if (!qn(t)) {
+              val d = q(t) - c(t)
+              s += d * d
+            }
+            t += 1
+          }
         }
         if (s < bestD) { bestD = s; bestC = j }
+        j += 1
       }
-      j += 1
+    } else {
+      val m = b.asInstanceOf[ArrayData]
+      var j = 0
+      val k = m.numElements()
+      while (j < k) {
+        if (!m.isNullAt(j)) {
+          val c = m.getArray(j)
+          val n = math.min(dim, c.numElements())
+          var s = 0L
+          var t = 0
+          while (t < n) {
+            if (!qn(t) && !c.isNullAt(t)) {
+              val d = q(t) - c.getLong(t)
+              s += d * d
+            }
+            t += 1
+          }
+          if (s < bestD) { bestD = s; bestC = j }
+        }
+        j += 1
+      }
     }
     if (bestC < 0) null
     else new org.apache.spark.sql.catalyst.expressions
@@ -250,16 +319,67 @@ case class ArgMinSqDist(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext,
-      ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val t = ctx.freshName("t"); val n = ctx.freshName("n")
-      val dim = ctx.freshName("dim"); val k = ctx.freshName("k")
-      val q = ctx.freshName("q"); val qn = ctx.freshName("qn")
-      val s = ctx.freshName("s"); val d = ctx.freshName("d")
-      val bd = ctx.freshName("bestD"); val bc = ctx.freshName("bestC")
-      val c = ctx.freshName("cent")
-      s"""
+      ev: ExprCode): ExprCode = {
+    val i = ctx.freshName("i"); val j = ctx.freshName("j")
+    val t = ctx.freshName("t"); val n = ctx.freshName("n")
+    val dim = ctx.freshName("dim"); val k = ctx.freshName("k")
+    val q = ctx.freshName("q"); val qn = ctx.freshName("qn")
+    val s = ctx.freshName("s"); val d = ctx.freshName("d")
+    val bd = ctx.freshName("bestD"); val bc = ctx.freshName("bestC")
+    val c = ctx.freshName("cent")
+    if (foldedMat != null) {
+      // foldable-literal fast path: the matrix rides the generated class
+      // as ONE primitive long[][] reference (hoisted at codegen, never
+      // re-decoded from the literal's ArrayData bitmap+offsets per row)
+      // and the no-null-query inner loop is branch-free — the
+      // JIT-friendliest shape available without Panama SIMD. Same
+      // argmin/tie/null algebra as the generic path (spec-pinned
+      // bit-identical, VectorExprSpec).
+      val mref = ctx.addReferenceObj("argminMat", foldedMat, "long[][]")
+      val anq = ctx.freshName("anyNullQ")
+      nullSafeCodeGen(ctx, ev, (a, _) => s"""
+         |final int $dim = $a.numElements();
+         |final long[] $q = new long[$dim];
+         |final boolean[] $qn = new boolean[$dim];
+         |boolean $anq = false;
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  $qn[$i] = $a.isNullAt($i);
+         |  $anq |= $qn[$i];
+         |  $q[$i] = $qn[$i] ? 0L : $a.getLong($i);
+         |}
+         |long $bd = Long.MAX_VALUE;
+         |int $bc = -1;
+         |final int $k = $mref.length;
+         |for (int $j = 0; $j < $k; $j++) {
+         |  final long[] $c = $mref[$j];
+         |  final int $n = java.lang.Math.min($dim, $c.length);
+         |  long $s = 0L;
+         |  if (!$anq) {
+         |    for (int $t = 0; $t < $n; $t++) {
+         |      final long $d = $q[$t] - $c[$t];
+         |      $s += $d * $d;
+         |    }
+         |  } else {
+         |    for (int $t = 0; $t < $n; $t++) {
+         |      if (!$qn[$t]) {
+         |        final long $d = $q[$t] - $c[$t];
+         |        $s += $d * $d;
+         |      }
+         |    }
+         |  }
+         |  if ($s < $bd) { $bd = $s; $bc = $j; }
+         |}
+         |if ($bc < 0) {
+         |  ${ev.isNull} = true;
+         |  ${ev.value} = null;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions
+         |    .GenericInternalRow(new Object[] {
+         |      java.lang.Integer.valueOf($bc),
+         |      java.lang.Long.valueOf($bd) });
+         |}
+       """.stripMargin)
+    } else nullSafeCodeGen(ctx, ev, (a, b) => s"""
          |final int $dim = $a.numElements();
          |final long[] $q = new long[$dim];
          |final boolean[] $qn = new boolean[$dim];
@@ -294,8 +414,8 @@ case class ArgMinSqDist(left: Expression, right: Expression)
          |      java.lang.Integer.valueOf($bc),
          |      java.lang.Long.valueOf($bd) });
          |}
-       """.stripMargin
-    })
+       """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(newLeft, newRight)

@@ -138,4 +138,39 @@ class VectorExprSpec extends SparkSpec {
         typedLit(Seq.empty[Seq[Long]])).as("r")).collect().head
     assert(e.isNullAt(0), "empty matrix must yield null")
   }
+
+  test("argmin_sq_dist foldable-literal fast path (hoisted primitive " +
+      "matrix) is bit-identical to the generic column-matrix path, " +
+      "including null query elements, ties, and ragged rows") {
+    val rnd = new scala.util.Random(31)
+    val k = 9
+    val cents: Seq[Seq[Long]] = (0 until k).map { j =>
+      // one SHORT row exercises the min(dim, row-length) clamp
+      val len = if (j == 4) 7 else 12
+      Seq.fill(len)(rnd.nextInt(1000).toLong - 500L)
+    } ++ Seq(Seq.fill(12)(0L), Seq.fill(12)(0L)) // exact-tie pair
+    val vecs = (0L until 50L).map { i =>
+      // every 7th vector carries a null element (anyNullQ branch);
+      // every 11th is all-zero (hits the duplicate-centroid tie)
+      val v: Seq[Option[Long]] =
+        if (i % 11 == 0) Seq.fill(12)(Some(0L))
+        else (0 until 12).map(d =>
+          if (i % 7 == 0 && d == 3) None
+          else Some(rnd.nextInt(1000).toLong - 500L))
+      (i, v)
+    }.toDF("id", "qv")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"m.c", $"m.d").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // fast path: literal matrix (foldable, hoisted long[][])
+    val fast = rows(vecs.select($"id",
+      VectorFunctions.argmin_sq_dist($"qv", typedLit(cents)).as("m")))
+    // generic path: the same matrix behind a NON-FOLDABLE conditional
+    // (condition on an attribute, always true on this data — the
+    // optimizer cannot fold it back to a literal)
+    val generic = rows(vecs.select($"id",
+      VectorFunctions.argmin_sq_dist($"qv",
+        when($"id" >= 0, typedLit(cents))).as("m")))
+    assert(fast === generic)
+  }
 }
