@@ -155,4 +155,82 @@ object TimeSeriesOps {
       zscore.as("zscore"),
       coalesce(abs(zscore) > lit(z), lit(false)).as("is_anomaly")): _*)
   }
+
+  /** [[rollingZScoreAnomaly]] in its CHUNKED scale form — identical
+    * output, but the per-key sequential window is broken into
+    * independently-processed pieces so parallelism is keys × chunks
+    * instead of keys (the plain form is key-cardinality-bound: at 4
+    * event types a 32-core host runs 4 window tasks; SCALE.md measured
+    * exponent 0.59 for exactly this reason).
+    *
+    * Construction (every pass is (key, chunk)-parallel):
+    *  1. global per-key row numbers WITHOUT a per-key sequential pass:
+    *     rank within (key, time-chunk) — `tsCol` floored to
+    *     `spanSeconds` — plus the prefix-sum of per-time-chunk counts
+    *     (a tiny aggregate, broadcast back; time-chunking is consistent
+    *     with the (ts, ...) sort order because the chunk is a function
+    *     of ts alone);
+    *  2. fixed `chunkRows`-row chunks from those row numbers, with each
+    *     chunk's last `nRows` rows DUPLICATED into the next chunk as
+    *     warm-up carry (chunkRows > nRows makes the carry always
+    *     sufficient — the frame never reaches past the previous chunk);
+    *  3. the same trailing (-nRows, -1) frame over (key, chunk), ordered
+    *     by the global row number, then the carried rows drop.
+    *
+    * Same sum/sum-of-squares algebra, same null/zero-variance rules, so
+    * rows are bit-identical to the plain form (spec-pinned) and the same
+    * DuckDB window oracle verifies both. The extra cost is one small
+    * aggregate + broadcast join and the carry duplication
+    * (nRows/chunkRows overhead); buy it when keys ≪ cores.
+    */
+  def rollingZScoreAnomalyChunked(df: DataFrame, keyCol: String,
+                                  orderCols: Seq[String], valueCol: String,
+                                  nRows: Int, z: Double, tsCol: String,
+                                  chunkRows: Int = 4096,
+                                  spanSeconds: Long = 3600L): DataFrame = {
+    require(nRows >= 2 && z > 0, s"nRows=$nRows z=$z")
+    require(chunkRows > nRows, s"chunkRows=$chunkRows must exceed nRows=$nRows")
+    require(spanSeconds > 0, s"spanSeconds=$spanSeconds")
+    val base = df.withColumn("_tc",
+      floor(col(tsCol).cast("long") / lit(spanSeconds)).cast("long"))
+    val wIn = Window.partitionBy(col(keyCol), col("_tc"))
+      .orderBy(orderCols.map(col): _*)
+    val ranked = base.withColumn("_rin", row_number().over(wIn).cast("long"))
+    val wCum = Window.partitionBy(col(keyCol)).orderBy(col("_tc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col(keyCol), col("_tc"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", coalesce(sum(col("_cnt")).over(wCum), lit(0L)))
+      .select(col(keyCol), col("_tc"), col("_off"))
+    val rn = ranked.join(broadcast(offsets), Seq(keyCol, "_tc"))
+      .withColumn("_rn", col("_off") + col("_rin"))
+    val real = rn
+      .withColumn("_ck", floor((col("_rn") - 1) / lit(chunkRows)).cast("long"))
+      .withColumn("_warm", lit(false))
+    val carry = rn
+      .filter(pmod(col("_rn") - 1, lit(chunkRows.toLong)) >=
+        lit((chunkRows - nRows).toLong))
+      .withColumn("_ck",
+        floor((col("_rn") - 1) / lit(chunkRows)).cast("long") + 1)
+      .withColumn("_warm", lit(true))
+    val w = Window.partitionBy(col(keyCol), col("_ck"))
+      .orderBy(col("_rn"))
+      .rowsBetween(-nRows.toLong, -1L)
+    val v = col(valueCol)
+    val n = count(lit(1)).over(w)
+    val s = sum(v).over(w)
+    val sq = sum(v * v).over(w)
+    val mean = s / n
+    val std = sqrt((sq - s * s / n) / nullif(n - lit(1), lit(0)))
+    val zscore = (v - mean) / nullif(std, lit(0.0))
+    real.unionByName(carry)
+      .select((Seq(col(keyCol)) ++ orderCols.map(col) ++ Seq(
+        v.as("value"),
+        n.as("base_n"), mean.as("base_mean"), std.as("base_std"),
+        zscore.as("zscore"),
+        coalesce(abs(zscore) > lit(z), lit(false)).as("is_anomaly"),
+        col("_warm"))): _*)
+      .filter(!col("_warm"))
+      .drop("_warm")
+  }
 }

@@ -424,6 +424,49 @@ object SeriesQueries {
         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)""")),
 
+    // CHUNKED twin of ts_anomaly_zscore — the scale form for the
+    // key-cardinality-bound window (4 event types cap the plain form at
+    // 4 window tasks; SCALE.md measured exponent 0.59 for that reason).
+    // Global row numbers come from (key, hour-chunk) ranks + a
+    // broadcast prefix-sum of chunk counts; 4096-row chunks then carry
+    // their last 24 rows into the next chunk so every trailing frame is
+    // complete, and the window runs (key, chunk)-parallel. Output is
+    // row-identical to the plain form (spec-pinned), so the SAME DuckDB
+    // window oracle verifies it.
+    "ts_anomaly_zscore_chunked" -> Entry(
+      (s, dir) => TimeSeriesOps.rollingZScoreAnomalyChunked(
+        Tables.events(s, dir)
+          .withColumn("value_cents", round(col("value") * 100)
+            .cast("long")),
+        "event_type", Seq("ts", "event_id"), "value_cents",
+        nRows = 24, z = 3.0, tsCol = "ts"),
+      Some("""
+        WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+                          event_type,
+                          CAST(round(value * 100) AS BIGINT) AS v
+                   FROM events)
+        SELECT event_type, ts, event_id, v AS value,
+               count(*) OVER w AS base_n,
+               sum(v) OVER w / count(*) OVER w AS base_mean,
+               sqrt((sum(v*v) OVER w
+                     - (sum(v) OVER w) * (sum(v) OVER w)
+                       / count(*) OVER w)
+                    / nullif(count(*) OVER w - 1, 0)) AS base_std,
+               (v - sum(v) OVER w / count(*) OVER w)
+                 / nullif(sqrt((sum(v*v) OVER w
+                     - (sum(v) OVER w) * (sum(v) OVER w)
+                       / count(*) OVER w)
+                    / nullif(count(*) OVER w - 1, 0)), 0.0) AS zscore,
+               coalesce(abs((v - sum(v) OVER w / count(*) OVER w)
+                 / nullif(sqrt((sum(v*v) OVER w
+                     - (sum(v) OVER w) * (sum(v) OVER w)
+                       / count(*) OVER w)
+                    / nullif(count(*) OVER w - 1, 0)), 0.0)) > 3.0,
+                 false) AS is_anomaly
+        FROM e
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)""")),
+
     // ORDER tiebreak: (shipdate, orderkey, linenumber) is NOT unique in
     // the synthetic lineitem (one full collision at sf0.1), so the value
     // column joins the ordering — engines then agree on every frame, and

@@ -94,4 +94,36 @@ class RollingStatsSpec extends SparkSpec {
         r.getAs[Boolean]("is_anomaly")).toMap
     assert(f(4L) === false)
   }
+
+  test("rollingZScoreAnomalyChunked is row-identical to the plain form " +
+      "across chunk boundaries, sparse time-chunks, and multiple keys") {
+    val rnd = new scala.util.Random(17)
+    // 3 keys x 400 rows; timestamps stride 100s with gaps (every 7th
+    // jumps an hour) so time-chunks of 600s are uneven and some are
+    // empty; values jittered with occasional spikes
+    val rows = (for {
+      k <- Seq("a", "b", "c")
+      i <- 0 until 400
+    } yield {
+      val gap = if (i % 7 == 0) 3600L else 0L
+      val ts = new java.sql.Timestamp(
+        1704067200000L + (i * 100L + gap + rnd.nextInt(30)) * 1000L)
+      val v = if (i % 53 == 0) 5000L else 100L + rnd.nextInt(20)
+      (k, ts, i.toLong, v)
+    }).toDF("k", "ts", "event_id", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(2)) ->
+        (r.getAs[Long]("value"), r.getAs[Long]("base_n"),
+          r.getAs[Any]("base_mean"), r.getAs[Any]("base_std"),
+          r.getAs[Any]("zscore"), r.getAs[Boolean]("is_anomaly"))).toMap
+    val plain = canon(graft.ops.TimeSeriesOps.rollingZScoreAnomaly(
+      rows, "k", Seq("ts", "event_id"), "v", nRows = 24, z = 3.0))
+    // chunkRows=100 forces multiple chunk boundaries per key (400 rows
+    // -> 4 chunks); spanSeconds=600 makes ~40+ time-chunks with gaps
+    val chunked = canon(graft.ops.TimeSeriesOps.rollingZScoreAnomalyChunked(
+      rows, "k", Seq("ts", "event_id"), "v", nRows = 24, z = 3.0,
+      tsCol = "ts", chunkRows = 100, spanSeconds = 600L))
+    assert(plain.size === 1200 && chunked.size === 1200)
+    assert(plain === chunked)
+  }
 }
