@@ -30,6 +30,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // The cross-sweep reps protocol runs the whole catalog between the
+      // two samples of any one query. The generated-code cache's default
+      // 100 entries is far below one sweep's stage count, so without this
+      // every timed sample would pay janino recompilation (~100-300 ms per
+      // stage) that the warmup pass already paid — measured as a uniform
+      // ~1.45x inflation across the catalog, including untouched trivial
+      // entries. Sized to hold every stage of a full sweep.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
