@@ -90,6 +90,14 @@ object Bench {
     // executions per query, decorrelated in time.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "1").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // total executions per query = reps x passes; PASSES' default dropped
+    // 2 -> 1 when REPS (default 2) took over decorrelation, so a caller
+    // pinning only the old knob gets a doubled count unless told
+    if (sys.env.contains("SPARK_GRAFT_PASSES") &&
+        !sys.env.contains("SPARK_GRAFT_BENCH_REPS"))
+      System.err.println(s"[bench] SPARK_GRAFT_PASSES=$passes is set " +
+        s"without SPARK_GRAFT_BENCH_REPS: timed executions per query = " +
+        s"$reps sweeps x $passes passes = ${reps * passes}")
     val samples = scala.collection.mutable
       .LinkedHashMap[String, List[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

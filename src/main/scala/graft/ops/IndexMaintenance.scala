@@ -480,9 +480,14 @@ object IndexMaintenance {
     // same race prune guards against: a concurrent compaction's prune may
     // delete a superseded manifest between our listing and the reads — an
     // audit must report the surviving state (vanished manifests counted
-    // absent), not throw FileNotFoundException
-    val surviving = manifestGens(f, root).flatMap(g =>
-      scala.util.Try(readManifest(f, root, g)).toOption.map(g -> _))
+    // absent), not throw FileNotFoundException. ONLY that race is
+    // swallowed: any other read failure (corrupt file, IO/permission
+    // error) must surface, or a damaged index would audit as a
+    // healthy-but-older one
+    val surviving = manifestGens(f, root).flatMap { g =>
+      try Some(g -> readManifest(f, root, g))
+      catch { case _: java.io.FileNotFoundException => None }
+    }
     val gens = surviving.map(_._1)
     val referenced = surviving.map(_._2).toSet
     val baseDirs =

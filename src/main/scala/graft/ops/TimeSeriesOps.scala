@@ -191,6 +191,14 @@ object TimeSeriesOps {
     require(nRows >= 2 && z > 0, s"nRows=$nRows z=$z")
     require(chunkRows > nRows, s"chunkRows=$chunkRows must exceed nRows=$nRows")
     require(spanSeconds > 0, s"spanSeconds=$spanSeconds")
+    // the global row number is built over (_tc, orderCols); that equals
+    // the plain form's orderCols ordering ONLY when the time-chunk is a
+    // monotone function of the leading sort key — i.e. orderCols must
+    // lead with tsCol, or frames silently contain different rows
+    require(orderCols.headOption.contains(tsCol),
+      s"orderCols must lead with tsCol='$tsCol' (got $orderCols): the " +
+        "chunk key floor(ts/span) is only order-consistent with the " +
+        "plain form's window when ts is the primary sort key")
     val base = df.withColumn("_tc",
       floor(col(tsCol).cast("long") / lit(spanSeconds)).cast("long"))
     val wIn = Window.partitionBy(col(keyCol), col("_tc"))
@@ -202,7 +210,14 @@ object TimeSeriesOps {
       .agg(count(lit(1)).as("_cnt"))
       .withColumn("_off", coalesce(sum(col("_cnt")).over(wCum), lit(0L)))
       .select(col(keyCol), col("_tc"), col("_off"))
-    val rn = ranked.join(broadcast(offsets), Seq(keyCol, "_tc"))
+    // null-SAFE join: a null key (or null ts -> null _tc) is a real
+    // window partition in the plain form — plain equality would silently
+    // drop those rows and break the row-identity contract
+    val rn = ranked.alias("_zl")
+      .join(broadcast(offsets.alias("_zr")),
+        col(s"_zl.`$keyCol`") <=> col(s"_zr.`$keyCol`") &&
+          col("_zl._tc") <=> col("_zr._tc"))
+      .select(col("_zl.*"), col("_zr._off"))
       .withColumn("_rn", col("_off") + col("_rin"))
     val real = rn
       .withColumn("_ck", floor((col("_rn") - 1) / lit(chunkRows)).cast("long"))

@@ -126,4 +126,40 @@ class RollingStatsSpec extends SparkSpec {
     assert(plain.size === 1200 && chunked.size === 1200)
     assert(plain === chunked)
   }
+
+  test("rollingZScoreAnomalyChunked keeps null-key and null-ts rows " +
+      "(they are real window partitions in the plain form)") {
+    val rows = (Seq(
+      (null.asInstanceOf[String], ts(0L), 900L, 100L),
+      (null.asInstanceOf[String], ts(100L), 901L, 110L),
+      (null.asInstanceOf[String], ts(200L), 902L, 120L),
+      ("k", null.asInstanceOf[java.sql.Timestamp], 903L, 100L),
+      ("k", null.asInstanceOf[java.sql.Timestamp], 904L, 105L)) ++
+      (0 until 20).map(i => ("k", ts(i * 100L), i.toLong, 100L + i)))
+      .toDF("k", "ts", "event_id", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(2)) ->
+        (r.getAs[Long]("value"), r.getAs[Long]("base_n"),
+          r.getAs[Any]("base_mean"), r.getAs[Any]("base_std"),
+          r.getAs[Any]("zscore"), r.getAs[Boolean]("is_anomaly"))).toMap
+    val plain = canon(graft.ops.TimeSeriesOps.rollingZScoreAnomaly(
+      rows, "k", Seq("ts", "event_id"), "v", nRows = 3, z = 3.0))
+    val chunked = canon(graft.ops.TimeSeriesOps.rollingZScoreAnomalyChunked(
+      rows, "k", Seq("ts", "event_id"), "v", nRows = 3, z = 3.0,
+      tsCol = "ts", chunkRows = 7, spanSeconds = 600L))
+    assert(plain.size === 25 && chunked.size === 25)
+    assert(plain === chunked)
+  }
+
+  test("rollingZScoreAnomalyChunked rejects orderCols not led by tsCol") {
+    val df = Seq(("k", ts(0L), 1L, 2L)).toDF("k", "ts", "event_id", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.TimeSeriesOps.rollingZScoreAnomalyChunked(
+        df, "k", Seq("event_id"), "v", nRows = 3, z = 3.0, tsCol = "ts")
+    }
+    assert(e.getMessage.contains("lead with tsCol"))
+  }
+
+  private def ts(offsetSec: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(1704067200000L + offsetSec * 1000L)
 }
