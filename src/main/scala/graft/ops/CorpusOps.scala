@@ -29,6 +29,69 @@ object CorpusOps {
           lit(budget.toDouble)).cast("long"))
   }
 
+  /** Token-level concat-and-chunk packing — the GPT-style pretraining
+    * batcher: within each group the ordered documents form one
+    * concatenated token stream, cut into fixed `budget`-token training
+    * sequences, so a document may STRADDLE sequence boundaries (zero
+    * padding waste; contrast [[tokenBudgetChunks]], the doc-granular
+    * greedy form that overflows a chunk instead of splitting the doc).
+    * Emits per-doc packing coordinates: `tokens`, `tok_start` (the doc's
+    * position in its group's token stream), `start_seq`/`end_seq` (first/
+    * last sequence the doc touches), and `head_offset` (offset inside
+    * `start_seq`). Sequence composition (docs per sequence, split-doc
+    * counts, fill) folds from these coordinates with a bounded
+    * range-explode — `end_seq - start_seq` is at most
+    * ceil(doc_tokens/budget).
+    *
+    * Scale: one prefix-sum window per group key, rank-free; at 100 TB
+    * packing runs per (source, shard) partition — the stream order only
+    * has to be deterministic within a group, so group cardinality scales
+    * with data and no global sort exists. Zero-token docs are excluded
+    * (they contribute nothing to the stream).
+    */
+  def packSequences(docs: DataFrame, idCol: String, byCol: String,
+                    tokenCol: Column, budget: Int): DataFrame = {
+    require(budget > 0, s"budget=$budget")
+    val w = Window.partitionBy(col(byCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    docs.withColumn("tokens", tokenCol.cast("long"))
+      .filter(col("tokens") > 0)
+      .withColumn("tok_start",
+        coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .withColumn("start_seq",
+        floor(col("tok_start") / lit(budget.toDouble)).cast("long"))
+      .withColumn("end_seq",
+        floor((col("tok_start") + col("tokens") - 1) /
+          lit(budget.toDouble)).cast("long"))
+      .withColumn("head_offset", pmod(col("tok_start"), lit(budget.toLong)))
+  }
+
+  /** Deterministic epoch shuffle into `nShards` shards — the global
+    * training-order randomizer: shard and within-shard position derive
+    * from md5(epochSalt | id), a pure function of (salt, id), so every
+    * re-run on any cluster layout reproduces the same global order, and
+    * a different salt (= next epoch) yields an independent permutation.
+    * Emits `shard` and `shard_pos` (1-based position in shard order).
+    *
+    * Scale: this is how a 100 TB corpus gets a global random order
+    * WITHOUT a global sort — one hash projection, one shuffle on the
+    * shard key, and a per-shard sort whose size is corpus/nShards
+    * (choose nShards ∝ data to bound it); readers then consume shards
+    * round-robin for an unbiased stream.
+    */
+  def epochShuffleShards(docs: DataFrame, idCol: String, nShards: Int,
+                         epochSalt: String): DataFrame = {
+    require(nShards > 0, s"nShards=$nShards")
+    val h = md5(concat_ws("|", lit(epochSalt), col(idCol).cast("string")))
+    val u32 = conv(substring(h, 1, 8), 16, 10).cast("long")
+    docs.withColumn("_eh", h)
+      .withColumn("shard", pmod(u32, lit(nShards.toLong)))
+      .withColumn("shard_pos",
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("_eh"), col(idCol))).cast("long"))
+      .drop("_eh")
+  }
+
   /** Deterministic train/val/test split from the content hash — the
     * CCNet-style discipline: membership depends only on the text, so
     * re-runs, resharding, and dedup upstream never move a document across

@@ -89,6 +89,113 @@ object CorpusQueries {
                  AS chunk_id
         FROM documents""")),
 
+    // Token-LEVEL concat-and-chunk packing (512-token sequences, docs
+    // straddle boundaries — zero padding waste): per-source sequence
+    // composition folded from the per-doc packing coordinates, incl. a
+    // bounded range-explode for per-sequence doc occupancy. last_fill =
+    // tokens actually in the final (possibly partial) sequence.
+    "corpus_pack_sequences" -> Entry(
+      (s, dir) => {
+        val packed = CorpusOps.packSequences(
+          Tables.documents(s, dir), "doc_id", "source",
+          size(split(col("text"), " ")).cast("long"), budget = 512)
+        val perSrc = packed.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("total_tokens"),
+          (max(col("end_seq")) + 1).as("n_seqs"),
+          sum(when(col("end_seq") > col("start_seq"), 1L).otherwise(0L))
+            .as("n_split_docs"),
+          (sum(col("tokens")) - max(col("end_seq")) * lit(512L))
+            .as("last_fill"))
+        val occupancy = packed
+          .select(col("source"),
+            explode(sequence(col("start_seq"), col("end_seq"))).as("seq"))
+          .groupBy(col("source"), col("seq"))
+          .agg(count(lit(1)).as("nd"))
+          .groupBy(col("source"))
+          .agg(max(col("nd")).as("max_docs_in_seq"))
+        perSrc.join(occupancy, Seq("source"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+          FROM documents
+          WHERE len(string_split(text, ' ')) > 0),
+        st AS (
+          SELECT source, tokens,
+                 sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - tokens AS tok_start
+          FROM d),
+        pk AS (
+          SELECT source, tokens,
+                 CAST(floor(tok_start / 512.0) AS BIGINT) AS start_seq,
+                 CAST(floor((tok_start + tokens - 1) / 512.0) AS BIGINT)
+                   AS end_seq
+          FROM st),
+        agg AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(tokens) AS BIGINT) AS total_tokens,
+                 CAST(max(end_seq) + 1 AS BIGINT) AS n_seqs,
+                 CAST(sum(CASE WHEN end_seq > start_seq THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_split_docs,
+                 CAST(sum(tokens) - max(end_seq) * 512 AS BIGINT)
+                   AS last_fill
+          FROM pk GROUP BY 1),
+        occ AS (
+          SELECT source, sq, count(*) AS nd
+          FROM pk, UNNEST(generate_series(start_seq, end_seq)) AS t(sq)
+          GROUP BY 1, 2),
+        occm AS (
+          SELECT source, CAST(max(nd) AS BIGINT) AS max_docs_in_seq
+          FROM occ GROUP BY 1)
+        SELECT agg.source, n_docs, total_tokens, n_seqs, n_split_docs,
+               last_fill, max_docs_in_seq
+        FROM agg JOIN occm USING (source)""")),
+
+    // Deterministic epoch shuffle: shard + in-shard order from
+    // md5(epoch|doc_id) — a global random training order with NO global
+    // sort (shard-keyed shuffle + bounded per-shard sort). Entry pins
+    // per-shard counts and the first three docs of each shard's order.
+    "corpus_epoch_shuffle" -> Entry(
+      (s, dir) => {
+        val sh = CorpusOps.epochShuffleShards(
+          Tables.documents(s, dir), "doc_id", nShards = 8,
+          epochSalt = "ep1")
+        val heads = sh.filter(col("shard_pos") <= 3)
+          .groupBy(col("shard"))
+          .agg(array_join(transform(array_sort(
+              collect_list(struct(col("shard_pos"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")), ",")
+            .as("first_docs"))
+        sh.groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))
+          .join(heads, Seq("shard"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+                 md5('ep1' || '|' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        a AS (
+          SELECT doc_id, h,
+                 CAST(('0x' || substr(h, 1, 8))::UBIGINT % 8 AS BIGINT)
+                   AS shard
+          FROM u),
+        r AS (
+          SELECT shard, doc_id,
+                 row_number() OVER (PARTITION BY shard
+                   ORDER BY h, doc_id) AS rn
+          FROM a),
+        heads AS (
+          SELECT shard,
+                 string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn)
+                   AS first_docs
+          FROM r WHERE rn <= 3 GROUP BY 1),
+        cnt AS (SELECT shard, count(*) AS n_docs FROM r GROUP BY 1)
+        SELECT shard, n_docs, first_docs
+        FROM cnt JOIN heads USING (shard)""")),
+
     // Sliding-window chunking with overlap (seq-len 256, stride 128):
     // the long-document splitter; tail windows may be short.
     "corpus_window_chunks" -> Entry(

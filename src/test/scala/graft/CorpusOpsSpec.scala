@@ -22,6 +22,56 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(5L) === 0L) // independent group
   }
 
+  test("packSequences: straddling docs span the right sequences, token " +
+      "ranges tile the stream exactly, zero-token docs drop") {
+    val docs = Seq(
+      (1L, "s", 300L), (2L, "s", 300L), (3L, "s", 500L), (4L, "s", 0L),
+      (5L, "s", 1200L), (6L, "t", 10L))
+      .toDF("doc_id", "source", "tok")
+    val out = CorpusOps.packSequences(docs, "doc_id", "source",
+        $"tok", budget = 512)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("tok_start"), r.getAs[Long]("start_seq"),
+          r.getAs[Long]("end_seq"), r.getAs[Long]("head_offset"))).toMap
+    assert(!out.contains(4L)) // zero tokens -> no stream contribution
+    // stream s: doc1 [0,300) seq 0; doc2 [300,600) straddles 0-1;
+    // doc3 [600,1100) straddles 1-2; doc5 [1100,2300) spans 2-4
+    assert(out(1L) === ((0L, 0L, 0L, 0L)))
+    assert(out(2L) === ((300L, 0L, 1L, 300L)))
+    assert(out(3L) === ((600L, 1L, 2L, 88L)))
+    assert(out(5L) === ((1100L, 2L, 4L, 76L)))
+    assert(out(6L) === ((0L, 0L, 0L, 0L))) // independent group
+    // token ranges tile [0, total) per group with no gap or overlap
+    val s = Seq(1L, 2L, 3L, 5L).map(out)
+    assert(s.map(_._1) === Seq(0L, 300L, 600L, 1100L))
+  }
+
+  test("epochShuffleShards: deterministic per salt, epochs independent, " +
+      "shard_pos contiguous from 1") {
+    val docs = (0L until 200L).map(i => Tuple1(i)).toSeq.toDF("doc_id")
+    def run(salt: String) = CorpusOps.epochShuffleShards(
+        docs, "doc_id", nShards = 4, epochSalt = salt)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("shard_pos"))).toMap
+    val e1 = run("ep1")
+    val e1b = run("ep1")
+    val e2 = run("ep2")
+    assert(e1 === e1b) // pure function of (salt, id)
+    assert(e1 !== e2)  // a new epoch is a different permutation
+    assert(e1.values.map(_._1).toSet === Set(0L, 1L, 2L, 3L))
+    // positions are a contiguous 1..n ranking within each shard
+    e1.values.groupBy(_._1).foreach { case (_, g) =>
+      val pos = g.map(_._2).toSeq.sorted
+      assert(pos === (1L to pos.size).toSeq)
+    }
+    // layout-independence: same assignment after repartition
+    val e1c = CorpusOps.epochShuffleShards(
+        docs.repartition(13), "doc_id", nShards = 4, epochSalt = "ep1")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("shard_pos"))).toMap
+    assert(e1 === e1c)
+  }
+
   test("deterministic split is stable and content-only") {
     val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
       .toDF("doc_id", "text")
