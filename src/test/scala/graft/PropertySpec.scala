@@ -278,6 +278,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: packSequences coordinates equal the brute-force " +
+      "concat-and-chunk on random corpora") {
+    val gen = Gen.listOfN(30,
+      Gen.zip(Gen.oneOf("s", "t", "u"), Gen.choose(0L, 900L)))
+    samples(gen, 5).foreach { rows =>
+      val budget = 128
+      val docs = rows.zipWithIndex.map { case ((src, tok), i) =>
+        (i.toLong, src, tok) }
+      val got = graft.ops.CorpusOps.packSequences(
+          docs.toDF("doc_id", "source", "tok"), "doc_id", "source",
+          $"tok", budget)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("tok_start"), r.getAs[Long]("start_seq"),
+            r.getAs[Long]("end_seq"), r.getAs[Long]("head_offset"))).toMap
+      val want = docs.filter(_._3 > 0).groupBy(_._2).flatMap {
+        case (_, g) =>
+          g.sortBy(_._1).foldLeft((0L, Map.empty[Long, (Long, Long, Long,
+              Long)])) { case ((at, acc), (id, _, tok)) =>
+            (at + tok, acc + (id -> (at, at / budget,
+              (at + tok - 1) / budget, at % budget)))
+          }._2
+      }
+      assert(got === want)
+    }
+  }
+
+  test("property: epochShuffleShards equals the JVM md5 reference " +
+      "(shard = u32(hex8) mod n, order = (hex, id))") {
+    val gen = Gen.listOfN(50, Gen.choose(0L, 100000L)).map(_.distinct)
+    samples(gen, 5).foreach { ids =>
+      val n = 6
+      def hex(id: Long): String = java.security.MessageDigest
+        .getInstance("MD5").digest(s"epX|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val want = ids.map { id =>
+        val h = hex(id)
+        id -> (java.lang.Long.parseLong(h.take(8), 16) % n, h)
+      }.toMap
+      val wantPos = want.toSeq.groupBy(_._2._1).flatMap { case (_, g) =>
+        g.sortBy { case (id, (_, h)) => (h, id) }.zipWithIndex
+          .map { case ((id, _), i) => id -> (i + 1L) }
+      }
+      val got = graft.ops.CorpusOps.epochShuffleShards(
+          ids.map(Tuple1(_)).toDF("doc_id"), "doc_id", n, "epX")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("shard"), r.getAs[Long]("shard_pos"))).toMap
+      assert(got.view.mapValues(_._1).toMap ===
+        want.view.mapValues(_._1).toMap)
+      assert(got.view.mapValues(_._2).toMap === wantPos)
+    }
+  }
+
   test("property: ewmaLast stays within the series' [min, max]") {
     val serGen = Gen.listOfN(25, Gen.choose(-50.0, 50.0))
     samples(serGen, 8).foreach { vals =>
