@@ -89,6 +89,79 @@ object CorpusQueries {
                  AS chunk_id
         FROM documents""")),
 
+    // Quality-threshold retention sweep — the tuning curve of the
+    // quality gate: per (source, threshold) surviving docs/tokens and
+    // retention fractions, all thresholds off ONE scored scan (bounded
+    // 3-literal explode; grid left-join keeps zero-retention cells).
+    "quality_retention_sweep" -> Entry(
+      (s, dir) => {
+        val thresholds = array(lit(0.25), lit(0.5), lit(0.75))
+        val q = graft.ops.TextOps.qualityScore(Tables.documents(s, dir))
+          .select(col("source"), col("quality_score"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+        val grid = q.groupBy(col("source"))
+          .agg(count(lit(1)).as("all_docs"),
+            sum(col("toks")).as("all_tokens"))
+          .select(col("source"), col("all_docs"), col("all_tokens"),
+            explode(thresholds).as("threshold"))
+        val kept = q
+          .select(col("source"), col("quality_score"), col("toks"),
+            explode(thresholds).as("threshold"))
+          .filter(col("quality_score") >= col("threshold"))
+          .groupBy(col("source"), col("threshold"))
+          .agg(count(lit(1)).as("kept_docs"),
+            sum(col("toks")).as("kept_tokens"))
+        grid.join(kept, Seq("source", "threshold"), "left")
+          .select(col("source"), col("threshold"),
+            coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+            coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+            round(coalesce(col("kept_docs"), lit(0L)) / col("all_docs"),
+              6).as("doc_retention"),
+            round(coalesce(col("kept_tokens"), lit(0L)) /
+              col("all_tokens"), 6).as("token_retention"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT source,
+                 CAST(length(text) AS DOUBLE) AS nc,
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+                 CAST(len(regexp_extract_all(text, '[\.,;:!\?]'))
+                   AS DOUBLE) AS np,
+                 CAST(len(regexp_extract_all(lower(text),
+                   '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) AS ns,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+          FROM documents),
+        q AS (
+          SELECT source, toks,
+                 (CASE WHEN nc >= 50 AND nc <= 10000 THEN 1.0
+                       ELSE 0.0 END
+                  + CASE WHEN nc / greatest(nw, 1.0) >= 2
+                          AND nc / greatest(nw, 1.0) <= 12 THEN 1.0
+                         ELSE 0.0 END
+                  + least(ns / greatest(nw, 1.0) * 4, 1.0)
+                  + (1.0 - least(np / greatest(nc, 1.0) * 10, 1.0))) / 4
+                   AS qs
+          FROM f),
+        thr AS (SELECT CAST(t AS DOUBLE) AS threshold
+                FROM (VALUES (0.25), (0.5), (0.75)) v(t)),
+        tot AS (SELECT source, count(*) AS all_docs,
+                       CAST(sum(toks) AS BIGINT) AS all_tokens
+                FROM q GROUP BY 1),
+        g AS (SELECT source, all_docs, all_tokens, threshold
+              FROM tot CROSS JOIN thr),
+        k AS (SELECT source, threshold, count(*) AS kept_docs,
+                     CAST(sum(toks) AS BIGINT) AS kept_tokens
+              FROM q CROSS JOIN thr WHERE qs >= threshold
+              GROUP BY 1, 2)
+        SELECT g.source, g.threshold,
+               coalesce(kept_docs, 0) AS kept_docs,
+               coalesce(kept_tokens, 0) AS kept_tokens,
+               round(coalesce(kept_docs, 0) /
+                 CAST(all_docs AS DOUBLE), 6) AS doc_retention,
+               round(coalesce(kept_tokens, 0) /
+                 CAST(all_tokens AS DOUBLE), 6) AS token_retention
+        FROM g LEFT JOIN k USING (source, threshold)""")),
+
     // Token-LEVEL concat-and-chunk packing (512-token sequences, docs
     // straddle boundaries — zero padding waste): per-source sequence
     // composition folded from the per-doc packing coordinates, incl. a
