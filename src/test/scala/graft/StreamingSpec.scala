@@ -945,6 +945,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming packer carries the token offset across micro-batches " +
+       "and matches batch packSequences bitwise on any batch split") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.StreamingPacker
+    val mem = MemoryStream[StreamingPacker.Doc]
+    val out = StreamingPacker.pack(mem.toDS(), budget = 128)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("spack").start()
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 40L).map(i => StreamingPacker.Doc(
+      if (i % 3 == 0) "s" else "t", i,
+      if (i % 11 == 0) 0L else 1L + rnd.nextInt(400).toLong))
+    try {
+      // three uneven splits; a straddling doc's sequence range must span
+      // state carried from an earlier batch
+      mem.addData(docs.take(7): _*)
+      q.processAllAvailable()
+      mem.addData(docs.slice(7, 25): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(25): _*)
+      q.processAllAvailable()
+      val stream = spark.table("spack").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("tok_start"), r.getAs[Long]("start_seq"),
+            r.getAs[Long]("end_seq"), r.getAs[Long]("head_offset")))).toMap
+      val batch = graft.ops.CorpusOps.packSequences(
+          docs.map(d => (d.doc_id, d.group, d.tokens))
+            .toDF("doc_id", "source", "tok"),
+          "doc_id", "source", col("tok"), budget = 128)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("tok_start"), r.getAs[Long]("start_seq"),
+            r.getAs[Long]("end_seq"), r.getAs[Long]("head_offset")))).toMap
+      assert(stream === batch)
+      assert(stream.nonEmpty && stream.size < docs.size) // zero-tok drops
+    } finally q.stop()
+  }
+
   test("streaming z-score anomaly carries the rolling baseline across " +
        "micro-batches and matches the batch window op bitwise") {
     implicit val sql = spark.sqlContext
