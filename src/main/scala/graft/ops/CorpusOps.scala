@@ -66,6 +66,29 @@ object CorpusOps {
       .withColumn("head_offset", pmod(col("tok_start"), lit(budget.toLong)))
   }
 
+  /** Materialization manifest for [[packSequences]] — the writer shape a
+    * training-data pipeline actually emits: one row per (group, sequence,
+    * doc) FRAGMENT, where `slice_start`/`slice_len` are the doc-local
+    * token range that lands in sequence `seq` (a straddling doc yields
+    * one fragment per touched sequence). Per sequence, fragments ordered
+    * by `tok_start` concatenate to exactly `budget` tokens (the final
+    * sequence of a group may be shorter); per doc, fragments concatenate
+    * back to [0, tokens) — both invariants spec-pinned. The explode is
+    * bounded: a doc emits at most ceil(tokens/budget)+1 fragments.
+    */
+  def packManifest(docs: DataFrame, idCol: String, byCol: String,
+                   tokenCol: Column, budget: Int): DataFrame = {
+    val b = budget.toLong
+    packSequences(docs, idCol, byCol, tokenCol, budget)
+      .select(col(byCol), col(idCol), col("tokens"), col("tok_start"),
+        explode(sequence(col("start_seq"), col("end_seq"))).as("seq"))
+      .withColumn("slice_start",
+        greatest(col("seq") * b - col("tok_start"), lit(0L)))
+      .withColumn("slice_len",
+        least(col("tokens"), (col("seq") + lit(1L)) * b - col("tok_start"))
+          - col("slice_start"))
+  }
+
   /** Deterministic epoch shuffle into `nShards` shards — the global
     * training-order randomizer: shard and within-shard position derive
     * from md5(epochSalt | id), a pure function of (salt, id), so every

@@ -227,6 +227,59 @@ object CorpusQueries {
                last_fill, max_docs_in_seq
         FROM agg JOIN occm USING (source)""")),
 
+    // Packing MANIFEST — the writer shape: per (source, sequence) the
+    // ordered doc fragments (doc_id:slice_start:slice_len) plus fill;
+    // straddling docs appear once per touched sequence. Every sequence
+    // fills to exactly 512 except each source's last (invariant is in
+    // the data: fill and n_frags are both emitted).
+    "corpus_pack_manifest" -> Entry(
+      (s, dir) => {
+        val m = CorpusOps.packManifest(Tables.documents(s, dir),
+          "doc_id", "source",
+          size(split(col("text"), " ")).cast("long"), budget = 512)
+        m.groupBy(col("source"), col("seq"))
+          .agg(count(lit(1)).as("n_frags"),
+            sum(col("slice_len")).as("fill"),
+            array_join(transform(array_sort(collect_list(struct(
+                col("tok_start"), col("doc_id"), col("slice_start"),
+                col("slice_len")))),
+              x => concat_ws(":", x.getField("doc_id").cast("string"),
+                x.getField("slice_start").cast("string"),
+                x.getField("slice_len").cast("string"))), ",")
+              .as("frags"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+          FROM documents
+          WHERE len(string_split(text, ' ')) > 0),
+        st AS (
+          SELECT doc_id, source, tokens,
+                 sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - tokens AS tok_start
+          FROM d),
+        pk AS (
+          SELECT doc_id, source, tokens, tok_start,
+                 CAST(floor(tok_start / 512.0) AS BIGINT) AS start_seq,
+                 CAST(floor((tok_start + tokens - 1) / 512.0) AS BIGINT)
+                   AS end_seq
+          FROM st),
+        fr AS (
+          SELECT source, sq AS seq, doc_id, tok_start,
+                 greatest(sq * 512 - tok_start, 0) AS slice_start,
+                 least(tokens, (sq + 1) * 512 - tok_start)
+                   - greatest(sq * 512 - tok_start, 0) AS slice_len
+          FROM pk, UNNEST(generate_series(start_seq, end_seq)) AS t(sq))
+        SELECT source, seq, count(*) AS n_frags,
+               CAST(sum(slice_len) AS BIGINT) AS fill,
+               string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(slice_start AS VARCHAR) || ':' ||
+                 CAST(slice_len AS VARCHAR), ',' ORDER BY tok_start)
+                 AS frags
+        FROM fr GROUP BY 1, 2""")),
+
     // Deterministic epoch shuffle: shard + in-shard order from
     // md5(epoch|doc_id) — a global random training order with NO global
     // sort (shard-keyed shuffle + bounded per-shard sort). Entry pins

@@ -46,6 +46,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(s.map(_._1) === Seq(0L, 300L, 600L, 1100L))
   }
 
+  test("packManifest: sequences fill to budget (except each group's " +
+      "last), fragments tile every doc exactly") {
+    val docs = Seq(
+      (1L, "s", 300L), (2L, "s", 300L), (3L, "s", 500L), (5L, "s", 1200L),
+      (6L, "t", 10L))
+      .toDF("doc_id", "source", "tok")
+    val m = CorpusOps.packManifest(docs, "doc_id", "source", $"tok",
+        budget = 512)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("seq"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("slice_start"), r.getAs[Long]("slice_len")))
+    // per (group, seq): fills are exactly 512 except the group's last
+    m.groupBy(t => (t._1, t._2)).foreach { case ((src, seq), frags) =>
+      val fill = frags.map(_._5).sum
+      val lastSeq = m.filter(_._1 == src).map(_._2).max
+      if (seq < lastSeq) assert(fill === 512L, s"$src seq $seq")
+      else assert(fill > 0L && fill <= 512L)
+    }
+    // per doc: ordered slices tile [0, tokens) with no gap or overlap
+    m.groupBy(_._3).foreach { case (id, frags) =>
+      val slices = frags.sortBy(_._4).map(f => (f._4, f._4 + f._5)).toSeq
+      assert(slices.head._1 === 0L)
+      slices.sliding(2).foreach {
+        case Seq((_, e), (s2, _)) => assert(e === s2, s"doc $id gap")
+        case _ =>
+      }
+      val tok = Map(1L -> 300L, 2L -> 300L, 3L -> 500L, 5L -> 1200L,
+        6L -> 10L)(id)
+      assert(slices.last._2 === tok)
+    }
+    // straddling doc 5 ([1100,2300)) contributes to seqs 2,3,4
+    assert(m.filter(_._3 == 5L).map(_._2).sorted.toSeq === Seq(2L, 3L, 4L))
+  }
+
   test("epochShuffleShards: deterministic per salt, epochs independent, " +
       "shard_pos contiguous from 1") {
     val docs = (0L until 200L).map(i => Tuple1(i)).toSeq.toDF("doc_id")
