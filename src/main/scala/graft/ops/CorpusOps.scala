@@ -89,12 +89,33 @@ object CorpusOps {
           - col("slice_start"))
   }
 
+  /** Salted md5 over "|"-joined parts — the portable hash the sampling/
+    * sharding family shares. Null parts coalesce BEFORE concat_ws (which
+    * would silently skip them) at each call site, using the
+    * NUL-prefixed "null" sentinel so a null key cannot collide with any
+    * real string spelling.
+    */
+  private def saltedMd5(parts: Column*): Column =
+    md5(concat_ws("|", parts: _*))
+
+  /** First 8 hex chars of a md5 as an unsigned-32 Long — the engine side
+    * of the repo's portable hash convention (DuckDB twin:
+    * `('0x' || substr(md5(...), 1, 8))::UBIGINT`). Single-sourced here:
+    * the 8-char width is load-bearing for every oracle replay.
+    */
+  private def u32(h: Column): Column =
+    conv(substring(h, 1, 8), 16, 10).cast("long")
+
   /** Deterministic epoch shuffle into `nShards` shards — the global
     * training-order randomizer: shard and within-shard position derive
     * from md5(epochSalt | id), a pure function of (salt, id), so every
     * re-run on any cluster layout reproduces the same global order, and
     * a different salt (= next epoch) yields an independent permutation.
     * Emits `shard` and `shard_pos` (1-based position in shard order).
+    * `idCol` must be UNIQUE (it is the whole identity the order derives
+    * from — duplicate ids, including multiple nulls, tie on every order
+    * key and their relative positions are then layout-dependent); a null
+    * id hashes via the family's NUL-prefixed sentinel.
     *
     * Scale: this is how a 100 TB corpus gets a global random order
     * WITHOUT a global sort — one hash projection, one shuffle on the
@@ -105,10 +126,10 @@ object CorpusOps {
   def epochShuffleShards(docs: DataFrame, idCol: String, nShards: Int,
                          epochSalt: String): DataFrame = {
     require(nShards > 0, s"nShards=$nShards")
-    val h = md5(concat_ws("|", lit(epochSalt), col(idCol).cast("string")))
-    val u32 = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val h = saltedMd5(lit(epochSalt),
+      coalesce(col(idCol).cast("string"), lit("\u0001null")))
     docs.withColumn("_eh", h)
-      .withColumn("shard", pmod(u32, lit(nShards.toLong)))
+      .withColumn("shard", pmod(u32(col("_eh")), lit(nShards.toLong)))
       .withColumn("shard_pos",
         row_number().over(Window.partitionBy(col("shard"))
           .orderBy(col("_eh"), col(idCol))).cast("long"))
@@ -389,11 +410,10 @@ object CorpusOps {
     require(k >= 1, s"k=$k")
     val spark = docs.sparkSession
     import spark.implicits._
-    val u32 = conv(substring(
-      md5(concat_ws("|", lit("esample"),
-        coalesce(col(stratumCol).cast("string"), lit("\u0001null")),
-        col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
-    val hashed = docs.withColumn("_h", u32)
+    val h = u32(saltedMd5(lit("esample"),
+      coalesce(col(stratumCol).cast("string"), lit("\u0001null")),
+      col(idCol).cast("string")))
+    val hashed = docs.withColumn("_h", h)
       .withColumn("_b", shiftright(col("_h"), 24).cast("int"))
     if (graft.PlanMode.isExplainOnly) {
       val wAll = Window.partitionBy(col(stratumCol))
@@ -479,20 +499,18 @@ object CorpusOps {
         round((lit(targetTotal).cast("double") * col("_wq")) /
           (col("_z").cast("double") * col("n_docs")), 6)))
       .select(col(stratumCol), col("n_docs"), col("keep_frac"))
-    val u32 = conv(substring(
-      md5(concat_ws("|", lit("trebal"),
-        coalesce(col(stratumCol).cast("string"), lit("\u0001null")),
-        col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val h = u32(saltedMd5(lit("trebal"),
+      coalesce(col(stratumCol).cast("string"), lit("\u0001null")),
+      col(idCol).cast("string")))
     docs.join(broadcast(plan), Seq(stratumCol))
-      .filter(u32 < floor(col("keep_frac") * 4294967296.0).cast("long"))
+      .filter(h < floor(col("keep_frac") * 4294967296.0).cast("long"))
   }
 
   def weightedSample(docs: DataFrame, stratumCol: String, idCol: String,
                      weightCol: String, k: Int): DataFrame = {
-    val u32 = conv(substring(
-      md5(concat_ws("|", lit("wsample"), col(stratumCol),
-        col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
-    val u = (u32.cast("double") + 0.5) / 4294967296.0
+    val h = u32(saltedMd5(lit("wsample"), col(stratumCol),
+      col(idCol).cast("string")))
+    val u = (h.cast("double") + 0.5) / 4294967296.0
     val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
     TopKOps.topKPerGroup(
         docs.filter(col(weightCol) > 0).withColumn("_es_key", key),

@@ -91,34 +91,30 @@ object CorpusQueries {
 
     // Quality-threshold retention sweep — the tuning curve of the
     // quality gate: per (source, threshold) surviving docs/tokens and
-    // retention fractions, all thresholds off ONE scored scan (bounded
-    // 3-literal explode; grid left-join keeps zero-retention cells).
+    // retention fractions, all thresholds off ONE scored scan. Every doc
+    // emits every threshold (bounded 3-literal explode), so survivors
+    // fold as conditional sums in the SAME aggregate as the totals — no
+    // second scan, no grid join, and zero-retention cells (and a null
+    // source stratum) appear natively.
     "quality_retention_sweep" -> Entry(
       (s, dir) => {
         val thresholds = array(lit(0.25), lit(0.5), lit(0.75))
-        val q = graft.ops.TextOps.qualityScore(Tables.documents(s, dir))
+        val pass = col("quality_score") >= col("threshold")
+        graft.ops.TextOps.qualityScore(Tables.documents(s, dir))
           .select(col("source"), col("quality_score"),
-            size(split(col("text"), " ")).cast("long").as("toks"))
-        val grid = q.groupBy(col("source"))
-          .agg(count(lit(1)).as("all_docs"),
-            sum(col("toks")).as("all_tokens"))
-          .select(col("source"), col("all_docs"), col("all_tokens"),
+            size(split(col("text"), " ")).cast("long").as("toks"),
             explode(thresholds).as("threshold"))
-        val kept = q
-          .select(col("source"), col("quality_score"), col("toks"),
-            explode(thresholds).as("threshold"))
-          .filter(col("quality_score") >= col("threshold"))
           .groupBy(col("source"), col("threshold"))
-          .agg(count(lit(1)).as("kept_docs"),
-            sum(col("toks")).as("kept_tokens"))
-        grid.join(kept, Seq("source", "threshold"), "left")
+          .agg(count(lit(1)).as("all_docs"),
+            sum(col("toks")).as("all_tokens"),
+            sum(when(pass, 1L).otherwise(0L)).as("kept_docs"),
+            sum(when(pass, col("toks")).otherwise(0L)).as("kept_tokens"))
           .select(col("source"), col("threshold"),
-            coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
-            coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
-            round(coalesce(col("kept_docs"), lit(0L)) / col("all_docs"),
-              6).as("doc_retention"),
-            round(coalesce(col("kept_tokens"), lit(0L)) /
-              col("all_tokens"), 6).as("token_retention"))
+            col("kept_docs"), col("kept_tokens"),
+            round(col("kept_docs") / col("all_docs"), 6)
+              .as("doc_retention"),
+            round(col("kept_tokens") / col("all_tokens"), 6)
+              .as("token_retention"))
       },
       Some("""
         WITH f AS (
@@ -143,24 +139,17 @@ object CorpusQueries {
                    AS qs
           FROM f),
         thr AS (SELECT CAST(t AS DOUBLE) AS threshold
-                FROM (VALUES (0.25), (0.5), (0.75)) v(t)),
-        tot AS (SELECT source, count(*) AS all_docs,
-                       CAST(sum(toks) AS BIGINT) AS all_tokens
-                FROM q GROUP BY 1),
-        g AS (SELECT source, all_docs, all_tokens, threshold
-              FROM tot CROSS JOIN thr),
-        k AS (SELECT source, threshold, count(*) AS kept_docs,
-                     CAST(sum(toks) AS BIGINT) AS kept_tokens
-              FROM q CROSS JOIN thr WHERE qs >= threshold
-              GROUP BY 1, 2)
-        SELECT g.source, g.threshold,
-               coalesce(kept_docs, 0) AS kept_docs,
-               coalesce(kept_tokens, 0) AS kept_tokens,
-               round(coalesce(kept_docs, 0) /
-                 CAST(all_docs AS DOUBLE), 6) AS doc_retention,
-               round(coalesce(kept_tokens, 0) /
-                 CAST(all_tokens AS DOUBLE), 6) AS token_retention
-        FROM g LEFT JOIN k USING (source, threshold)""")),
+                FROM (VALUES (0.25), (0.5), (0.75)) v(t))
+        SELECT source, threshold,
+               CAST(sum(CASE WHEN qs >= threshold THEN 1 ELSE 0 END)
+                 AS BIGINT) AS kept_docs,
+               CAST(sum(CASE WHEN qs >= threshold THEN toks ELSE 0 END)
+                 AS BIGINT) AS kept_tokens,
+               round(sum(CASE WHEN qs >= threshold THEN 1 ELSE 0 END) /
+                 CAST(count(*) AS DOUBLE), 6) AS doc_retention,
+               round(sum(CASE WHEN qs >= threshold THEN toks ELSE 0 END) /
+                 CAST(sum(toks) AS DOUBLE), 6) AS token_retention
+        FROM q CROSS JOIN thr GROUP BY 1, 2""")),
 
     // Token-LEVEL concat-and-chunk packing (512-token sequences, docs
     // straddle boundaries — zero padding waste): per-source sequence
@@ -187,7 +176,13 @@ object CorpusQueries {
           .agg(count(lit(1)).as("nd"))
           .groupBy(col("source"))
           .agg(max(col("nd")).as("max_docs_in_seq"))
-        perSrc.join(occupancy, Seq("source"))
+        // null-SAFE join: a null source is a real packing group
+        // (Window.partitionBy groups it) — plain equality would drop
+        // its composition row
+        perSrc.alias("_pl")
+          .join(occupancy.alias("_pr"),
+            col("_pl.source") <=> col("_pr.source"))
+          .select(col("_pl.*"), col("_pr.max_docs_in_seq"))
       },
       Some("""
         WITH d AS (
@@ -225,7 +220,8 @@ object CorpusQueries {
           FROM occ GROUP BY 1)
         SELECT agg.source, n_docs, total_tokens, n_seqs, n_split_docs,
                last_fill, max_docs_in_seq
-        FROM agg JOIN occm USING (source)""")),
+        FROM agg JOIN occm
+          ON agg.source IS NOT DISTINCT FROM occm.source""")),
 
     // Packing MANIFEST — the writer shape: per (source, sequence) the
     // ordered doc fragments (doc_id:slice_start:slice_len) plus fill;
