@@ -478,9 +478,9 @@ object CorpusOps {
     * keep_frac rounds to 6 digits, and the 32-bit keep threshold is
     * floor(keep_frac * 2^32) with an explicit floor (Spark's double->
     * long cast truncates, DuckDB's rounds). Output: the input rows that
-    * survive, annotated with (n_docs, keep_frac) of their stratum. Rows
-    * with a null stratum are dropped by the plan join — fill or filter
-    * upstream if null strata carry data.
+    * survive, annotated with (n_docs, keep_frac) of their stratum. A
+    * null stratum is its own stratum (null-safe plan join; the salt
+    * coalesces it to the family's NUL-prefixed sentinel).
     */
   def temperatureRebalance(docs: DataFrame, stratumCol: String,
                            idCol: String, temperature: Double,
@@ -502,7 +502,14 @@ object CorpusOps {
     val h = u32(saltedMd5(lit("trebal"),
       coalesce(col(stratumCol).cast("string"), lit("\u0001null")),
       col(idCol).cast("string")))
-    docs.join(broadcast(plan), Seq(stratumCol))
+    // null-SAFE plan join: a null stratum is a real stratum (it already
+    // participates in the counts and in Z) — plain equality would drop
+    // its rows while still letting it deflate everyone else's keep_frac
+    docs.alias("_tl")
+      .join(broadcast(plan.alias("_tr")),
+        col(s"_tl.`$stratumCol`") <=> col(s"_tr.`$stratumCol`"))
+      .select((docs.columns.map(c => col(s"_tl.`$c`")) :+
+        col("_tr.n_docs") :+ col("_tr.keep_frac")): _*)
       .filter(h < floor(col("keep_frac") * 4294967296.0).cast("long"))
   }
 

@@ -265,6 +265,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bigFrac > 0.4 && bigFrac < 0.6)
   }
 
+  test("temperatureRebalance: a null stratum is a real stratum — rows " +
+      "survive at their keep_frac instead of vanishing in the plan join") {
+    val rows = (1L to 90L).map(i => (i, "big")) ++
+      (91L to 100L).map(i => (i, null.asInstanceOf[String]))
+    val out = CorpusOps.temperatureRebalance(rows.toDF("doc_id", "lang"),
+        "lang", "doc_id", temperature = 1.0, targetTotal = 50)
+      .select("lang", "keep_frac").distinct().collect()
+      .map(r => Option(r.getAs[String]("lang")) ->
+        r.getAs[Double]("keep_frac")).toMap
+    // T=1: every stratum (including null) keeps target/N = 0.5
+    assert(out(Some("big")) === 0.5 && out(None) === 0.5)
+  }
+
   test("exactStratifiedSample: exactly k per stratum, equal to the " +
        "naive per-stratum hash top-k, short strata keep everything") {
     val docs = ((1L to 200L).map(i => (i, "big")) ++
