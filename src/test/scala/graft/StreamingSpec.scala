@@ -982,6 +982,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming packer recovers its token offset from the checkpoint " +
+       "across query restarts (no replay, no offset reset)") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.StreamingPacker
+    val root = Files.createTempDirectory("graft_pack_ckpt").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(in, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("group",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tokens",
+        org.apache.spark.sql.types.LongType)))
+    def start() = {
+      val docs = spark.readStream.schema(schema).json(in)
+        .as[StreamingPacker.Doc](
+          org.apache.spark.sql.Encoders.product[StreamingPacker.Doc])
+      StreamingPacker.pack(docs, budget = 100)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+    }
+    // lifetime 1: 130 tokens land in group s
+    writeFile("f1.json", Seq(
+      """{"group": "s", "doc_id": 1, "tokens": 70}""",
+      """{"group": "s", "doc_id": 2, "tokens": 60}"""))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // lifetime 2: SAME checkpoint — doc 3 must continue at offset 130
+    // (state-store recovery), and docs 1/2 must not replay into the sink
+    writeFile("f2.json",
+      Seq("""{"group": "s", "doc_id": 3, "tokens": 50}"""))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("tok_start"), r.getAs[Long]("start_seq"),
+          r.getAs[Long]("end_seq")))).toMap
+    assert(rows.size === 3)
+    assert(rows(1L) === ((0L, 0L, 0L)))
+    assert(rows(2L) === ((70L, 0L, 1L)))
+    assert(rows(3L) === ((130L, 1L, 1L)))
+  }
+
   test("streaming z-score anomaly carries the rolling baseline across " +
        "micro-batches and matches the batch window op bitwise") {
     implicit val sql = spark.sqlContext
