@@ -304,6 +304,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: packManifest fragments tile every sequence to budget " +
+      "and every doc to [0, tokens) on random corpora") {
+    val gen = Gen.listOfN(25,
+      Gen.zip(Gen.oneOf("s", "t"), Gen.choose(1L, 700L)))
+    samples(gen, 5).foreach { rows =>
+      val budget = 96
+      val docs = rows.zipWithIndex.map { case ((src, tok), i) =>
+        (i.toLong, src, tok) }
+      val frags = graft.ops.CorpusOps.packManifest(
+          docs.toDF("doc_id", "source", "tok"), "doc_id", "source",
+          $"tok", budget)
+        .collect().map(r => (r.getAs[String]("source"),
+          r.getAs[Long]("seq"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("slice_start"), r.getAs[Long]("slice_len")))
+      assert(frags.forall(_._5 > 0), "zero-length fragment")
+      // sequences: every seq of a group fills to budget except its last,
+      // and seq ids are contiguous from 0
+      frags.groupBy(_._1).foreach { case (src, g) =>
+        val bySeq = g.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+        val maxSeq = bySeq.keys.max
+        assert(bySeq.keys.toSeq.sorted === (0L to maxSeq),
+          s"$src: seq gap")
+        bySeq.foreach { case (seq, fill) =>
+          if (seq < maxSeq) assert(fill === budget.toLong, s"$src seq $seq")
+          else assert(fill > 0 && fill <= budget)
+        }
+        // group total == sum of its docs' tokens
+        val want = docs.filter(_._2 == src).map(_._3).sum
+        assert(bySeq.values.sum === want)
+      }
+      // docs: slices are contiguous from 0 and sum to the doc's tokens
+      frags.groupBy(_._3).foreach { case (id, g) =>
+        val slices = g.sortBy(_._4).map(f => (f._4, f._4 + f._5)).toSeq
+        assert(slices.head._1 === 0L)
+        slices.sliding(2).foreach {
+          case Seq((_, e), (s2, _)) => assert(e === s2, s"doc $id gap")
+          case _ =>
+        }
+        assert(slices.last._2 === docs(id.toInt)._3)
+      }
+    }
+  }
+
   test("property: epochShuffleShards equals the JVM md5 reference " +
       "(shard = u32(hex8) mod n, order = (hex, id))") {
     val gen = Gen.listOfN(50, Gen.choose(0L, 100000L)).map(_.distinct)
