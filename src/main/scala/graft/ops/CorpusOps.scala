@@ -513,6 +513,78 @@ object CorpusOps {
       .filter(h < floor(col("keep_frac") * 4294967296.0).cast("long"))
   }
 
+  /** UniMax-style budget allocation (uniform-coverage mixing, the
+    * published alternative to temperature scaling): distribute
+    * `targetTotal` docs across strata as UNIFORMLY as possible, with each
+    * stratum capped at `maxEpochs` passes over its rows — a small stratum
+    * is never over-sampled past its cap; its unused share waterfalls to
+    * the larger strata. Waterfilling: visit strata by ascending capacity
+    * (ties broken by the stratum's string form, nulls last, so the walk
+    * is deterministic and the oracle can replay it with a recursive
+    * CTE); each takes min(cap, remaining / strata_left), quantized to
+    * 1e-6 per step so the recursion state is engine-exact. The apply is
+    * the family's deterministic salted coin at keep_frac =
+    * min(1, quota / n) — with maxEpochs > 1 read `quota / n_docs` for
+    * duplication-aware consumption (the coin itself caps at one epoch).
+    *
+    * The stratum walk is bounded driver state (|strata| rows — the same
+    * boundedness class as temperatureRebalance's Z and the k-means
+    * centroids); the apply is one broadcast join + filter. A null
+    * stratum is its own stratum (null-safe join, sentinel-salted coin).
+    * Output: surviving rows annotated with (n_docs, quota, keep_frac).
+    *
+    * Plan-audit note: the counts pass is a driver collect, so under
+    * [[graft.PlanMode.isExplainOnly]] this op returns the no-cap
+    * fair-share formulation (quota = target/k via a pure-column plan) —
+    * identical plan SHAPE (broadcast join + coin filter), no job
+    * execution (exactStratifiedSample's guard discipline).
+    */
+  def unimaxRebalance(docs: DataFrame, stratumCol: String, idCol: String,
+                      targetTotal: Long, maxEpochs: Double = 1.0)
+      : DataFrame = {
+    require(targetTotal >= 0, s"targetTotal=$targetTotal")
+    require(maxEpochs > 0, s"maxEpochs=$maxEpochs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val coin = u32(saltedMd5(lit("unimax"),
+      coalesce(col(stratumCol).cast("string"), lit("\u0001null")),
+      col(idCol).cast("string")))
+    def applyPlan(plan: DataFrame): DataFrame =
+      docs.alias("_ul")
+        .join(broadcast(plan.alias("_ur")),
+          col(s"_ul.`$stratumCol`").cast("string") <=> col("_ur._sk"))
+        .select((docs.columns.map(c => col(s"_ul.`$c`")) :+
+          col("_ur.n_docs") :+ col("_ur.quota") :+
+          col("_ur.keep_frac")): _*)
+        .filter(coin < floor(col("keep_frac") * 4294967296.0).cast("long"))
+    val counts = docs.groupBy(col(stratumCol).cast("string").as("_sk"))
+      .agg(count(lit(1)).as("n_docs"))
+    if (graft.PlanMode.isExplainOnly) {
+      val k = counts.crossJoin(
+        counts.agg(count(lit(1)).as("_k")))
+      return applyPlan(k
+        .withColumn("quota", round(least(
+          col("n_docs").cast("double") * maxEpochs,
+          lit(targetTotal.toDouble) / col("_k")), 6))
+        .withColumn("keep_frac",
+          least(lit(1.0), col("quota") / col("n_docs")))
+        .select(col("_sk"), col("n_docs"), col("quota"), col("keep_frac")))
+    }
+    val strata = counts.collect()
+      .map(r => (Option(r.getAs[String]("_sk")), r.getAs[Long]("n_docs")))
+      .sortBy { case (sk, n) =>
+        (n * maxEpochs, sk.isEmpty, sk.getOrElse("")) }
+    val k = strata.length
+    var remaining = targetTotal.toDouble
+    val plan = strata.zipWithIndex.map { case ((sk, n), i) =>
+      val q0 = math.min(n * maxEpochs, math.max(remaining, 0.0) / (k - i))
+      val q = math.round(q0 * 1e6) / 1e6
+      remaining -= q
+      (sk.orNull, n, q, math.min(1.0, if (n == 0L) 0.0 else q / n))
+    }.toSeq.toDF("_sk", "n_docs", "quota", "keep_frac")
+    applyPlan(plan)
+  }
+
   def weightedSample(docs: DataFrame, stratumCol: String, idCol: String,
                      weightCol: String, k: Int): DataFrame = {
     val h = u32(saltedMd5(lit("wsample"), col(stratumCol),

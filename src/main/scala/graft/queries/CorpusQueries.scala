@@ -223,6 +223,56 @@ object CorpusQueries {
         FROM agg JOIN occm
           ON agg.source IS NOT DISTINCT FROM occm.source""")),
 
+    // UniMax uniform-coverage mix — waterfilling quotas (ascending
+    // capacity, each stratum takes min(cap, remaining/strata_left),
+    // 1e-6-quantized steps) + the family's deterministic coin. Budget
+    // 400 exercises the full cap cascade at sf0.001/sf0.01 (every
+    // stratum but en caps) and the uniform branch at sf0.1; the oracle
+    // REGENERATES the waterfill with a recursive CTE.
+    "corpus_unimax_mix" -> Entry(
+      (s, dir) => CorpusOps.unimaxRebalance(Tables.documents(s, dir),
+          "lang", "doc_id", targetTotal = 400)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept_docs"),
+          max(col("n_docs")).as("n_docs"),
+          max(col("quota")).as("quota"),
+          round(max(col("keep_frac")), 6).as("keep_frac")),
+      Some("""
+        WITH RECURSIVE c AS (
+          SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        o AS (
+          SELECT lang, n, CAST(n AS DOUBLE) AS cap,
+                 row_number() OVER (ORDER BY CAST(n AS DOUBLE), lang)
+                   AS i,
+                 (SELECT count(*) FROM c) AS k
+          FROM c),
+        wf AS (
+          SELECT 0 AS i, CAST(400 AS DOUBLE) AS remaining
+          UNION ALL
+          SELECT o.i,
+                 wf.remaining - round(least(o.cap,
+                   greatest(wf.remaining, 0) / (o.k - o.i + 1)), 6)
+          FROM wf JOIN o ON o.i = wf.i + 1),
+        q AS (
+          SELECT o.lang, o.n,
+                 round(least(o.cap,
+                   greatest(wf.remaining, 0) / (o.k - o.i + 1)), 6)
+                   AS quota
+          FROM o JOIN wf ON wf.i = o.i - 1),
+        kept AS (
+          SELECT d.lang, count(*) AS kept_docs
+          FROM documents d
+          JOIN q ON d.lang IS NOT DISTINCT FROM q.lang
+          WHERE ('0x' || substr(md5('unimax' || '|' ||
+                  coalesce(d.lang, chr(1) || 'null') || '|' ||
+                  CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                < CAST(floor(least(1.0, q.quota / q.n) * 4294967296.0)
+                    AS BIGINT)
+          GROUP BY 1)
+        SELECT q.lang, kept_docs, CAST(q.n AS BIGINT) AS n_docs,
+               q.quota, round(least(1.0, q.quota / q.n), 6) AS keep_frac
+        FROM q JOIN kept ON q.lang IS NOT DISTINCT FROM kept.lang""")),
+
     // Packing MANIFEST — the writer shape: per (source, sequence) the
     // ordered doc fragments (doc_id:slice_start:slice_len) plus fill;
     // straddling docs appear once per touched sequence. Every sequence

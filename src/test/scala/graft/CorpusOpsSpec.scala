@@ -278,6 +278,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(Some("big")) === 0.5 && out(None) === 0.5)
   }
 
+  test("unimaxRebalance: waterfilling caps small strata and cascades " +
+      "their unused share, keeps capped strata whole, layout-independent") {
+    // a=10, b=20, c=100; budget 60: fair share 20 -> a caps at 10,
+    // (60-10)/2=25 -> b caps at 20, c takes min(100, 30/1) = 30
+    val rows = (1L to 10L).map(i => (i, "a")) ++
+      (11L to 30L).map(i => (i, "b")) ++ (31L to 130L).map(i => (i, "c"))
+    val df = rows.toDF("doc_id", "lang")
+    val out = CorpusOps.unimaxRebalance(df, "lang", "doc_id",
+      targetTotal = 60)
+    val plan = out.select("lang", "n_docs", "quota", "keep_frac")
+      .distinct().collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("quota"),
+          r.getAs[Double]("keep_frac")))).toMap
+    assert(plan("a") === ((10L, 10.0, 1.0)))
+    assert(plan("b") === ((20L, 20.0, 1.0)))
+    assert(plan("c") === ((100L, 30.0, 0.3)))
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // keep_frac 1.0 keeps a capped stratum WHOLE (no coin can lose rows)
+    assert(kept("a") === 10L && kept("b") === 20L)
+    assert(kept("c") > 0L && kept("c") < 100L)
+    val re = CorpusOps.unimaxRebalance(df.repartition(13), "lang",
+        "doc_id", targetTotal = 60)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(re.toSeq === out.select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("exactStratifiedSample: exactly k per stratum, equal to the " +
        "naive per-stratum hash top-k, short strata keep everything") {
     val docs = ((1L to 200L).map(i => (i, "big")) ++
