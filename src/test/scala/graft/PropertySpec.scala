@@ -373,6 +373,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: unimax waterfill quotas respect caps, exhaust the " +
+      "budget, and give every non-capped stratum the same share") {
+    // strata of >= 8 docs at fracs >= ~0.5 so every stratum survives the
+    // deterministic coin (quota reconstruction needs all strata present)
+    val gen = Gen.listOfN(4, Gen.choose(8, 40)).map(_.zipWithIndex)
+    samples(gen, 6).foreach { sizes =>
+      val rows = sizes.flatMap { case (n, s) =>
+        (1 to n).map(i => ((s * 1000 + i).toLong, s"s$s")) }
+      val budget = rows.size / 2 + 1
+      val plan = graft.ops.CorpusOps.unimaxRebalance(
+          rows.toDF("doc_id", "lang"), "lang", "doc_id",
+          targetTotal = budget.toLong)
+        .select("lang", "n_docs", "quota").distinct().collect()
+        .map(r => r.getString(0) ->
+          (r.getAs[Long]("n_docs"), r.getAs[Double]("quota"))).toMap
+      // surviving strata carry quota <= cap; full-budget conservation
+      // holds when the budget is feasible (it is: budget < total docs)
+      plan.values.foreach { case (n, q) =>
+        assert(q >= 0.0 && q <= n + 1e-6) }
+      val totalQuota = plan.values.map(_._2).sum
+      assert(math.abs(totalQuota - budget) < 1e-3,
+        s"quota sum $totalQuota != budget $budget")
+      // uniformity: every NON-capped stratum gets the same share, up to
+      // the 1e-6 per-step quantization (the LAST stratum absorbs the
+      // accumulated rounding residue by construction)
+      val uncapped = plan.values.collect {
+        case (n, q) if q < n - 1e-6 => q }
+      if (uncapped.nonEmpty)
+        assert(uncapped.max - uncapped.min <= 1e-5,
+          s"non-capped strata diverge: $uncapped")
+    }
+  }
+
   test("property: ewmaLast stays within the series' [min, max]") {
     val serGen = Gen.listOfN(25, Gen.choose(-50.0, 50.0))
     samples(serGen, 8).foreach { vals =>
