@@ -89,15 +89,19 @@ object Bench {
     // Defaults (reps=2, passes=1) keep total timed work at two
     // executions per query, decorrelated in time.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "1").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    // total executions per query = reps x passes; PASSES' default dropped
-    // 2 -> 1 when REPS (default 2) took over decorrelation, so a caller
-    // pinning only the old knob gets a doubled count unless told
-    if (sys.env.contains("SPARK_GRAFT_PASSES") &&
-        !sys.env.contains("SPARK_GRAFT_BENCH_REPS"))
-      System.err.println(s"[bench] SPARK_GRAFT_PASSES=$passes is set " +
-        s"without SPARK_GRAFT_BENCH_REPS: timed executions per query = " +
-        s"$reps sweeps x $passes passes = ${reps * passes}")
+    // total executions per query = reps x passes. PASSES' default dropped
+    // 2 -> 1 when REPS (default 2) took over decorrelation; a legacy
+    // caller pinning ONLY the old knob still means "passes executions
+    // total", so reps defaults to 1 in that case — the old back-to-back
+    // protocol, preserved like-for-like (and announced on stderr).
+    val legacyPassesOnly = sys.env.contains("SPARK_GRAFT_PASSES") &&
+      !sys.env.contains("SPARK_GRAFT_BENCH_REPS")
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt)
+      .getOrElse(if (legacyPassesOnly) 1 else 2)
+    if (legacyPassesOnly)
+      System.err.println(s"[bench] legacy SPARK_GRAFT_PASSES=$passes " +
+        s"without SPARK_GRAFT_BENCH_REPS: running the old back-to-back " +
+        s"protocol (reps=1, $passes executions per query)")
     val samples = scala.collection.mutable
       .LinkedHashMap[String, List[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -144,7 +148,24 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errs,"sf":"$sfDir","reps":$reps,"passes":$passes,"spread_med":$spreadMed}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errs,"sf":"$sfDir","reps":$reps,"passes":$passes,"spread_med":$spreadMed}"""
+    println(line)
+    // full-resolution artifact: the driver's BENCH_rN.json keeps only the
+    // last ~4 KB of stdout, which truncates per-query timings for ~90 of
+    // the catalog's entries — write the complete line to a committed-able
+    // file as well (plus per-entry ALL samples, for spread forensics).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_full.json")
+    if (outPath.nonEmpty) {
+      val allSamples = samples.collect {
+        case (name, times) if !errors.contains(name) =>
+          "\"" + name + "\":[" + times.reverse.mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val full = line.dropRight(1) + s""","samples":$allSamples}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (full + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full JSON written to $outPath")
+    }
     spark.stop()
     // a failed query must fail the run visibly, not just in the JSON
     if (errors.nonEmpty) sys.exit(1)

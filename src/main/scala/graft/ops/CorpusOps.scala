@@ -23,10 +23,16 @@ object CorpusOps {
                         tokenCol: Column, budget: Int): DataFrame = {
     val w = Window.partitionBy(col(byCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // `div` (IntegralDivide) on longs, not floor(double-divide): token
+    // offsets past ~2^52/budget would round a chunk id by one under
+    // double arithmetic — the batch/streaming twins contract is exact
+    // long coordinates at any corpus size (offsets are non-negative, so
+    // truncating division IS floor division here)
     docs.withColumn("tokens", tokenCol)
-      .withColumn("chunk_id",
-        floor((sum(col("tokens")).over(w) - col("tokens")) /
-          lit(budget.toDouble)).cast("long"))
+      .withColumn("_cum0",
+        sum(col("tokens")).over(w) - col("tokens"))
+      .withColumn("chunk_id", expr(s"_cum0 div ${budget.toLong}L"))
+      .drop("_cum0")
   }
 
   /** Token-level concat-and-chunk packing — the GPT-style pretraining
@@ -58,11 +64,15 @@ object CorpusOps {
       .filter(col("tokens") > 0)
       .withColumn("tok_start",
         coalesce(sum(col("tokens")).over(w), lit(0L)))
-      .withColumn("start_seq",
-        floor(col("tok_start") / lit(budget.toDouble)).cast("long"))
+      // `div` (IntegralDivide) on longs, matching head_offset's exact
+      // integer pmod and the streaming twin's pure long division:
+      // floor(x / budget.toDouble) shifts a sequence id by one once
+      // tok_start exceeds ~2^52/ulp, breaking the documented
+      // bit-identical batch/stream coordinates contract at 100 TB
+      // (tok_start >= 0, so truncating division IS floor division)
+      .withColumn("start_seq", expr(s"tok_start div ${budget.toLong}L"))
       .withColumn("end_seq",
-        floor((col("tok_start") + col("tokens") - 1) /
-          lit(budget.toDouble)).cast("long"))
+        expr(s"(tok_start + tokens - 1) div ${budget.toLong}L"))
       .withColumn("head_offset", pmod(col("tok_start"), lit(budget.toLong)))
   }
 
@@ -549,15 +559,21 @@ object CorpusOps {
     val coin = u32(saltedMd5(lit("unimax"),
       coalesce(col(stratumCol).cast("string"), lit("\u0001null")),
       col(idCol).cast("string")))
+    // the plan frame keys on the stratum in its NATIVE type and joins
+    // with <=> on the raw column (as temperatureRebalance does): keying
+    // on cast(stratum as string) would merge distinct strata whose
+    // string casts collide (binary, lossy float spellings) into one
+    // count — and so one quota — silently. The string form survives
+    // only inside the salted coin and as a walk tiebreak.
     def applyPlan(plan: DataFrame): DataFrame =
       docs.alias("_ul")
         .join(broadcast(plan.alias("_ur")),
-          col(s"_ul.`$stratumCol`").cast("string") <=> col("_ur._sk"))
+          col(s"_ul.`$stratumCol`") <=> col("_ur._s"))
         .select((docs.columns.map(c => col(s"_ul.`$c`")) :+
           col("_ur.n_docs") :+ col("_ur.quota") :+
           col("_ur.keep_frac")): _*)
         .filter(coin < floor(col("keep_frac") * 4294967296.0).cast("long"))
-    val counts = docs.groupBy(col(stratumCol).cast("string").as("_sk"))
+    val counts = docs.groupBy(col(stratumCol).as("_s"))
       .agg(count(lit(1)).as("n_docs"))
     if (graft.PlanMode.isExplainOnly) {
       val k = counts.crossJoin(
@@ -568,21 +584,30 @@ object CorpusOps {
           lit(targetTotal.toDouble) / col("_k")), 6))
         .withColumn("keep_frac",
           least(lit(1.0), col("quota") / col("n_docs")))
-        .select(col("_sk"), col("n_docs"), col("quota"), col("keep_frac")))
+        .select(col("_s"), col("n_docs"), col("quota"), col("keep_frac")))
     }
-    val strata = counts.collect()
-      .map(r => (Option(r.getAs[String]("_sk")), r.getAs[Long]("n_docs")))
-      .sortBy { case (sk, n) =>
-        (n * maxEpochs, sk.isEmpty, sk.getOrElse("")) }
+    // deterministic walk order, ranked ENGINE-side so the driver never
+    // reconstructs native values: ascending capacity, nulls last,
+    // string-form tiebreak (the documented order), then the native value
+    // itself so string-cast collisions still rank deterministically.
+    // The waterfill consumes only (rank, n_docs); quotas rejoin the
+    // native-keyed counts rows by rank. Bounded: |strata| rows.
+    val wWalk = Window.orderBy(col("n_docs"), col("_s").isNull,
+      col("_s").cast("string"), col("_s"))
+    val indexed = counts.withColumn("_si", row_number().over(wWalk))
+    val strata = indexed.select(col("_si"), col("n_docs")).collect()
+      .map(r => (r.getAs[Int]("_si"), r.getAs[Long]("n_docs")))
+      .sortBy(_._1)
     val k = strata.length
     var remaining = targetTotal.toDouble
-    val plan = strata.zipWithIndex.map { case ((sk, n), i) =>
+    val quotas = strata.zipWithIndex.map { case ((si, n), i) =>
       val q0 = math.min(n * maxEpochs, math.max(remaining, 0.0) / (k - i))
       val q = math.round(q0 * 1e6) / 1e6
       remaining -= q
-      (sk.orNull, n, q, math.min(1.0, if (n == 0L) 0.0 else q / n))
-    }.toSeq.toDF("_sk", "n_docs", "quota", "keep_frac")
-    applyPlan(plan)
+      (si, q, math.min(1.0, if (n == 0L) 0.0 else q / n))
+    }.toSeq.toDF("_si", "quota", "keep_frac")
+    applyPlan(indexed.join(quotas, Seq("_si"))
+      .select(col("_s"), col("n_docs"), col("quota"), col("keep_frac")))
   }
 
   def weightedSample(docs: DataFrame, stratumCol: String, idCol: String,

@@ -1109,11 +1109,13 @@ object SimilarityOps {
     * [[argminAssign]], shared so the two kernels age together) it falls
     * back to a broadcast join on `_sub` + min(struct(d, cid)) regroup —
     * same tie rule (lowest cid) and exact integer distances, so
-    * assignments are bit-identical (spec-pinned, PqSpec). A null `_qs`
-    * yields a null `_m.c`/`_m.d` in both branches (the kernel through a
-    * null argmin result, the join through the explicit null guard);
-    * only the struct-level nullability differs, which no consumer
-    * observes (callers read the fields, never the struct itself).
+    * assignments are bit-identical (spec-pinned, PqSpec). Both branches
+    * emit the SAME schema shape — input columns in input order with `_m`
+    * appended, and a null `_qs` yielding a non-null `_m` with null
+    * `d`/`c` FIELDS (the kernel through getField on a null argmin
+    * result, the join through explicit per-field guards) — so the
+    * branch taken, a pure matrix-size concern, is unobservable even to
+    * positional or struct-level-null consumers.
     */
   private def pqAssign(df: DataFrame,
                        c: Map[(Int, Int), Seq[Long]]): DataFrame = {
@@ -1141,13 +1143,20 @@ object SimilarityOps {
       val dist = sqDistQ(col("_qs"), col("_cqc"))
       val others = df.columns.filterNot(n => n == "_vid" || n == "_sub")
         .toSeq
+      // normalized to the kernel branch's exact schema shape: same
+      // column order (input columns + _m last) and FIELD-level nulls for
+      // a null _qs (the kernel's getField on a null argmin struct yields
+      // a non-null _m with null fields) — so branch choice, which is
+      // purely a matrix-size concern, can never be observed positionally
+      // or through a struct-level null check.
       df.join(cdf, Seq("_sub"))
         .groupBy(col("_vid"), col("_sub"))
         .agg(min(struct(dist.as("d"), col("_ccid").as("c"))).as("_mm"),
           others.map(n => first(col(n)).as(n)): _*)
-        .withColumn("_m",
-          when(col("_qs").isNull, lit(null)).otherwise(col("_mm")))
-        .drop("_mm")
+        .withColumn("_m", struct(
+          when(col("_qs").isNotNull, col("_mm").getField("d")).as("d"),
+          when(col("_qs").isNotNull, col("_mm").getField("c")).as("c")))
+        .select(df.columns.map(col) :+ col("_m"): _*)
     }
   }
 

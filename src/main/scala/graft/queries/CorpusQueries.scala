@@ -82,10 +82,10 @@ object CorpusQueries {
       Some("""
         SELECT doc_id, source,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
-               CAST(floor((sum(len(string_split(text, ' ')))
+               CAST((sum(len(string_split(text, ' ')))
                  OVER (PARTITION BY source ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 - len(string_split(text, ' '))) / 512.0) AS BIGINT)
+                 - len(string_split(text, ' '))) // 512 AS BIGINT)
                  AS chunk_id
         FROM documents""")),
 
@@ -198,8 +198,8 @@ object CorpusQueries {
           FROM d),
         pk AS (
           SELECT source, tokens,
-                 CAST(floor(tok_start / 512.0) AS BIGINT) AS start_seq,
-                 CAST(floor((tok_start + tokens - 1) / 512.0) AS BIGINT)
+                 CAST(tok_start // 512 AS BIGINT) AS start_seq,
+                 CAST((tok_start + tokens - 1) // 512 AS BIGINT)
                    AS end_seq
           FROM st),
         agg AS (
@@ -308,8 +308,8 @@ object CorpusQueries {
           FROM d),
         pk AS (
           SELECT doc_id, source, tokens, tok_start,
-                 CAST(floor(tok_start / 512.0) AS BIGINT) AS start_seq,
-                 CAST(floor((tok_start + tokens - 1) / 512.0) AS BIGINT)
+                 CAST(tok_start // 512 AS BIGINT) AS start_seq,
+                 CAST((tok_start + tokens - 1) // 512 AS BIGINT)
                    AS end_seq
           FROM st),
         fr AS (

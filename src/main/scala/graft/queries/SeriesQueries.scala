@@ -390,13 +390,21 @@ object SeriesQueries {
     // quantized to cents first, so every baseline stat follows the
     // integer-exact rollingStats algebra and the raw doubles hash-match;
     // warm-up and zero-variance frames flag false via the nullif chain.
+    // CATALOG DEFAULT = the CHUNKED form (r12, per the r11 verdict):
+    // the plain per-key window caps parallelism at the key count (4
+    // event types -> 4 window tasks; measured exponent 0.60-0.62), so
+    // the scale posture — (key, chunk)-parallel windows over 4096-row
+    // chunks carrying a 24-row frame overlap — owns the default name.
+    // The plain reference-faithful keying stays as the probe row below
+    // (ts_anomaly_zscore_plain); outputs are row-identical (spec-pinned)
+    // so both share the same DuckDB window oracle.
     "ts_anomaly_zscore" -> Entry(
-      (s, dir) => TimeSeriesOps.rollingZScoreAnomaly(
+      (s, dir) => TimeSeriesOps.rollingZScoreAnomalyChunked(
         Tables.events(s, dir)
           .withColumn("value_cents", round(col("value") * 100)
             .cast("long")),
         "event_type", Seq("ts", "event_id"), "value_cents",
-        nRows = 24, z = 3.0),
+        nRows = 24, z = 3.0, tsCol = "ts"),
       Some("""
         WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
                           event_type,
@@ -424,22 +432,21 @@ object SeriesQueries {
         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)""")),
 
-    // CHUNKED twin of ts_anomaly_zscore — the scale form for the
-    // key-cardinality-bound window (4 event types cap the plain form at
-    // 4 window tasks; SCALE.md measured exponent 0.59 for that reason).
-    // Global row numbers come from (key, hour-chunk) ranks + a
-    // broadcast prefix-sum of chunk counts; 4096-row chunks then carry
-    // their last 24 rows into the next chunk so every trailing frame is
-    // complete, and the window runs (key, chunk)-parallel. Output is
-    // row-identical to the plain form (spec-pinned), so the SAME DuckDB
-    // window oracle verifies it.
-    "ts_anomaly_zscore_chunked" -> Entry(
-      (s, dir) => TimeSeriesOps.rollingZScoreAnomalyChunked(
+    // PLAIN twin of ts_anomaly_zscore — the reference-faithful single
+    // window per key, kept as the probe row beside the chunked catalog
+    // default (the a1a4_windowed_metrics / _capped pattern): its
+    // per-key window caps parallelism at the key count, which is the
+    // measured 0.60-0.62 exponent SCALE.md documents. Output is
+    // row-identical to the chunked form (spec-pinned), so the SAME
+    // DuckDB window oracle verifies it. (Was named
+    // ts_anomaly_zscore_chunked/_zscore swapped before r12.)
+    "ts_anomaly_zscore_plain" -> Entry(
+      (s, dir) => TimeSeriesOps.rollingZScoreAnomaly(
         Tables.events(s, dir)
           .withColumn("value_cents", round(col("value") * 100)
             .cast("long")),
         "event_type", Seq("ts", "event_id"), "value_cents",
-        nRows = 24, z = 3.0, tsCol = "ts"),
+        nRows = 24, z = 3.0),
       Some("""
         WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
                           event_type,
