@@ -378,12 +378,6 @@ object SeriesQueries {
         "event_type", "ts", "value", "vol"),
       Some(taOracleSql)),
 
-    // W-rolling: pandas groupby().rolling(5, min_periods=1) mean/std/
-    // min/max over the per-supplier shipment series. Exactness: quantities
-    // are integer-valued, so every 5-row frame sum is IEEE-exact in any
-    // accumulation order and the std algebra (see WindowOps.rollingStats)
-    // evaluates to the same bits in Spark and DuckDB; one-row frames give
-    // NULL std in both.
     // Rolling z-score anomaly flags over the event stream: each value is
     // scored against the mean/std of the 24 points strictly before it in
     // its event_type series (self-excluding trailing frame). Values are
@@ -474,6 +468,12 @@ object SeriesQueries {
         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)""")),
 
+    // W-rolling: pandas groupby().rolling(5, min_periods=1) mean/std/
+    // min/max over the per-supplier shipment series. Exactness: quantities
+    // are integer-valued, so every 5-row frame sum is IEEE-exact in any
+    // accumulation order and the std algebra (see WindowOps.rollingStats)
+    // evaluates to the same bits in Spark and DuckDB; one-row frames give
+    // NULL std in both.
     // ORDER tiebreak: (shipdate, orderkey, linenumber) is NOT unique in
     // the synthetic lineitem (one full collision at sf0.1), so the value
     // column joins the ordering — engines then agree on every frame, and

@@ -366,4 +366,58 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("unimaxRebalance: strata whose STRING casts collide stay " +
+      "distinct strata (native-typed plan join)") {
+    // array<string> strata ["x, y"] and ["x", "y"] both cast to the
+    // string "[x, y]" — a string-keyed plan would merge them into one
+    // count and one quota. 10 vs 40 docs, budget 30: the walk gives the
+    // small stratum min(10, 15) = 10 (kept WHOLE at keep_frac 1.0) and
+    // the big one min(40, 20) = 20.
+    val rows = (1L to 10L).map(i => (i, Seq("x, y"))) ++
+      (11L to 50L).map(i => (i, Seq("x", "y")))
+    val df = rows.toDF("doc_id", "stratum")
+    val out = CorpusOps.unimaxRebalance(df, "stratum", "doc_id",
+      targetTotal = 30)
+    val plan = out.select(col("stratum"), col("n_docs"), col("quota"),
+        col("keep_frac")).distinct().collect()
+      .map(r => r.getSeq[String](0).toList ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("quota"),
+          r.getAs[Double]("keep_frac")))).toMap
+    assert(plan.size === 2, "colliding string casts merged the strata")
+    assert(plan(List("x, y")) === ((10L, 10.0, 1.0)))
+    assert(plan(List("x", "y")) === ((40L, 20.0, 0.5)))
+    val kept = out.groupBy(col("stratum")).count().collect()
+      .map(r => r.getSeq[String](0).toList -> r.getLong(1)).toMap
+    assert(kept(List("x, y")) === 10L)
+    assert(kept(List("x", "y")) > 0L && kept(List("x", "y")) < 40L)
+  }
+
+  test("packSequences/tokenBudgetChunks: ids stay EXACT past 2^53 token " +
+      "offsets (integral division, not floor(double))") {
+    // doc1 tokens = 2^53 + 511: doc2's tok_start is not a representable
+    // double (spacing 2 at 2^53; nearest-even rounds UP to 2^53 + 512,
+    // which crosses a multiple-of-512 boundary), so floor(x/512.0) would
+    // give 2^44 + 1 while the exact id is 2^44.
+    val big = (1L << 53) + 511L
+    val docs = Seq((1L, "s", big), (2L, "s", 100L))
+      .toDF("doc_id", "source", "tok")
+    val packed = CorpusOps.packSequences(docs, "doc_id", "source",
+        $"tok", budget = 512)
+      .select("doc_id", "tok_start", "start_seq", "end_seq",
+        "head_offset")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (tokStart2, startSeq2, _, headOff2) = packed(2L)
+    assert(tokStart2 === big)
+    assert(startSeq2 === big / 512L) // = 2^44, NOT the double-rounded 2^44+1
+    assert(startSeq2 === (1L << 44))
+    // exact tiling invariant: seq-local coordinates recompose the offset
+    assert(startSeq2 * 512L + headOff2 === tokStart2)
+    val chunks = CorpusOps.tokenBudgetChunks(docs, "doc_id", "source",
+        $"tok", budget = 512)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("chunk_id")).toMap
+    assert(chunks(2L) === (1L << 44))
+  }
 }
