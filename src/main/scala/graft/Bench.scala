@@ -162,9 +162,17 @@ object Bench {
           "\"" + name + "\":[" + times.reverse.mkString(",") + "]"
       }.mkString("{", ",", "}")
       val full = line.dropRight(1) + s""","samples":$allSamples}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (full + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] full JSON written to $outPath")
+      // best-effort: the artifact must never fail a run whose queries
+      // all succeeded (e.g. a read-only working directory) — the
+      // stdout line above is the contractual output
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+          (full + "\n").getBytes("UTF-8"))
+        System.err.println(s"[bench] full JSON written to $outPath")
+      } catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[bench] could not write $outPath: $e")
+      }
     }
     spark.stop()
     // a failed query must fail the run visibly, not just in the JSON

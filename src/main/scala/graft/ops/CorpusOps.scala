@@ -542,6 +542,10 @@ object CorpusOps {
     * centroids); the apply is one broadcast join + filter. A null
     * stratum is its own stratum (null-safe join, sentinel-salted coin).
     * Output: surviving rows annotated with (n_docs, quota, keep_frac).
+    * The stratum column must be a groupable/orderable type (maps are
+    * not — project a map stratum to an explicit string key first; the
+    * r12 native-type keying traded implicit map support for correctness
+    * on strata whose string casts collide).
     *
     * Plan-audit note: the counts pass is a driver collect, so under
     * [[graft.PlanMode.isExplainOnly]] this op returns the no-cap
@@ -594,7 +598,15 @@ object CorpusOps {
     // native-keyed counts rows by rank. Bounded: |strata| rows.
     val wWalk = Window.orderBy(col("n_docs"), col("_s").isNull,
       col("_s").cast("string"), col("_s"))
+    // eager localCheckpoint: the ranked strata frame is bounded
+    // (|strata| rows) but its lineage scans the corpus — without the
+    // checkpoint the returned plan would re-run that scan (the collect
+    // below is one execution, applyPlan's reuse a second), and a
+    // non-recompute-deterministic `docs` could even re-rank strata
+    // differently from the collected walk, attaching quotas to the
+    // wrong stratum
     val indexed = counts.withColumn("_si", row_number().over(wWalk))
+      .localCheckpoint(true)
     val strata = indexed.select(col("_si"), col("n_docs")).collect()
       .map(r => (r.getAs[Int]("_si"), r.getAs[Long]("n_docs")))
       .sortBy(_._1)

@@ -52,11 +52,21 @@ def main():
         bs = f"{b:9.3f}" if b is not None else "    -    "
         ls = f"{l:9.3f}" if l is not None else "    -    "
         print(f"{n:{w}}  {bs}  {ls}  {ratio:5.2f}")
-    tb = sum(v for v in data[base].values())
-    tl = sum(v for v in data[last].values())
-    print(f"\n{'TOTAL':{w}}  {tb:9.3f}  {tl:9.3f}  {tl / tb:5.2f}")
+    # totals over the INTERSECTION only: summing each label over its own
+    # entry set would compare different workloads whenever coverage
+    # differs (e.g. a renamed entry present in one artifact only)
+    shared = sorted(set(data[base]) & set(data[last]))
+    skipped = sorted((set(data[base]) | set(data[last])) - set(shared))
+    tb = sum(data[base][n] for n in shared)
+    tl = sum(data[last][n] for n in shared)
+    ratio_s = f"{tl / tb:5.2f}" if tb else "  n/a"
+    print(f"\n{'TOTAL (shared)':{w}}  {tb:9.3f}  {tl:9.3f}  {ratio_s}"
+          f"  ({len(shared)} entries)")
+    if skipped:
+        print(f"excluded from totals (not in both): {', '.join(skipped)}")
     worse = [(n, r) for n, b, l, r in rows if r == r and r > 1.15]
-    better = [(n, r) for n, b, l, r in rows if r == r and r < 0.87]
+    better = sorted(((n, r) for n, b, l, r in rows if r == r and r < 0.87),
+                    key=lambda nr: nr[1])
     print(f"\n>15% slower under {last}: {len(worse)}")
     for n, r in worse[:20]:
         print(f"  {n}  {r:.2f}x")
