@@ -367,6 +367,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("unimaxRebalance: a null stratum is a real stratum — it gets its " +
+      "own count and quota through the native null-safe join") {
+    // null=10, a=20, b=100; budget 60: walk ascending (nulls last on
+    // the size-10 tie is moot here) gives null min(10, 20)=10,
+    // a min(20, 25)=20, b min(100, 30)=30 — same cascade as the string
+    // strata case; a null-UNSAFE join would drop the null stratum's
+    // rows while its count still consumed budget
+    val rows = (1L to 10L).map(i => (i, null: String)) ++
+      (11L to 30L).map(i => (i, "a")) ++ (31L to 130L).map(i => (i, "b"))
+    val df = rows.toDF("doc_id", "lang")
+    val out = CorpusOps.unimaxRebalance(df, "lang", "doc_id",
+      targetTotal = 60)
+    val plan = out.select("lang", "n_docs", "quota").distinct().collect()
+      .map(r => Option(r.getString(0)) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("quota")))).toMap
+    assert(plan(None) === ((10L, 10.0)))
+    assert(plan(Some("a")) === ((20L, 20.0)))
+    assert(plan(Some("b")) === ((100L, 30.0)))
+    // keep_frac 1.0: the null stratum survives WHOLE, and the selection
+    // is layout-independent like every coin in the family
+    val kept = out.filter(col("lang").isNull).count()
+    assert(kept === 10L)
+    val re = CorpusOps.unimaxRebalance(df.repartition(13), "lang",
+        "doc_id", targetTotal = 60)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(re.toSeq === out.select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("unimaxRebalance: strata whose STRING casts collide stay " +
       "distinct strata (native-typed plan join)") {
     // array<string> strata ["x, y"] and ["x", "y"] both cast to the
