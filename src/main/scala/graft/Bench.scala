@@ -170,7 +170,11 @@ object Bench {
           (full + "\n").getBytes("UTF-8"))
         System.err.println(s"[bench] full JSON written to $outPath")
       } catch {
-        case e: java.io.IOException =>
+        // NonFatal, not just IOException: a malformed SPARK_GRAFT_BENCH_OUT
+        // throws InvalidPathException (runtime) from Paths.get, and
+        // Files.write can throw SecurityException — neither may fail a
+        // run whose queries all succeeded
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] could not write $outPath: $e")
       }
     }

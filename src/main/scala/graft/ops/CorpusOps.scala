@@ -21,14 +21,17 @@ object CorpusOps {
     */
   def tokenBudgetChunks(docs: DataFrame, idCol: String, byCol: String,
                         tokenCol: Column, budget: Int): DataFrame = {
+    require(budget > 0, s"budget=$budget")
     val w = Window.partitionBy(col(byCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     // `div` (IntegralDivide) on longs, not floor(double-divide): token
     // offsets past ~2^52/budget would round a chunk id by one under
     // double arithmetic — the batch/streaming twins contract is exact
     // long coordinates at any corpus size (offsets are non-negative, so
-    // truncating division IS floor division here)
-    docs.withColumn("tokens", tokenCol)
+    // truncating division IS floor division here). The cast mirrors
+    // packSequences: IntegralDivide fails analysis on a fractional
+    // token column, and the contract is long token counts anyway.
+    docs.withColumn("tokens", tokenCol.cast("long"))
       .withColumn("_cum0",
         sum(col("tokens")).over(w) - col("tokens"))
       .withColumn("chunk_id", expr(s"_cum0 div ${budget.toLong}L"))

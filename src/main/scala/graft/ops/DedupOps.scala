@@ -330,14 +330,20 @@ object DedupOps {
       minhashBands(batch, idCol, textCol, shingleWords, k, bands), idCol)
 
   /** [[minhashIndexProbe]] from a precomputed (idCol, band, band_hash)
-    * frame (see [[minhashCandidatesBands]]). NOTE: evaluates `banded`
-    * twice (driver-side bucket collect + broadcast join side) — persist
-    * it when the signatures are nontrivial.
+    * frame (see [[minhashCandidatesBands]]). The probe frame is read
+    * twice (driver-side bucket collect + broadcast join side), so it is
+    * eagerly local-checkpointed internally — the signature kernel runs
+    * ONCE no matter what the caller passes (a caller-managed persist on
+    * `banded` composes fine: the checkpoint then just reads the cache).
+    * The probe side is batch-bounded by contract (it rides a broadcast
+    * join below), so the checkpointed blocks are small.
     */
   def minhashIndexProbeBands(spark: org.apache.spark.sql.SparkSession,
                              path: String, banded: DataFrame,
                              idCol: String = "doc_id"): DataFrame = {
     val probe = banded.withColumn("bucket", minhashBucket)
+      .transform(df => if (graft.PlanMode.isExplainOnly) df
+        else df.localCheckpoint(eager = true))
     val buckets: Array[Int] = probe.select(col("bucket")).distinct()
       .collect().map(_.getInt(0))
     // base partition-pruned + L0 delta rows (IndexMaintenance layout)

@@ -18,7 +18,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Catalog {
   type Q = (SparkSession, String) => DataFrame
-  final case class Entry(q: Q, oracle: Option[String])
+
+  /** `probe = true` marks a diagnostic/ground-truth posture — an entry
+    * kept to verify or measure a production twin (exact all-pairs truth,
+    * output-bound pair lists, plain single-window keying, recall audits)
+    * rather than the shape you would run at 100 TB. The catalog doc
+    * generator emits this as the `posture` column, so the catalog itself
+    * says which rows are scale postures and which are probes.
+    */
+  final case class Entry(q: Q, oracle: Option[String],
+                         probe: Boolean = false)
 
   def all: Map[String, Entry] =
     CoreQueries.defs ++ StatsQueries.defs ++ TextQueries.defs ++
@@ -28,5 +37,5 @@ object Catalog {
 
   def queries: Map[String, Q] = all.map { case (k, e) => k -> e.q }
   def oracles: Map[String, String] =
-    all.collect { case (k, Entry(_, Some(sql))) => k -> sql }
+    all.collect { case (k, Entry(_, Some(sql), _)) => k -> sql }
 }

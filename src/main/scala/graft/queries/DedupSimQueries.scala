@@ -1107,7 +1107,10 @@ object DedupSimQueries {
           FROM scored)
         SELECT query_id, corpus_id, round(cos_raw, 6) AS cos_sim,
                CAST(rnk AS INTEGER) AS rnk
-        FROM ranked WHERE rnk <= 5""")),
+        FROM ranked WHERE rnk <= 5"""),
+      // probe: exact brute-force all-pairs cosine top-k — the ground
+      // truth the ANN family (ivf/pq/ivfpq entries) is recalled against
+      probe = true),
 
     // ExactSubstr passage dedup (Lee et al. 2021, word grain): 8-word
     // spans duplicated anywhere keep only their globally-first
@@ -1190,7 +1193,10 @@ object DedupSimQueries {
               FROM exact JOIN cand USING (id_a, id_b)),
         ne AS (SELECT count(*) AS n_exact FROM exact)
         SELECT n_exact, hits, CAST(hits AS DOUBLE) / n_exact AS recall
-        FROM ne, h""")),
+        FROM ne, h"""),
+      // probe: recall audit — measures the banded production form
+      // against a bounded exact-pairs truth set
+      probe = true),
 
     // Recall@floor SWEEP over autoBandConfig's S-curve selection — the
     // eval that validates the parameter-selection algebra itself, not
@@ -1347,7 +1353,10 @@ object DedupSimQueries {
               UNION ALL ${leg("0.4", 8, 3)}
               UNION ALL ${leg("0.5", 7, 3)}
               UNION ALL ${leg("0.6", 6, 3)})"""
-      }),
+      },
+      // probe: recall-tuning audit — sweeps band configs of the banded
+      // production form against a bounded exact truth set
+      probe = true),
 
     // Hard-negative mining for contrastive training: per anchor, the 5
     // most cosine-similar corpus vectors with a DIFFERENT label — the
@@ -1757,7 +1766,12 @@ object DedupSimQueries {
         SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
                d.dup_of IS NULL AS is_kept, d.dup_of,
                round(d.maxc, 6) AS dup_cos
-        FROM asg a LEFT JOIN dups d USING (vec_id)""")),
+        FROM asg a LEFT JOIN dups d USING (vec_id)"""),
+      // probe: flat SemDeDup (growing-k contract keeps cells bounded, but
+      // per-cell candidate volume still grows with contract k — measured
+      // 0.87 second-decade exponent); semantic_dedup_2level is the
+      // production posture
+      probe = true),
 
     // SemDeDup with TWO-LEVEL (coarse-then-refine) assignment — the
     // scale form past the flat argmin: k1·k2 effective cells for

@@ -394,66 +394,23 @@ object PipelineQueries {
                CAST(w * h AS BIGINT) AS n_px
         FROM grid GROUP BY doc_id, w, h""")),
 
-    // Perceptual image dedup: decode each PNG for real (ImageIO raster),
+    // Perceptual image dedup — CATALOG DEFAULT = the dedup-APPLY
+    // posture (r13, per the r12 verdict; same swap ts_anomaly_zscore
+    // made in r12): decode each PNG for real (ImageIO raster),
     // fingerprint with the 64-bit average-hash (8x8 NN downsample,
-    // above-mean bits — integer-exact threshold 64*g > sum), then find
-    // near-dup pairs with the SAME band-of-bits LSH the text SimHash
-    // path uses (DedupOps.hammingNearDups — one generic kernel for any
-    // 64-bit hamming signature). The archive holds exact duplicate
-    // images at doc_id stride 256 (the 31*stride pattern offset wraps to
-    // 0), so hamming-0 pairs are guaranteed present; the oracle replays
-    // pixel generator -> NN grid -> threshold -> banding in closed form.
-    "multimodal_ahash_dups" -> Entry(
-      (s, dir) => graft.ops.DedupOps.hammingNearDups(
-        ahashFrame(s, dir), "media_id", "ahash", maxHamming = 8),
-      Some("""
-        WITH px AS (SELECT doc_id, 16 + doc_id % 16 AS w,
-                           16 + doc_id % 8 AS h
-                    FROM documents),
-        samp AS (
-          SELECT doc_id, CAST(j*8+i AS INTEGER) AS b,
-                 (doc_id*31 + ((i*w)//8)*7 + ((j*h)//8)*13) % 256 AS g
-          FROM px, UNNEST(generate_series(0,7)) AS ti(i),
-               UNNEST(generate_series(0,7)) AS tj(j)),
-        tot AS (SELECT doc_id, sum(g) AS s FROM samp GROUP BY 1),
-        sig AS (
-          -- sum(BIGINT) widens to HUGEINT; cast back or the banding and
-          -- bit_count(xor) below run in 128-bit where mixed-sign pairs
-          -- pick up 64 phantom sign-extension bits
-          SELECT samp.doc_id,
-                 CAST(sum(CASE WHEN 64*g > s THEN
-                       CASE WHEN b = 63
-                            THEN CAST(-9223372036854775808 AS BIGINT)
-                            ELSE (CAST(1 AS BIGINT) << b) END
-                     ELSE 0 END) AS BIGINT) AS ahash
-          FROM samp JOIN tot USING (doc_id) GROUP BY 1),
-        banded AS (
-          SELECT doc_id, ahash, CAST(k AS INTEGER) AS band,
-                 (ahash >> (CAST(k AS INTEGER) * 16)) & 65535 AS band_val
-          FROM sig, UNNEST([0,1,2,3]) AS t(k))
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(min(bit_count(xor(a.ahash, b.ahash))) AS INTEGER)
-                 AS hamming
-        FROM banded a JOIN banded b
-          ON a.band = b.band AND a.band_val = b.band_val
-         AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-        HAVING min(bit_count(xor(a.ahash, b.ahash))) <= 8""")),
-
-    // Dedup-APPLY posture for clique-dense image corpora — the linear
-    // form of the entry above. multimodal_ahash_dups is CONTRACTED to
-    // emit every qualifying pair, which is Omega(pairs) and therefore
-    // quadratic in clique size when the corpus repeats images (SCALE.md
-    // measures 100x output growth for 10x input on the synthetic
-    // archive). A production pipeline doesn't want the pairs — it wants
-    // the survivors: collapse exact-hash groups first (groupBy on the
-    // 64-bit ahash, O(n), keep min media_id + copy count), then run the
-    // hamming-band near-dup prune among the REPRESENTATIVES only (a set
-    // bounded by distinct perceptual content, not corpus size — <= 256
-    // here at every SF). One row per representative: is_kept, the
-    // lowest-id near-duplicate representative it folds into (semanticDedup's
+    // above-mean bits — integer-exact threshold 64*g > sum), then
+    // collapse exact-hash groups FIRST (groupBy on the 64-bit ahash,
+    // O(n), keep min media_id + copy count) and run the hamming-band
+    // near-dup prune among the REPRESENTATIVES only — a set bounded by
+    // distinct perceptual content, not corpus size (<= 256 here at
+    // every SF). One row per representative: is_kept, the lowest-id
+    // near-duplicate representative it folds into (semanticDedup's
     // keep-lowest rule), and the strongest (minimum) hamming distance.
-    "multimodal_ahash_apply" -> Entry(
+    // The pair-LIST form (every qualifying near-dup pair — Omega(pairs),
+    // quadratic in clique size on image corpora that repeat content;
+    // SCALE.md measured exponent 1.22, output-bound) is demoted to the
+    // probe row below (multimodal_ahash_dups_probe).
+    "multimodal_ahash_dedup" -> Entry(
       (s, dir) => {
         val reps = ahashFrame(s, dir).groupBy(col("ahash"))
           .agg(min(col("media_id")).as("media_id"),
@@ -509,6 +466,56 @@ object PipelineQueries {
         SELECT r.media_id, r.ahash, r.n_copies,
                d.dup_of IS NULL AS is_kept, d.dup_of, d.min_hamming
         FROM reps r LEFT JOIN dropped d USING (media_id)""")),
+
+    // PROBE row — pair-list ground truth of multimodal_ahash_dedup
+    // above (was the default name multimodal_ahash_dups before r13):
+    // emits EVERY qualifying near-dup pair via the same band-of-bits
+    // LSH the text SimHash path uses (DedupOps.hammingNearDups — one
+    // generic kernel for any 64-bit hamming signature). The archive
+    // holds exact duplicate images at doc_id stride 256 (the 31*stride
+    // pattern offset wraps to 0), so hamming-0 pairs are guaranteed
+    // present; the oracle replays pixel generator -> NN grid ->
+    // threshold -> banding in closed form. Output is
+    // Omega(qualifying pairs) BY CONTRACT — output-bound at scale
+    // (SCALE.md exp 1.22), which is exactly why the apply posture owns
+    // the default name.
+    "multimodal_ahash_dups_probe" -> Entry(
+      (s, dir) => graft.ops.DedupOps.hammingNearDups(
+        ahashFrame(s, dir), "media_id", "ahash", maxHamming = 8),
+      Some("""
+        WITH px AS (SELECT doc_id, 16 + doc_id % 16 AS w,
+                           16 + doc_id % 8 AS h
+                    FROM documents),
+        samp AS (
+          SELECT doc_id, CAST(j*8+i AS INTEGER) AS b,
+                 (doc_id*31 + ((i*w)//8)*7 + ((j*h)//8)*13) % 256 AS g
+          FROM px, UNNEST(generate_series(0,7)) AS ti(i),
+               UNNEST(generate_series(0,7)) AS tj(j)),
+        tot AS (SELECT doc_id, sum(g) AS s FROM samp GROUP BY 1),
+        sig AS (
+          -- sum(BIGINT) widens to HUGEINT; cast back or the banding and
+          -- bit_count(xor) below run in 128-bit where mixed-sign pairs
+          -- pick up 64 phantom sign-extension bits
+          SELECT samp.doc_id,
+                 CAST(sum(CASE WHEN 64*g > s THEN
+                       CASE WHEN b = 63
+                            THEN CAST(-9223372036854775808 AS BIGINT)
+                            ELSE (CAST(1 AS BIGINT) << b) END
+                     ELSE 0 END) AS BIGINT) AS ahash
+          FROM samp JOIN tot USING (doc_id) GROUP BY 1),
+        banded AS (
+          SELECT doc_id, ahash, CAST(k AS INTEGER) AS band,
+                 (ahash >> (CAST(k AS INTEGER) * 16)) & 65535 AS band_val
+          FROM sig, UNNEST([0,1,2,3]) AS t(k))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(min(bit_count(xor(a.ahash, b.ahash))) AS INTEGER)
+                 AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING min(bit_count(xor(a.ahash, b.ahash))) <= 8"""),
+      probe = true),
 
     // Audio twin of multimodal_image_stats: deterministic 16-bit mono
     // PCM wavs per doc, parsed back with the SAME RIFF/PCM decoder the

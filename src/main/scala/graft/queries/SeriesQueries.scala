@@ -466,7 +466,11 @@ object SeriesQueries {
                  false) AS is_anomaly
         FROM e
         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
-                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)""")),
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)"""),
+      // probe: plain per-key window — parallelism capped at the key
+      // count (measured exp 0.60-0.62); the chunked default above is
+      // the scale posture
+      probe = true),
 
     // W-rolling: pandas groupby().rolling(5, min_periods=1) mean/std/
     // min/max over the per-supplier shipment series. Exactness: quantities

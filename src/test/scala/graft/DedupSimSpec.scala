@@ -1133,6 +1133,27 @@ class DedupSimSpec extends SparkSpec {
     assert(flatEq === flat, "k2=1 must reproduce the flat cell partition")
   }
 
+  test("minhashIndexProbeBands evaluates the banded input exactly once " +
+       "(internal checkpoint — no driver-collect + join-side double run)") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_mhonce")
+      .toString + "/idx"
+    val doc = "the quick brown fox jumps over the lazy dog again today"
+    DedupOps.writeMinhashIndex(Seq((1L, doc)).toDF("doc_id", "text"), idx)
+    // count every row the banded frame ever produces: the probe reads it
+    // for the bucket collect AND the broadcast join side, so without the
+    // internal eager checkpoint the map runs twice per row
+    val acc = spark.sparkContext.longAccumulator("banded_rows_evaluated")
+    val banded = DedupOps.minhashBands(Seq((99L, doc)).toDF("doc_id", "text"))
+      .as[(Long, Int, String)]
+      .map { r => acc.add(1); r }
+      .toDF("doc_id", "band", "band_hash")
+    val hits = DedupOps.minhashIndexProbeBands(spark, idx, banded)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hits === Set((99L, 1L, 4L)))
+    assert(acc.value === 4L,
+      s"banded evaluated ${acc.value / 4.0} times, expected exactly once")
+  }
+
   // keep LAST in the suite: setting a checkpoint dir flips dupClusters
   // to reliable mode for the rest of this session
   test("dupClusters under a configured checkpoint dir uses RELIABLE " +
