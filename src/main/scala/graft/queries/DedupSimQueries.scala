@@ -1082,6 +1082,11 @@ object DedupSimQueries {
                CAST(rrnk AS INTEGER) AS rnk
         FROM rr WHERE rrnk <= 5""")),
 
+    // Brute-force exact cosine top-k (query side vs corpus side) — the
+    // ground-truth baseline the whole ANN family is recalled against.
+    // O(queries x corpus): correct at any scale but quadratic-cost by
+    // contract, which is why it is a probe row and the IVF/PQ entries
+    // are the production postures.
     "knn_cosine_topk" -> Entry(
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
