@@ -74,7 +74,9 @@ class CorpusPipelineSpec extends SparkSpec {
         max(col("tokens")).as("max_doc"))
       .collect()
     chunkSums.foreach { r =>
-      val total = r.getLong(2); val maxDoc = r.getInt(3).toLong
+      // tokens is LONG by contract (tokenBudgetChunks casts, mirroring
+      // packSequences), so max(tokens) comes back long
+      val total = r.getLong(2); val maxDoc = r.getLong(3)
       assert(total <= budget + maxDoc,
         s"chunk ${r.get(0)}/${r.get(1)} over budget: $total")
     }
