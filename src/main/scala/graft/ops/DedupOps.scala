@@ -331,19 +331,23 @@ object DedupOps {
 
   /** [[minhashIndexProbe]] from a precomputed (idCol, band, band_hash)
     * frame (see [[minhashCandidatesBands]]). The probe frame is read
-    * twice (driver-side bucket collect + broadcast join side), so it is
-    * eagerly local-checkpointed internally — the signature kernel runs
-    * ONCE no matter what the caller passes (a caller-managed persist on
-    * `banded` composes fine: the checkpoint then just reads the cache).
-    * The probe side is batch-bounded by contract (it rides a broadcast
-    * join below), so the checkpointed blocks are small.
+    * twice (driver-side bucket collect + broadcast join side), but the
+    * signature kernel runs ONCE no matter what the caller passes: if
+    * `banded` is already caller-persisted both reads hit the cache (and
+    * the caller keeps its deterministic unpersist lifecycle — the
+    * streaming loop's posture); otherwise the frame is eagerly
+    * local-checkpointed here. The probe side is batch-bounded by
+    * contract (it rides a broadcast join below), so checkpointed blocks
+    * are small and freed by the ContextCleaner on driver GC.
     */
   def minhashIndexProbeBands(spark: org.apache.spark.sql.SparkSession,
                              path: String, banded: DataFrame,
                              idCol: String = "doc_id"): DataFrame = {
     val probe = banded.withColumn("bucket", minhashBucket)
-      .transform(df => if (graft.PlanMode.isExplainOnly) df
-        else df.localCheckpoint(eager = true))
+      .transform(df => if (graft.PlanMode.isExplainOnly ||
+          banded.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        df
+      else df.localCheckpoint(eager = true))
     val buckets: Array[Int] = probe.select(col("bucket")).distinct()
       .collect().map(_.getInt(0))
     // base partition-pruned + L0 delta rows (IndexMaintenance layout)

@@ -1152,6 +1152,34 @@ class DedupSimSpec extends SparkSpec {
     assert(hits === Set((99L, 1L, 4L)))
     assert(acc.value === 4L,
       s"banded evaluated ${acc.value / 4.0} times, expected exactly once")
+
+    // caller-persisted input (the streaming-loop posture): still one
+    // evaluation (cache fill), and the probe must NOT register its own
+    // checkpoint on top — the caller's unpersist stays the sole block
+    // lifecycle
+    val acc2 = spark.sparkContext.longAccumulator("banded_rows_persisted")
+    val banded2 = DedupOps.minhashBands(
+        Seq((98L, doc)).toDF("doc_id", "text"))
+      .as[(Long, Int, String)]
+      .map { r => acc2.add(1); r }
+      .toDF("doc_id", "band", "band_hash")
+      .persist()
+    try {
+      // materialize the caller's cache first: persist() registers its
+      // block lazily, and a snapshot taken pre-materialization would
+      // misread the caller's own cache entry as a probe-created orphan
+      banded2.count()
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val hits2 = DedupOps.minhashIndexProbeBands(spark, idx, banded2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(hits2 === Set((98L, 1L, 4L)))
+      assert(acc2.value === 4L,
+        s"persisted banded evaluated ${acc2.value / 4.0} times")
+      val extra = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(extra.isEmpty,
+        s"probe registered orphan blocks on a persisted input: $extra")
+    } finally banded2.unpersist(blocking = true)
   }
 
   // keep LAST in the suite: setting a checkpoint dir flips dupClusters
