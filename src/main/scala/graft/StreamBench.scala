@@ -36,7 +36,9 @@ object StreamBench {
     val dirA = args.lift(0).getOrElse("/root/testdata/sf0.01")
     val dirB = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // toInt up front: a non-numeric env value must fail here, not get
+    // spliced into the JSON artifact (or the master URL) as-is
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val passes = sys.env.getOrElse("SPARK_GRAFT_STREAM_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -50,15 +52,23 @@ object StreamBench {
 
     val root = Files.createTempDirectory("graft_streambench").toString
 
-    // stage one SF dir's events as an 8-file parquet input directory;
-    // returns (path, rowCount)
-    def stage(sfDir: String, tag: String): (String, Long) = {
+    // stage one SF dir's events as an (up to) 8-file parquet input
+    // directory; returns (path, rowCount, dataFileCount). The file count
+    // is COUNTED, not assumed: tiny inputs can emit fewer than 8 files
+    // (empty partitions write nothing), and it determines the number of
+    // micro-batches per drain under maxFilesPerTrigger.
+    def stage(sfDir: String, tag: String): (String, Long, Int) = {
       val in = s"$root/in_$tag"
       Tables.events(spark, sfDir)
         .select(col("ts"), col("event_type"), col("user_id"), col("value"))
         .repartition(8)
         .write.mode("overwrite").parquet(in)
-      (in, spark.read.parquet(in).count())
+      val listing = Files.list(Paths.get(in))
+      val files =
+        try listing.filter(p =>
+          p.getFileName.toString.startsWith("part-")).count().toInt
+        finally listing.close()
+      (in, spark.read.parquet(in).count(), files)
     }
 
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -117,26 +127,30 @@ object StreamBench {
       "dedup_stream" -> runDedup _)
 
     // warmup: full drain of both components at the smallest SF
-    val (warmIn, _) = stage(warmDir, "warm")
+    val (warmIn, _, _) = stage(warmDir, "warm")
     components.foreach { case (_, run) => run(warmIn) }
 
     val sized = Seq("a" -> dirA, "b" -> dirB).map { case (tag, d) =>
-      val (in, n) = stage(d, tag)
-      (d, in, n)
+      stage(d, tag) match { case (in, n, files) => (d, in, n, files) }
     }
     val results = for {
-      (sfDir, in, n) <- sized
+      (sfDir, in, n, files) <- sized
       (name, run) <- components
     } yield {
+      // maxFilesPerTrigger=2 on the source: AvailableNow drains in
+      // ceil(files/2) micro-batches — derived from the counted staging
+      // output, not assumed
+      val batches = (files + 1) / 2
       val sec = (1 to passes).map { _ => run(in) }.min
       val rps = n / sec
       System.err.println(
         f"[streambench] $name $sfDir rows=$n sec=$sec%.2f rows/s=$rps%.0f")
       s"""{"component":"$name","sf_dir":"$sfDir","rows":$n,""" +
+        s""""files":$files,"micro_batches":$batches,""" +
         f""""sec":$sec%.3f,"rows_per_sec":$rps%.0f}"""
     }
     val line = s"""{"metric":"stream_throughput","unit":"rows_per_sec",""" +
-      s""""cpus":$cpus,"passes":$passes,"micro_batches_per_run":4,""" +
+      s""""cpus":$cpus,"passes":$passes,""" +
       s""""results":[${results.mkString(",")}]}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT",

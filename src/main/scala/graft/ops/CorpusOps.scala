@@ -12,16 +12,42 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** Token columns are LONG by contract (chunk/sequence coordinates are
+    * exact long arithmetic — see the `div` notes in the packers).
+    * Enforced, not coerced: a fractional token estimate would otherwise
+    * be silently floored by the long cast. Driver-only schema check —
+    * no job runs.
+    */
+  private def requireIntegralTokens(docs: DataFrame, tokenCol: Column,
+                                    where: String): Unit = {
+    import org.apache.spark.sql.types._
+    val t = docs.select(tokenCol.as("_t")).schema.head.dataType
+    val ok = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok, s"$where: token column must be integral " +
+      s"(byte/short/int/long), got $t — cast explicitly if flooring a " +
+      "fractional estimate is intended")
+  }
+
   /** Pack documents into sequential token-budget chunks per group:
     * `chunk_id = floor(running_token_count_before_doc / budget)` over a
     * total order. One window shuffle per group key; at 100 TB packing
     * runs per (source, date) partition so no global sort is needed.
     * A chunk may overflow by at most one document (greedy sequential
     * packing — the standard pretraining behavior before truncation).
+    *
+    * `tokenCol` must be an INTEGRAL column (byte/short/int/long) — token
+    * counts are long by contract and chunk ids are exact long
+    * arithmetic, so a fractional token estimate is rejected here rather
+    * than silently floored; callers that do want flooring cast
+    * explicitly.
     */
   def tokenBudgetChunks(docs: DataFrame, idCol: String, byCol: String,
                         tokenCol: Column, budget: Int): DataFrame = {
     require(budget > 0, s"budget=$budget")
+    requireIntegralTokens(docs, tokenCol, "tokenBudgetChunks")
     val w = Window.partitionBy(col(byCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     // `div` (IntegralDivide) on longs, not floor(double-divide): token
@@ -61,6 +87,7 @@ object CorpusOps {
   def packSequences(docs: DataFrame, idCol: String, byCol: String,
                     tokenCol: Column, budget: Int): DataFrame = {
     require(budget > 0, s"budget=$budget")
+    requireIntegralTokens(docs, tokenCol, "packSequences")
     val w = Window.partitionBy(col(byCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1L)
     docs.withColumn("tokens", tokenCol.cast("long"))

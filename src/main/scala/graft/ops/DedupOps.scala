@@ -330,33 +330,31 @@ object DedupOps {
       minhashBands(batch, idCol, textCol, shingleWords, k, bands), idCol)
 
   /** [[minhashIndexProbe]] from a precomputed (idCol, band, band_hash)
-    * frame (see [[minhashCandidatesBands]]). The probe frame is read
-    * twice (driver-side bucket collect + broadcast join side), but the
-    * signature kernel runs ONCE no matter what the caller passes: if
-    * `banded` is already caller-persisted both reads hit the cache (and
-    * the caller keeps its deterministic unpersist lifecycle — the
-    * streaming loop's posture); otherwise the frame is eagerly
-    * local-checkpointed here. The probe side is batch-bounded by
-    * contract (it rides a broadcast join below), so checkpointed blocks
-    * are small and freed by the ContextCleaner on driver GC.
+    * frame (see [[minhashCandidatesBands]]). The probe side is
+    * batch-bounded by contract (it rides the broadcast side of the join
+    * below), so it is materialized ONCE, driver-side: the signature
+    * kernel runs exactly one time no matter what the caller passes, the
+    * bucket list for the index's partition pruning folds from the same
+    * array (no second job), and the join side becomes a LocalRelation —
+    * no cache or checkpoint blocks are ever registered, so a long-lived
+    * JVM probing many batches has nothing to leak and no deferred
+    * ContextCleaner dependency (the earlier internal localCheckpoint
+    * relied on driver GC to free its blocks). A caller-persisted frame
+    * keeps its own lifecycle untouched — its cache serves the one read.
     */
   def minhashIndexProbeBands(spark: org.apache.spark.sql.SparkSession,
                              path: String, banded: DataFrame,
                              idCol: String = "doc_id"): DataFrame = {
-    val probe = banded.withColumn("bucket", minhashBucket)
-      .transform(df => if (graft.PlanMode.isExplainOnly ||
-          banded.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-        df
-      else df.localCheckpoint(eager = true))
-    val buckets: Array[Int] = probe.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0))
+    val proj = banded.withColumn("bucket", minhashBucket)
+      .select(col(idCol).as("doc_new"), col("band"), col("band_hash"),
+        col("bucket"))
+    val rows = proj.collect()
+    val buckets = rows.map(_.getInt(3)).distinct.toIndexedSeq
+    val probeLocal = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), proj.schema)
     // base partition-pruned + L0 delta rows (IndexMaintenance layout)
-    val idx = IndexMaintenance
-      .readBucketed(spark, path, buckets.toIndexedSeq)
-    idx.join(
-        broadcast(probe.select(col(idCol).as("doc_new"), col("band"),
-          col("band_hash"), col("bucket"))),
-        Seq("bucket", "band", "band_hash"))
+    val idx = IndexMaintenance.readBucketed(spark, path, buckets)
+    idx.join(broadcast(probeLocal), Seq("bucket", "band", "band_hash"))
       .groupBy(col("doc_new"), col(idCol).as("doc_corpus"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
@@ -796,7 +794,20 @@ object DedupOps {
     * label trajectory to full messaging, measured-equal outputs) plus
     * the O(V) doubling self-join, so the dominant edge join shrinks as
     * components converge instead of re-scanning every edge every
-    * round. Input pairs
+    * round. The cached edge frame itself is BUCKET-PRUNED in late
+    * rounds: edges carry `_eb = pmod(hash(dst), edgeBuckets)` and are
+    * sorted on it within partitions before caching, so every in-memory
+    * columnar batch holds a narrow `_eb` range; each round collects the
+    * frontier's distinct buckets (driver list bounded by `edgeBuckets`)
+    * and filters the next round's edge side with OR-of-`In` chunks of
+    * ≤10 literals — the exact predicate shapes the cached-batch stats
+    * pruner understands (`In`/`Or`; chunking keeps the optimizer from
+    * rewriting to the unsupported `InSet`) — so once the frontier is
+    * sparse the edge scan skips whole batches instead of re-reading
+    * O(E) rows per round. The filter is superset-safe (every edge whose
+    * dst is in the frontier hashes into a frontier bucket), so output
+    * and round trajectory are bit-identical to the unpruned loop.
+    * Input pairs
     * (doc_a < doc_b); output (doc_id, cluster_id = min doc id in the
     * component). Throws `IllegalStateException` if `maxIter` rounds pass
     * without convergence rather than returning a wrong clustering.
@@ -813,13 +824,28 @@ object DedupOps {
     * `localCheckpoint` and the superseded round's blocks are freed
     * synchronously each iteration.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20,
+                  edgeBuckets: Int = 256): DataFrame = {
+    val B = edgeBuckets
+    def ebOf(c: Column): Column = pmod(hash(c), lit(B))
     val edgesPlain = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    // don't register a cache entry in plan-audit mode (nothing executes)
+      .withColumn("_eb", ebOf(col("dst")))
+    // don't register a cache entry in plan-audit mode (nothing executes).
+    // The within-partition sort on _eb is a LOCAL sort (no shuffle) paid
+    // once at cache fill; it gives every cached columnar batch a tight
+    // _eb min/max so the late-round frontier filter prunes whole batches.
     val edges =
-      if (graft.PlanMode.isExplainOnly) edgesPlain else edgesPlain.cache()
+      if (graft.PlanMode.isExplainOnly) edgesPlain
+      else edgesPlain.sortWithinPartitions("_eb").cache()
+    // OR-of-In chunks of <=10 literals: In stays `In` below the InSet
+    // conversion threshold, and In/Or are what the cached-batch stats
+    // pruner supports — one big isin would optimize into InSet and scan
+    // every batch
+    def bucketPred(bs: Array[Int]): Column =
+      bs.grouped(10).map(g => col("_eb").isin(g.map(Int.box): _*))
+        .reduce(_ || _)
     // seed with min(self, neighbors) — the first propagate round for the
     // price of the vertex-set aggregate (identity seeding would spend a
     // full join round reaching the same state)
@@ -838,8 +864,13 @@ object DedupOps {
     // set — after a couple of rounds only the frontier of long chains is
     // active. Round 1 passes the whole seed as `changed` (every vertex's
     // seeded label is news to its neighbors).
-    def roundFrame(labels: DataFrame, changed: DataFrame): DataFrame = {
-      val nbrMin = edges
+    def roundFrame(labels: DataFrame, changed: DataFrame,
+                   buckets: Option[Array[Int]]): DataFrame = {
+      val edgeSide = buckets match {
+        case Some(bs) if bs.length < B => edges.where(bucketPred(bs))
+        case _ => edges
+      }
+      val nbrMin = edgeSide
         .join(changed.select(col("doc_id").as("dst"),
           col("cluster_id").as("nl")), Seq("dst"))
         .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("nmin"))
@@ -865,7 +896,7 @@ object DedupOps {
     // `Scan ExistingRDD`; return one round's composed dataflow instead —
     // the exact per-round operator shape (two joins + agg + double-hop)
     if (graft.PlanMode.isExplainOnly)
-      return roundFrame(seedFrame, seedFrame)
+      return roundFrame(seedFrame, seedFrame, None)
         .select(col("doc_id"), col("cluster_id"))
     val reliable =
       pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
@@ -881,22 +912,31 @@ object DedupOps {
     // storage blocks; superseded checkpoint files are reclaimed by the
     // ContextCleaner (spark.cleaner.referenceTracking.cleanCheckpoints).
     var current = labels
-    // round 1: every seeded label is news (see roundFrame scaladoc)
+    // round 1: every seeded label is news (see roundFrame scaladoc), so
+    // no bucket filter (None = scan all edges)
     var changedSet = labels
+    var buckets: Option[Array[Int]] = None
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      val next = ckpt(roundFrame(labels, changedSet))
+      val next = ckpt(roundFrame(labels, changedSet, buckets))
       // labels are min-monotone: "changed" == strictly decreased. The
-      // filter reads the just-materialized checkpoint — the probe count
-      // here and next round's delta join share that scan, no extra jobs.
+      // probe reads the just-materialized checkpoint and doubles as the
+      // frontier-bucket collect: distinct _eb over the changed set is
+      // bounded by edgeBuckets rows on the driver, empty == converged —
+      // one job per round, same as the old limit(1).count() probe, and
+      // its result lets the next round's edge scan skip whole cached
+      // batches.
       val changedRows = next.filter(col("cluster_id") < col("_old"))
-      val nChanged = changedRows.limit(1).count()
+      val frontierBuckets = changedRows
+        .select(ebOf(col("doc_id")).as("_eb"))
+        .distinct().collect().map(_.getInt(0))
       if (!reliable) CheckpointLifecycle.release(current)
       current = next
       labels = next.select(col("doc_id"), col("cluster_id"))
       changedSet = changedRows.select(col("doc_id"), col("cluster_id"))
-      converged = nChanged == 0
+      buckets = Some(frontierBuckets)
+      converged = frontierBuckets.isEmpty
       i += 1
     }
     edges.unpersist()

@@ -1134,14 +1134,14 @@ class DedupSimSpec extends SparkSpec {
   }
 
   test("minhashIndexProbeBands evaluates the banded input exactly once " +
-       "(internal checkpoint — no driver-collect + join-side double run)") {
+       "(one driver-side materialization feeds bucket list AND join side)") {
     val idx = java.nio.file.Files.createTempDirectory("graft_mhonce")
       .toString + "/idx"
     val doc = "the quick brown fox jumps over the lazy dog again today"
     DedupOps.writeMinhashIndex(Seq((1L, doc)).toDF("doc_id", "text"), idx)
-    // count every row the banded frame ever produces: the probe reads it
-    // for the bucket collect AND the broadcast join side, so without the
-    // internal eager checkpoint the map runs twice per row
+    // count every row the banded frame ever produces: the probe needs it
+    // for the bucket list AND the broadcast join side, so any
+    // two-evaluation implementation runs the map twice per row
     val acc = spark.sparkContext.longAccumulator("banded_rows_evaluated")
     val banded = DedupOps.minhashBands(Seq((99L, doc)).toDF("doc_id", "text"))
       .as[(Long, Int, String)]
@@ -1182,8 +1182,8 @@ class DedupSimSpec extends SparkSpec {
     } finally banded2.unpersist(blocking = true)
   }
 
-  // keep LAST in the suite: setting a checkpoint dir flips dupClusters
-  // to reliable mode for the rest of this session
+  // keep the reliable-mode tests LAST in the suite: setting a checkpoint
+  // dir flips dupClusters to reliable mode for the rest of this session
   test("dupClusters under a configured checkpoint dir uses RELIABLE " +
        "checkpoints (cluster posture) and clusters identically") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
@@ -1199,5 +1199,40 @@ class DedupSimSpec extends SparkSpec {
     val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(java.nio.file.Files.isRegularFile(_)).count()
     assert(files > 0, s"no checkpoint files under $dir")
+  }
+
+  test("dupClusters reliable-mode soak: mid-loop cache invalidation " +
+       "(simulated executor loss) completes and clusters identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_soak")
+      .toString
+    spark.sparkContext.setCheckpointDir(dir)
+    // 64-hop chain: seeding + multiple pointer-doubling rounds, each a
+    // RELIABLE checkpoint — enough rounds that the chaos thread below
+    // overlaps the loop, not just its setup
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val expected = DedupOps.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected === (1L to 64L).map(_ -> 1L).toSet)
+    // chaos: while the loop runs, keep evicting EVERY persistent block
+    // (the loop's cached edge frame included) — the executor-loss
+    // posture. Reliable round state lives in checkpoint FILES, evicted
+    // cache blocks recompute from lineage, so the loop must complete
+    // with the identical clustering.
+    @volatile var stop = false
+    val chaos = new Thread(() => {
+      while (!stop) {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(r => scala.util.Try(r.unpersist(blocking = false)))
+        Thread.sleep(10)
+      }
+    })
+    chaos.setDaemon(true)
+    chaos.start()
+    val got =
+      try DedupOps.dupClusters(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally { stop = true; chaos.join() }
+    assert(got === expected,
+      "reliable-mode clustering changed under mid-loop cache eviction")
   }
 }
