@@ -105,15 +105,40 @@ object Bench {
     val samples = scala.collection.mutable
       .LinkedHashMap[String, List[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // SPARK_GRAFT_BENCH_PROFILE: record per-sample (HotSpot JIT ms, GC ms,
+    // janino codegen compilations) deltas alongside each timing, emitted
+    // in the full artifact — the attribution data for cross-JVM per-entry
+    // variance (is a slow sample taxed by background C2 compilation, a GC
+    // landing inside the window despite the pre-sweep System.gc, or a
+    // codegen-cache miss recompiling stages?).
+    val profileOn = sys.env.contains("SPARK_GRAFT_BENCH_PROFILE")
+    val profiles = scala.collection.mutable
+      .LinkedHashMap[String, List[(Long, Long, Long)]]()
+    def jitMs: Long = Option(java.lang.management.ManagementFactory
+      .getCompilationMXBean).map(_.getTotalCompilationTime).getOrElse(0L)
+    def gcMs: Long = {
+      var t = 0L
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    }
     (1 to reps).foreach { _ =>
       selected.foreach { case (name, fn) =>
         var pass = 0
         while (pass < passes && !errors.contains(name)) {
+          val (j0, g0, c0) =
+            if (profileOn) (jitMs, gcMs,
+              org.apache.spark.sql.graftbridge.Bridge.codegenCompileCount)
+            else (0L, 0L, 0L)
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             samples(name) =
               ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(name, Nil)
+            if (profileOn)
+              profiles(name) = (jitMs - j0, gcMs - g0,
+                org.apache.spark.sql.graftbridge.Bridge.codegenCompileCount
+                  - c0) :: profiles.getOrElse(name, Nil)
           } catch {
             case e: Throwable =>
               errors(name) = s"${e.getClass.getName}: " +
@@ -161,7 +186,16 @@ object Bench {
         case (name, times) if !errors.contains(name) =>
           "\"" + name + "\":[" + times.reverse.mkString(",") + "]"
       }.mkString("{", ",", "}")
-      val full = line.dropRight(1) + s""","samples":$allSamples}"""
+      val profJson = if (!profileOn) "" else {
+        val per = profiles.collect {
+          case (name, ps) if !errors.contains(name) =>
+            "\"" + name + "\":[" + ps.reverse.map { case (j, g, c) =>
+              s"""{"jit_ms":$j,"gc_ms":$g,"codegen_n":$c}"""
+            }.mkString(",") + "]"
+        }.mkString("{", ",", "}")
+        s""","profile":$per"""
+      }
+      val full = line.dropRight(1) + s""","samples":$allSamples$profJson}"""
       // best-effort: the artifact must never fail a run whose queries
       // all succeeded (e.g. a read-only working directory) — the
       // stdout line above is the contractual output

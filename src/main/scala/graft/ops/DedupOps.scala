@@ -799,12 +799,14 @@ object DedupOps {
     * sorted on it within partitions before caching, so every in-memory
     * columnar batch holds a narrow `_eb` range; each round collects the
     * frontier's distinct buckets (driver list bounded by `edgeBuckets`)
-    * and filters the next round's edge side with OR-of-`In` chunks of
+    * and, once the frontier is SPARSE (≤ edgeBuckets/8 buckets — a wide
+    * frontier prunes nothing while still paying per-row evaluation),
+    * filters the next round's edge side with OR-of-`In` chunks of
     * ≤10 literals — the exact predicate shapes the cached-batch stats
     * pruner understands (`In`/`Or`; chunking keeps the optimizer from
-    * rewriting to the unsupported `InSet`) — so once the frontier is
-    * sparse the edge scan skips whole batches instead of re-reading
-    * O(E) rows per round. The filter is superset-safe (every edge whose
+    * rewriting to the unsupported `InSet`) — so converged-tail rounds
+    * skip ≥ 7/8 of the cached batches instead of re-reading O(E) rows
+    * per round. The filter is superset-safe (every edge whose
     * dst is in the frontier hashes into a frontier bucket), so output
     * and round trajectory are bit-identical to the unpruned loop.
     * Input pairs
@@ -866,8 +868,14 @@ object DedupOps {
     // seeded label is news to its neighbors).
     def roundFrame(labels: DataFrame, changed: DataFrame,
                    buckets: Option[Array[Int]]): DataFrame = {
+      // engage the filter only when the frontier is SPARSE (<= B/8
+      // buckets): a wide frontier prunes no batches while the OR-of-In
+      // chain still evaluates per edge row — measured +10 s on a 14M-edge
+      // round whose frontier spanned 255/256 buckets. At <= B/8 the
+      // filter is <= 4 In-chunks (cheap per row) and skips >= 7/8 of the
+      // cached batches — the long-tail-chain regime it exists for.
       val edgeSide = buckets match {
-        case Some(bs) if bs.length < B => edges.where(bucketPred(bs))
+        case Some(bs) if bs.length <= B / 8 => edges.where(bucketPred(bs))
         case _ => edges
       }
       val nbrMin = edgeSide
@@ -918,7 +926,12 @@ object DedupOps {
     var buckets: Option[Array[Int]] = None
     var i = 0
     var converged = false
+    // opt-in loop telemetry (SPARK_GRAFT_CC_LOG): per-round wall time and
+    // frontier width on stderr — the observability handle for adjudicating
+    // where a big CC run spends its rounds
+    val ccLog = sys.env.contains("SPARK_GRAFT_CC_LOG")
     while (!converged && i < maxIter) {
+      val rt0 = System.nanoTime()
       val next = ckpt(roundFrame(labels, changedSet, buckets))
       // labels are min-monotone: "changed" == strictly decreased. The
       // probe reads the just-materialized checkpoint and doubles as the
@@ -928,9 +941,20 @@ object DedupOps {
       // its result lets the next round's edge scan skip whole cached
       // batches.
       val changedRows = next.filter(col("cluster_id") < col("_old"))
+      // shuffle-free distinct: per-partition dedup, driver merge — the
+      // collected set is bounded by edgeBuckets x partitions, and the
+      // probe stays a single-stage job like the limit(1).count() it
+      // replaced (a DataFrame distinct() would add one shuffle job per
+      // round, which at small SF costs more than the pruning saves)
+      val t0 = System.nanoTime()
       val frontierBuckets = changedRows
-        .select(ebOf(col("doc_id")).as("_eb"))
-        .distinct().collect().map(_.getInt(0))
+        .select(ebOf(col("doc_id")).as("_eb")).rdd
+        .mapPartitions(it => it.map(_.getInt(0)).toSet.iterator)
+        .collect().distinct
+      if (ccLog) System.err.println(
+        f"[dupClusters] round ${i + 1} ${(System.nanoTime() - rt0) / 1e9}%.2f s" +
+          s" (probe ${(System.nanoTime() - t0) / 1e6} ms," +
+          s" frontier buckets ${frontierBuckets.length}/$B)")
       if (!reliable) CheckpointLifecycle.release(current)
       current = next
       labels = next.select(col("doc_id"), col("cluster_id"))

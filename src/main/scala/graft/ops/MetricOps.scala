@@ -76,45 +76,41 @@ object MetricOps {
 
   /** [[windowedMetricsWithTexts]] with a BOUNDED texts column — the
     * 100 TB form of the flagship family's one non-combining aggregate:
-    * the uncapped collect_list ships EVERY text through the shuffle and
-    * into one row (the reference stores the full BQ REPEATED column, so
-    * the uncapped twin keeps those semantics), while here only the
-    * `maxTexts` lexicographically-smallest keys per (window, key)
-    * survive. The bound is enforced where it matters — BEFORE the
-    * shuffle: the texts leg runs through [[TopKOps.topKPerGroup]]
-    * (map-side bounded heaps, shuffle only per-partition survivors), so
-    * both the aggregation buffers and the shuffle volume are O(groups ·
-    * maxTexts), not O(texts). (`slice(array_sort(collect_list), 1, N)`
-    * would bound only the OUTPUT row — the buffers and shuffle would
-    * still carry every text.) The combining metrics leg is unchanged
-    * and joins back on its own (window, key) partitioning.
+    * the uncapped collect_list buffers and ships EVERY text through the
+    * shuffle and into one row (the reference stores the full BQ
+    * REPEATED column, so the uncapped twin keeps those semantics),
+    * while here only the `maxTexts` lexicographically-smallest keys per
+    * (window, key) survive — enforced INSIDE the aggregation buffer
+    * ([[graft.functions.MinKAgg]]): map-side partials carry at most
+    * `maxTexts` values per (group, partition) through the shuffle and
+    * buffer state never grows with group size. One scan, one
+    * aggregation, alongside the combining metrics — measured at sf10
+    * (10M events, ~112 texts/group, cap 5) this one-scan form beats
+    * both the uncapped op AND the earlier two-leg TopKPerGroup + join
+    * formulation, which paid the events scan and the (window,key)
+    * aggregation twice. (`slice(array_sort(collect_list), 1, N)` would
+    * bound only the OUTPUT row — the buffers and shuffle would still
+    * carry every text; the per-group top-k PLAN NODE remains the right
+    * tool when top-k rows are the QUERY RESULT — o2_topk_per_group —
+    * rather than one aggregate among several.)
     */
   def windowedMetricsWithTextsCapped(events: DataFrame, dur: String,
                                      maxTexts: Int): DataFrame = {
     val n = count(lit(1))
-    val base = events
+    events
       .withColumn("k", get_json_object(col("props"), "$.k"))
-      .withColumn("window_start",
-        window(col("ts"), dur).getField("start"))
-    val metrics = base
-      .groupBy(col("window_start"), col("event_type"))
+      .groupBy(window(col("ts"), dur), col("event_type"))
       .agg(
         n.as("n_events"),
         round(sum(col("value")), 2).as("sum_value"),
         exactAvg(col("value"), n).as("avg_value"),
-        max_by(col("value"), col("ts")).as("last_value"))
-    val texts = graft.ops.TopKOps.topKPerGroup(
-        base.filter(col("k").isNotNull)
-          .select(col("window_start"), col("event_type"), col("k")),
-        Seq("window_start", "event_type"), "k", descending = false,
-        tieCol = "k", k = maxTexts)
-      .groupBy(col("window_start"), col("event_type"))
-      .agg(concat_ws(" ", array_sort(collect_list(col("k"))))
-        .as("props_keys"))
-    metrics.join(texts, Seq("window_start", "event_type"), "left")
-      .select(col("window_start"), col("event_type"), col("n_events"),
-        col("sum_value"), col("avg_value"), col("last_value"),
-        coalesce(col("props_keys"), lit("")).as("props_keys"))
+        max_by(col("value"), col("ts")).as("last_value"),
+        concat_ws(" ",
+          graft.functions.MinKAgg.minK(col("k"), maxTexts))
+          .as("props_keys"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"), col("avg_value"),
+        col("last_value"), col("props_keys"))
   }
 
   /** J2: the lambda-architecture batch join — two windowed metric legs

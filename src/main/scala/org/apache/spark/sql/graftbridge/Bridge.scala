@@ -27,6 +27,13 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Cumulative count of janino codegen compilations in this JVM
+    * (`CodegenMetrics` is `private[spark]`). Monotonic — callers diff
+    * around a measured region to count generated-code cache misses. */
+  def codegenCompileCount: Long =
+    org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+
   /** Idempotently add a planner strategy to a live session — the runtime
     * analog of `SparkSessionExtensions.injectPlannerStrategy` for sessions
     * the caller didn't build (the driver hands us its own session). */

@@ -67,6 +67,22 @@ class CoreOpsSpec extends SparkSpec {
     assert(wide === un)
   }
 
+  test("MinKAgg: keeps duplicates like row_number<=k, skips nulls, " +
+      "merges across partitions") {
+    import graft.functions.MinKAgg
+    val df = Seq(
+      ("g", "5"), ("g", "3"), ("g", "3"), ("g", "9"), ("g", null),
+      ("g", "1"), ("g", "7"), ("h", "2")
+    ).toDF("grp", "v").repartition(6) // force map-side partials + merge
+    val out = df.groupBy($"grp")
+      .agg(MinKAgg.minK($"v", 3).as("mins"))
+      .collect().map(r => r.getAs[String]("grp") ->
+        r.getSeq[String](1)).toMap
+    // smallest 3 of (5,3,3,9,1,7) WITH the duplicate kept, null skipped
+    assert(out("g") === Seq("1", "3", "3"))
+    assert(out("h") === Seq("2"))
+  }
+
   test("forwardFill carries last non-null within key (W6/A12)") {
     val df = Seq(
       ("A", 1, Some(10.0)), ("A", 2, None), ("A", 3, None),

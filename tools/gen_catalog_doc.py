@@ -96,6 +96,52 @@ def scale_exponents():
     return {k: v for k, (_, v) in best.items()}
 
 
+def family_of(name, mod):
+    """Scale-behavior family of an entry: the module, except
+    DedupSimQueries (one module spanning ANN serving, embedding dedup,
+    connected-components dedup and hash/LSH dedup — families with very
+    different measured slopes)."""
+    if mod == "DedupSimQueries":
+        if re.match(r"^(ivf|pq_|ivfpq|knn_|ann_|vec_)", name):
+            return "ann-serving"
+        if re.match(r"^(semantic_|cosine_near_dup)", name):
+            return "embedding-dedup"
+        if re.match(r"^(dedup_clusters|dedup_apply|cluster_safe_split"
+                    r"|dedup_triage_apply)", name):
+            return "cc-dedup"
+        return "hash-dedup"
+    return {
+        "CoreQueries": "core-relational",
+        "SeriesQueries": "timeseries",
+        "StatsQueries": "stats",
+        "TextQueries": "text",
+        "CorpusQueries": "corpus",
+        "PipelineQueries": "pipeline",
+        "RelationalExtQueries": "relational-ext",
+        "RetrievalQueries": "retrieval",
+    }.get(mod, mod)
+
+
+def family_fallbacks(modules, exps):
+    """family -> (max measured exponent over the family's PROD entries,
+    count of measured members). Probe entries are excluded — their
+    exponents describe diagnostic output contracts (all-pairs lists,
+    brute-force scans), not the family's production posture."""
+    fam = {}
+    for mod, entries in modules.items():
+        for (name, _, is_probe, _) in entries:
+            if is_probe or name not in exps:
+                continue
+            try:
+                v = float(exps[name].lstrip("~"))
+            except ValueError:
+                continue
+            f = family_of(name, mod)
+            mx, n = fam.get(f, (0.0, 0))
+            fam[f] = (max(mx, v), n + 1)
+    return fam
+
+
 def main():
     bench = {}
     if len(sys.argv) > 1:
@@ -130,9 +176,14 @@ def main():
                f"`{src}`; exponent is the LATEST measured scale "
                "exponent from SCALE.md — per-decade where only "
                "sf0.1→sf1 was measured, the full-range fit (up to 100×, "
-               "sf0.1→sf10) where the r13 campaigns cover the entry "
-               "(blank = not individually measured; family exponents in "
-               "SCALE.md).\n")
+               "sf0.1→sf10) where the r13/r14 campaigns cover the "
+               "entry. Entries not individually measured show their "
+               "FAMILY's most conservative measured exponent as "
+               "`≤X fam` (max over the family's measured prod entries; "
+               "probe rows excluded from the aggregate), so every row "
+               "answers \"will this scale\". Blank = family has no "
+               "measured member yet.\n")
+    fam = family_fallbacks(modules, exps)
     for mod, entries in sorted(modules.items()):
         out.append(f"\n## {mod} ({len(entries)} entries)\n")
         out.append("| entry | oracle | posture | sf0.1 s | exp | "
@@ -141,6 +192,10 @@ def main():
         for name, has_oracle, is_probe, desc in entries:
             sec = f"{bench[name]:.2f}" if name in bench else ""
             exp = exps.get(name, "")
+            if not exp:
+                f = family_of(name, mod)
+                if f in fam:
+                    exp = f"≤{fam[f][0]:.2f} fam"
             o = "duckdb" if has_oracle else "spec"
             p = "probe" if is_probe else "prod"
             d = desc.replace("|", "\\|")
