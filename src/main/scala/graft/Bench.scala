@@ -67,7 +67,17 @@ object Bench {
     // codegen compilation (observed 5-10x first-run inflation locally).
     // Warmup failures are ignored here — the same failure will surface,
     // recorded, in the timed run below.
-    val warmDir = "/root/testdata/sf0.001"
+    // Warmup runs at sf0.01 by default (sf0.001 fallback): r14 per-sample
+    // profiling showed the sf0.001 warmup leaves sf0.1-shape code paths
+    // (AQE join choices, bigger-batch loops) uncompiled, so each entry's
+    // first timed sample carried 1.6-3.4 s of background C2 JIT — timed-
+    // window JIT dropped 168-196 s -> 139-146 s per sweep when warmup
+    // moved to sf0.01 (same-sitting A/B, SCALE.md §r14). Overridable for
+    // A/B via SPARK_GRAFT_WARM_DIR.
+    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR")
+      .orElse(Seq("/root/testdata/sf0.01", "/root/testdata/sf0.001")
+        .find(d => new java.io.File(d).isDirectory))
+      .getOrElse("/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory)
       selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
