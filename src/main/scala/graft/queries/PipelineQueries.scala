@@ -259,6 +259,43 @@ object PipelineQueries {
                    CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR)) AS series
         FROM events GROUP BY 1""")),
 
+    // A5's bounded-shuffle twin — the 100 TB posture for the training
+    // fan-in: only the 20 chronologically-first points per key survive
+    // (epoch_ms is fixed-width for this era, so the lexicographic
+    // bounded-buffer order IS time order), enforced INSIDE the
+    // aggregation buffer (graft.functions.MinKAgg) so map-side partials
+    // carry at most 20 points per (key, partition) through the shuffle
+    // and state never grows with series length. n_points still counts
+    // the FULL series — one scan computes both. The uncapped entry
+    // above keeps the reference's whole-series semantics
+    // (arima.py:482-484); this is what you'd ship when a key's series
+    // no longer fits one row.
+    "a5_collect_series_capped" -> Entry(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_points"),
+          concat_ws(";", graft.functions.MinKAgg.minK(
+            concat(unix_millis(col("ts")), lit(":"),
+              col("value").cast("decimal(12,2)")), 20))
+            .as("series_head")),
+      Some("""
+        WITH p AS (
+          SELECT event_type,
+                 epoch_ms(CAST(ts AS TIMESTAMP)) || ':' ||
+                   CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS pt
+          FROM events),
+        g AS (SELECT event_type, count(*) AS n_points FROM p GROUP BY 1),
+        t AS (SELECT event_type, pt,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY pt) AS rn
+              FROM p),
+        sh AS (SELECT event_type,
+                      string_agg(pt, ';' ORDER BY pt) AS series_head
+               FROM t WHERE rn <= 20 GROUP BY 1)
+        SELECT g.event_type, n_points,
+               coalesce(series_head, '') AS series_head
+        FROM g LEFT JOIN sh USING (event_type)""")),
+
     // North-star multimodal: binary payload projection — the
     // codec-independent columns are oracle-checked; decode-stub features
     // are covered by the rows-only query below + unit specs.

@@ -195,6 +195,36 @@ object SeriesQueries {
                string_agg(text, ' ' ORDER BY text) AS doc_blob
         FROM documents GROUP BY 1, 2""")),
 
+    // A14's bounded-shuffle twin — group-concat with only the 10
+    // lexicographically-smallest docs per (lang, source) surviving,
+    // enforced INSIDE the aggregation buffer (graft.functions.MinKAgg):
+    // the uncapped entry above buffers and ships EVERY document body
+    // through the shuffle into one row (the reference's notebook-scale
+    // TF-IDF prep), which at corpus scale is a single-row OOM. Here
+    // map-side partials carry at most 10 docs per (group, partition)
+    // and n_docs still counts the full group — one scan, one
+    // aggregation, bounded state.
+    "a14_group_concat_capped" -> Entry(
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          concat_ws(" ", graft.functions.MinKAgg.minK(col("text"), 10))
+            .as("doc_blob_head")),
+      Some("""
+        WITH g AS (SELECT lang, source, count(*) AS n_docs
+                   FROM documents GROUP BY 1, 2),
+        t AS (SELECT lang, source, text,
+                     row_number() OVER (PARTITION BY lang, source
+                       ORDER BY text) AS rn
+              FROM documents WHERE text IS NOT NULL),
+        sh AS (SELECT lang, source,
+                      string_agg(text, ' ' ORDER BY text)
+                        AS doc_blob_head
+               FROM t WHERE rn <= 10 GROUP BY 1, 2)
+        SELECT g.lang, g.source, n_docs,
+               coalesce(doc_blob_head, '') AS doc_blob_head
+        FROM g LEFT JOIN sh USING (lang, source)""")),
+
     // A17/X6: MAE/MAPE/MSE of the naive last-value forecast, with the
     // reference's 1e-8 denominator clamp (arima.py:123-137).
     "a17_error_metrics" -> Entry(
