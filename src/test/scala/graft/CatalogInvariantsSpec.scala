@@ -40,4 +40,37 @@ class CatalogInvariantsSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"entries planning a CartesianProduct: $offenders")
   }
+
+  test("bounded-buffer twins are prefixes of their uncapped entries " +
+      "(a5/a14: same group counts, head = leading slice of the full blob)") {
+    assume(new java.io.File(sf).isDirectory, s"$sf missing")
+    // (uncapped, capped, group-key cols, count col, full col, head col,
+    //  joiner)
+    val twins = Seq(
+      ("a5_collect_series", "a5_collect_series_capped",
+        Seq("event_type"), "n_points", "series", "series_head", ';'),
+      ("a14_group_concat", "a14_group_concat_capped",
+        Seq("lang", "source"), "n_docs", "doc_blob", "doc_blob_head", ' '))
+    twins.foreach { case (unName, capName, keys, cnt, full, head, sep) =>
+      val un = SparkEntry.queries(unName)(spark, sf).collect()
+        .map(r => keys.map(r.getAs[String]) ->
+          (r.getAs[Long](cnt), r.getAs[String](full))).toMap
+      val cap = SparkEntry.queries(capName)(spark, sf).collect()
+      assert(cap.length === un.size, s"$capName group count")
+      cap.foreach { r =>
+        val k = keys.map(r.getAs[String])
+        val (nUn, blob) = un(k)
+        val nCap = r.getAs[Long](cnt)
+        val headStr = r.getAs[String](head)
+        // the capped twin still counts the FULL group in one scan
+        assert(nCap === nUn, s"$capName count for $k")
+        // head is the leading slice of the uncapped sorted blob: equal
+        // when the group fits the cap, else a prefix ending at a
+        // separator boundary
+        assert(headStr == blob ||
+          (blob.startsWith(headStr) && blob.charAt(headStr.length) == sep),
+          s"$capName head not a prefix for $k")
+      }
+    }
+  }
 }
