@@ -5,6 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate
   .TypedImperativeAggregate
@@ -109,6 +110,17 @@ case class MinK(child: Expression, k: Int,
     extends TypedImperativeAggregate[MinKHeap] with UnaryLike[Expression] {
   require(k >= 1, s"k=$k")
 
+  // analysis-time contract: a non-string child fails with a clean
+  // AnalysisException instead of a mid-scan executor ClassCastException
+  // (same pattern as TextHashExpr — ExpectsInputTypes is unusable from
+  // an extension package, its Seq[AbstractDataType] type is private[sql])
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string column, got ${dt.sql}")
+    }
+
   override def createAggregationBuffer(): MinKHeap = new MinKHeap(k)
 
   override def update(b: MinKHeap, input: InternalRow): MinKHeap = {
@@ -137,11 +149,16 @@ case class MinK(child: Expression, k: Int,
     new GenericArrayData(b.sortedAscending.asInstanceOf[Array[Any]])
 
   override def serialize(b: MinKHeap): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(b.k)
-    out.writeInt(b.size)
+    // exact size is computable up front: 4 (count) + per-element
+    // 4 (length) + bytes — no growing-stream re-copies, and k travels
+    // with the expression, not the payload
+    var total = 4
     var i = 0
+    while (i < b.size) { total += 4 + b.arr(i).numBytes(); i += 1 }
+    val bos = new ByteArrayOutputStream(total)
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.size)
+    i = 0
     while (i < b.size) {
       val bytes = b.arr(i).getBytes
       out.writeInt(bytes.length)
@@ -154,8 +171,7 @@ case class MinK(child: Expression, k: Int,
 
   override def deserialize(bytes: Array[Byte]): MinKHeap = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val bufK = in.readInt()
-    val h = new MinKHeap(bufK)
+    val h = new MinKHeap(k)
     val n = in.readInt()
     var i = 0
     // serialized order IS heap-array order, so restoring positionally

@@ -278,23 +278,26 @@ object PipelineQueries {
             concat(unix_millis(col("ts")), lit(":"),
               col("value").cast("decimal(12,2)")), 20))
             .as("series_head")),
+      // oracle is one grouped pass (FILTER instead of a head-side
+      // join): a join back on the group key would silently drop a
+      // NULL-keyed group (USING equality rejects NULL = NULL), and the
+      // rank orders null points last EXPLICITLY rather than leaning on
+      // the engine's default_null_order
       Some("""
         WITH p AS (
           SELECT event_type,
                  epoch_ms(CAST(ts AS TIMESTAMP)) || ':' ||
                    CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS pt
           FROM events),
-        g AS (SELECT event_type, count(*) AS n_points FROM p GROUP BY 1),
         t AS (SELECT event_type, pt,
                      row_number() OVER (PARTITION BY event_type
-                       ORDER BY pt) AS rn
-              FROM p),
-        sh AS (SELECT event_type,
-                      string_agg(pt, ';' ORDER BY pt) AS series_head
-               FROM t WHERE rn <= 20 GROUP BY 1)
-        SELECT g.event_type, n_points,
-               coalesce(series_head, '') AS series_head
-        FROM g LEFT JOIN sh USING (event_type)""")),
+                       ORDER BY (pt IS NULL), pt) AS rn
+              FROM p)
+        SELECT event_type, count(*) AS n_points,
+               coalesce(string_agg(pt, ';' ORDER BY pt)
+                 FILTER (WHERE rn <= 20 AND pt IS NOT NULL), '')
+                 AS series_head
+        FROM t GROUP BY 1""")),
 
     // North-star multimodal: binary payload projection — the
     // codec-independent columns are oracle-checked; decode-stub features

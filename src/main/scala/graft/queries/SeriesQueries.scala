@@ -210,20 +210,21 @@ object SeriesQueries {
         .agg(count(lit(1)).as("n_docs"),
           concat_ws(" ", graft.functions.MinKAgg.minK(col("text"), 10))
             .as("doc_blob_head")),
+      // oracle is one grouped pass (FILTER instead of a head-side
+      // join): a join back on (lang, source) would silently drop a
+      // NULL-keyed group (USING equality rejects NULL = NULL), and the
+      // rank orders null texts last EXPLICITLY rather than leaning on
+      // the engine's default_null_order
       Some("""
-        WITH g AS (SELECT lang, source, count(*) AS n_docs
-                   FROM documents GROUP BY 1, 2),
-        t AS (SELECT lang, source, text,
-                     row_number() OVER (PARTITION BY lang, source
-                       ORDER BY text) AS rn
-              FROM documents WHERE text IS NOT NULL),
-        sh AS (SELECT lang, source,
-                      string_agg(text, ' ' ORDER BY text)
-                        AS doc_blob_head
-               FROM t WHERE rn <= 10 GROUP BY 1, 2)
-        SELECT g.lang, g.source, n_docs,
-               coalesce(doc_blob_head, '') AS doc_blob_head
-        FROM g LEFT JOIN sh USING (lang, source)""")),
+        WITH t AS (SELECT lang, source, text,
+                          row_number() OVER (PARTITION BY lang, source
+                            ORDER BY (text IS NULL), text) AS rn
+                   FROM documents)
+        SELECT lang, source, count(*) AS n_docs,
+               coalesce(string_agg(text, ' ' ORDER BY text)
+                 FILTER (WHERE rn <= 10 AND text IS NOT NULL), '')
+                 AS doc_blob_head
+        FROM t GROUP BY 1, 2""")),
 
     // A17/X6: MAE/MAPE/MSE of the naive last-value forecast, with the
     // reference's 1e-8 denominator clamp (arima.py:123-137).

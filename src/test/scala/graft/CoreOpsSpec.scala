@@ -83,6 +83,14 @@ class CoreOpsSpec extends SparkSpec {
     assert(out("h") === Seq("2"))
   }
 
+  test("MinKAgg rejects a non-string column at analysis time") {
+    import graft.functions.MinKAgg
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1.0, 2.0).toDF("v").agg(MinKAgg.minK($"v", 3)).collect()
+    }
+    assert(e.getMessage.contains("min_k"))
+  }
+
   test("forwardFill carries last non-null within key (W6/A12)") {
     val df = Seq(
       ("A", 1, Some(10.0)), ("A", 2, None), ("A", 3, None),
