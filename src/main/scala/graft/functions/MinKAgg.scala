@@ -1,7 +1,6 @@
 package graft.functions
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
-  DataInputStream, DataOutputStream}
+import java.io.{ByteArrayInputStream, DataInputStream}
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
@@ -113,10 +112,21 @@ case class MinK(child: Expression, k: Int,
   // analysis-time contract: a non-string child fails with a clean
   // AnalysisException instead of a mid-scan executor ClassCastException
   // (same pattern as TextHashExpr — ExpectsInputTypes is unusable from
-  // an extension package, its Seq[AbstractDataType] type is private[sql])
+  // an extension package, its Seq[AbstractDataType] type is
+  // private[sql]). Collated strings whose ORDER diverges from binary
+  // compare (e.g. UTF8_LCASE) are rejected too: this aggregate orders
+  // by UTF8String.binaryCompare, and silently ranking a collated
+  // column by raw bytes would keep the wrong k elements.
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      // equality with the companion instance = the default UTF8_BINARY
+      // collation, the one whose sort order IS binaryCompare (the
+      // finer-grained supportsBinaryOrdering predicate is private[sql])
+      case st: StringType if st == StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case st: StringType => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName orders by binary compare; non-binary-collated " +
+          s"input ${st.sql} would keep the wrong k elements")
       case dt => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects a string column, got ${dt.sql}")
     }
@@ -149,24 +159,31 @@ case class MinK(child: Expression, k: Int,
     new GenericArrayData(b.sortedAscending.asInstanceOf[Array[Any]])
 
   override def serialize(b: MinKHeap): Array[Byte] = {
-    // exact size is computable up front: 4 (count) + per-element
-    // 4 (length) + bytes — no growing-stream re-copies, and k travels
-    // with the expression, not the payload
+    // exact size is computable up front (4-byte count + per-element
+    // 4-byte length + bytes), so write straight into the result array —
+    // no growing-stream re-copies, no toByteArray second copy, and k
+    // travels with the expression, not the payload
     var total = 4
     var i = 0
     while (i < b.size) { total += 4 + b.arr(i).numBytes(); i += 1 }
-    val bos = new ByteArrayOutputStream(total)
-    val out = new DataOutputStream(bos)
-    out.writeInt(b.size)
+    val out = new Array[Byte](total)
+    def putInt(pos: Int, v: Int): Unit = {
+      out(pos) = (v >>> 24).toByte
+      out(pos + 1) = (v >>> 16).toByte
+      out(pos + 2) = (v >>> 8).toByte
+      out(pos + 3) = v.toByte
+    }
+    putInt(0, b.size)
+    var off = 4
     i = 0
     while (i < b.size) {
       val bytes = b.arr(i).getBytes
-      out.writeInt(bytes.length)
-      out.write(bytes)
+      putInt(off, bytes.length)
+      System.arraycopy(bytes, 0, out, off + 4, bytes.length)
+      off += 4 + bytes.length
       i += 1
     }
-    out.flush()
-    bos.toByteArray
+    out
   }
 
   override def deserialize(bytes: Array[Byte]): MinKHeap = {

@@ -261,8 +261,9 @@ object PipelineQueries {
 
     // A5's bounded-shuffle twin — the 100 TB posture for the training
     // fan-in: only the 20 chronologically-first points per key survive
-    // (epoch_ms is fixed-width for this era, so the lexicographic
-    // bounded-buffer order IS time order), enforced INSIDE the
+    // (epoch_ms zero-padded to 13 digits so the lexicographic
+    // bounded-buffer order IS time order for any non-negative epoch,
+    // not just the 13-digit 2001-2286 era), enforced INSIDE the
     // aggregation buffer (graft.functions.MinKAgg) so map-side partials
     // carry at most 20 points per (key, partition) through the shuffle
     // and state never grows with series length. n_points still counts
@@ -275,8 +276,8 @@ object PipelineQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_points"),
           concat_ws(";", graft.functions.MinKAgg.minK(
-            concat(unix_millis(col("ts")), lit(":"),
-              col("value").cast("decimal(12,2)")), 20))
+            concat(lpad(unix_millis(col("ts")).cast("string"), 13, "0"),
+              lit(":"), col("value").cast("decimal(12,2)")), 20))
             .as("series_head")),
       // oracle is one grouped pass (FILTER instead of a head-side
       // join): a join back on the group key would silently drop a
@@ -286,7 +287,8 @@ object PipelineQueries {
       Some("""
         WITH p AS (
           SELECT event_type,
-                 epoch_ms(CAST(ts AS TIMESTAMP)) || ':' ||
+                 lpad(CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS VARCHAR),
+                      13, '0') || ':' ||
                    CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS pt
           FROM events),
         t AS (SELECT event_type, pt,
