@@ -242,42 +242,54 @@ object PipelineQueries {
         ON s.lang = b.lang""")),
 
     // A5: collect_list-of-structs training fan-in (arima.py:482-484),
-    // canonicalized as sorted "epoch:value" strings for the oracle.
+    // canonicalized as "epoch:value" strings in TIME order — the order
+    // the reference's trainer consumes the series in. Points are
+    // collected as (epoch, point) structs and sorted on the NUMERIC
+    // epoch (with the rendered point as tie-break), so the order is
+    // chronological for any epoch, not just eras where lexicographic
+    // string order happens to coincide (pre-2001 / post-2286 epochs
+    // have different digit counts).
     "a5_collect_series" -> Entry(
-      (s, dir) => Tables.events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_points"),
-          concat_ws(";", array_sort(collect_list(
-            concat(unix_millis(col("ts")), lit(":"),
-              col("value").cast("decimal(12,2)"))))).as("series")),
+      (s, dir) => {
+        val e = unix_millis(col("ts"))
+        val pt = concat(e, lit(":"), col("value").cast("decimal(12,2)"))
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_points"),
+            concat_ws(";", transform(array_sort(collect_list(
+              when(pt.isNotNull, struct(e.as("e"), pt.as("pt"))))),
+              x => x.getField("pt"))).as("series"))
+      },
       Some("""
         SELECT event_type, count(*) AS n_points,
                string_agg(
-                 epoch_ms(CAST(ts AS TIMESTAMP)) || ':' ||
+                 CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS VARCHAR) || ':' ||
                    CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR), ';'
-                 ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)) || ':' ||
-                   CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR)) AS series
+                 ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)),
+                   CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS VARCHAR) || ':' ||
+                     CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR)) AS series
         FROM events GROUP BY 1""")),
 
     // A5's bounded-shuffle twin — the 100 TB posture for the training
-    // fan-in: only the 20 chronologically-first points per key survive
-    // (epoch_ms zero-padded to 13 digits so the lexicographic
-    // bounded-buffer order IS time order for any non-negative epoch,
-    // not just the 13-digit 2001-2286 era), enforced INSIDE the
-    // aggregation buffer (graft.functions.MinKAgg) so map-side partials
-    // carry at most 20 points per (key, partition) through the shuffle
-    // and state never grows with series length. n_points still counts
-    // the FULL series — one scan computes both. The uncapped entry
-    // above keeps the reference's whole-series semantics
-    // (arima.py:482-484); this is what you'd ship when a key's series
-    // no longer fits one row.
+    // fan-in: only the 20 chronologically-first points per key survive,
+    // ranked by the NUMERIC epoch (graft.functions.MinKAgg.minKBy —
+    // bigint key, rendered point as payload and tie-break; no
+    // zero-padded encoding of time into the string, so any epoch era
+    // orders correctly), enforced INSIDE the aggregation buffer so
+    // map-side partials carry at most 20 points per (key, partition)
+    // through the shuffle and state never grows with series length.
+    // n_points still counts the FULL series — one scan computes both.
+    // The uncapped entry above keeps the reference's whole-series
+    // semantics (arima.py:482-484); this is what you'd ship when a
+    // key's series no longer fits one row.
     "a5_collect_series_capped" -> Entry(
       (s, dir) => Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_points"),
-          concat_ws(";", graft.functions.MinKAgg.minK(
-            concat(lpad(unix_millis(col("ts")).cast("string"), 13, "0"),
-              lit(":"), col("value").cast("decimal(12,2)")), 20))
+          concat_ws(";", graft.functions.MinKAgg.minKBy(
+            unix_millis(col("ts")),
+            concat(unix_millis(col("ts")), lit(":"),
+              col("value").cast("decimal(12,2)")), 20))
             .as("series_head")),
       // oracle is one grouped pass (FILTER instead of a head-side
       // join): a join back on the group key would silently drop a
@@ -286,17 +298,16 @@ object PipelineQueries {
       // the engine's default_null_order
       Some("""
         WITH p AS (
-          SELECT event_type,
-                 lpad(CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS VARCHAR),
-                      13, '0') || ':' ||
+          SELECT event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS e,
+                 CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS VARCHAR) || ':' ||
                    CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS pt
           FROM events),
         t AS (SELECT event_type, pt,
                      row_number() OVER (PARTITION BY event_type
-                       ORDER BY (pt IS NULL), pt) AS rn
+                       ORDER BY (pt IS NULL), e, pt) AS rn
               FROM p)
         SELECT event_type, count(*) AS n_points,
-               coalesce(string_agg(pt, ';' ORDER BY pt)
+               coalesce(string_agg(pt, ';' ORDER BY rn)
                  FILTER (WHERE rn <= 20 AND pt IS NOT NULL), '')
                  AS series_head
         FROM t GROUP BY 1""")),

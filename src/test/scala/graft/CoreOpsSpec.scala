@@ -83,12 +83,60 @@ class CoreOpsSpec extends SparkSpec {
     assert(out("h") === Seq("2"))
   }
 
-  test("MinKAgg rejects a non-string column at analysis time") {
+  test("MinKAgg rejects an unsupported column type at analysis time " +
+      "(string and bigint are the only accepted children)") {
     import graft.functions.MinKAgg
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       Seq(1.0, 2.0).toDF("v").agg(MinKAgg.minK($"v", 3)).collect()
     }
     assert(e.getMessage.contains("min_k"))
+  }
+
+  test("MinKAgg on a bigint column: signed ordinal order (no string " +
+      "detour), duplicates kept, nulls skipped, merges across partitions") {
+    import graft.functions.MinKAgg
+    val df = Seq(
+      ("g", Some(5L)), ("g", Some(-3L)), ("g", Some(-3L)),
+      ("g", Some(Long.MinValue)), ("g", None), ("g", Some(12L)),
+      ("g", Some(0L)), ("h", Some(7L))
+    ).toDF("grp", "v").repartition(6) // force map-side partials + merge
+    val out = df.groupBy($"grp")
+      .agg(MinKAgg.minK($"v", 3).as("mins"))
+      .collect().map(r => r.getAs[String]("grp") ->
+        r.getSeq[Long](1)).toMap
+    // a lexicographic-on-digits order would rank "-3" below "-9..."
+    // and "12" below "5"; the ordinal order is the numeric one, with
+    // Long.MinValue smallest and the duplicate kept
+    assert(out("g") === Seq(Long.MinValue, -3L, -3L))
+    assert(out("h") === Seq(7L))
+  }
+
+  test("MinKAgg.minKBy ranks by the bigint key with payload tie-break " +
+      "(row_number OVER (ORDER BY key, payload) <= k semantics), skips " +
+      "null keys and null payloads, merges across partitions") {
+    import graft.functions.MinKAgg
+    val df = Seq(
+      ("g", Some(30L), "c"), ("g", Some(10L), "z"), ("g", Some(10L), "a"),
+      ("g", Some(20L), "m"), ("g", None, "dropped-null-key"),
+      ("g", Some(5L), null), ("g", Some(40L), "d"), ("h", Some(1L), "x")
+    ).toDF("grp", "k", "v").repartition(6)
+    val out = df.groupBy($"grp")
+      .agg(MinKAgg.minKBy($"k", $"v", 3).as("head"))
+      .collect().map(r => r.getAs[String]("grp") ->
+        r.getSeq[String](1)).toMap
+    // keys 10,10,20 survive (5 has a null payload, so the smallest KEY
+    // does not automatically win); equal keys order by payload bytes
+    assert(out("g") === Seq("a", "z", "m"))
+    assert(out("h") === Seq("x"))
+  }
+
+  test("MinKAgg.minKBy rejects a non-bigint key at analysis time") {
+    import graft.functions.MinKAgg
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1.0, "a")).toDF("k", "v")
+        .agg(MinKAgg.minKBy($"k", $"v", 3)).collect()
+    }
+    assert(e.getMessage.contains("min_k_by"))
   }
 
   test("forwardFill carries last non-null within key (W6/A12)") {
