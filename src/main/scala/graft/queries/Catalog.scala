@@ -25,9 +25,19 @@ object Catalog {
     * rather than the shape you would run at 100 TB. The catalog doc
     * generator emits this as the `posture` column, so the catalog itself
     * says which rows are scale postures and which are probes.
+    *
+    * `scaleTwin = Some(name)` marks a reference-semantics posture: the
+    * entry reproduces the reference's exact (unbounded) shape and is the
+    * correctness anchor for it, but its own scale fit says it dies at
+    * 100 TB (e.g. a single-row whole-series assembly) — `name` is the
+    * bounded catalog twin to run at scale instead. Surfaced in the
+    * posture column as `ref→name`; like probes, these rows are excluded
+    * from the family-fallback exponent aggregate (their measured slopes
+    * describe a shape the catalog itself says not to ship).
     */
   final case class Entry(q: Q, oracle: Option[String],
-                         probe: Boolean = false)
+                         probe: Boolean = false,
+                         scaleTwin: Option[String] = None)
 
   def all: Map[String, Entry] =
     CoreQueries.defs ++ StatsQueries.defs ++ TextQueries.defs ++
@@ -37,5 +47,5 @@ object Catalog {
 
   def queries: Map[String, Q] = all.map { case (k, e) => k -> e.q }
   def oracles: Map[String, String] =
-    all.collect { case (k, Entry(_, Some(sql), _)) => k -> sql }
+    all.collect { case (k, e) if e.oracle.isDefined => k -> e.oracle.get }
 }

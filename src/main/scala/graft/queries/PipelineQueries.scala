@@ -268,7 +268,8 @@ object PipelineQueries {
                  ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)),
                    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS VARCHAR) || ':' ||
                      CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR)) AS series
-        FROM events GROUP BY 1""")),
+        FROM events GROUP BY 1"""),
+      scaleTwin = Some("a5_collect_series_capped")),
 
     // A5's bounded-shuffle twin — the 100 TB posture for the training
     // fan-in: only the 20 chronologically-first points per key survive,

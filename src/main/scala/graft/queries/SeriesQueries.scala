@@ -193,7 +193,8 @@ object SeriesQueries {
       Some("""
         SELECT lang, source, count(*) AS n_docs,
                string_agg(text, ' ' ORDER BY text) AS doc_blob
-        FROM documents GROUP BY 1, 2""")),
+        FROM documents GROUP BY 1, 2"""),
+      scaleTwin = Some("a14_group_concat_capped")),
 
     // A14's bounded-shuffle twin — group-concat with only the 10
     // lexicographically-smallest docs per (lang, source) surviving,

@@ -41,6 +41,20 @@ class CatalogInvariantsSpec extends SparkSpec {
       s"entries planning a CartesianProduct: $offenders")
   }
 
+  test("reference-semantics posture: every scaleTwin points at an " +
+      "existing catalog entry, and the two SCALE.md-flagged unbounded " +
+      "collects are marked") {
+    import graft.queries.Catalog
+    val dangling = Catalog.all.collect {
+      case (n, e) if e.scaleTwin.exists(t => !Catalog.all.contains(t)) => n
+    }
+    assert(dangling.isEmpty, s"scaleTwin names a missing entry: $dangling")
+    assert(Catalog.all("a5_collect_series").scaleTwin ===
+      Some("a5_collect_series_capped"))
+    assert(Catalog.all("a14_group_concat").scaleTwin ===
+      Some("a14_group_concat_capped"))
+  }
+
   test("bounded-buffer twins are prefixes of their uncapped entries " +
       "(a5/a14: same group counts, head = leading slice of the full blob)") {
     assume(new java.io.File(sf).isDirectory, s"$sf missing")

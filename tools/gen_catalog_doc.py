@@ -23,8 +23,8 @@ QDIR = os.path.join(ROOT, "src/main/scala/graft/queries")
 
 
 def parse_module(path):
-    """Yield (name, has_oracle, is_probe, description) per Entry in one
-    module file."""
+    """Yield (name, has_oracle, is_probe, scale_twin, description) per
+    Entry in one module file."""
     lines = open(path).read().split("\n")
     entry_re = re.compile(r'^\s*"([a-z0-9_]+)"\s*->\s*Entry\(')
     out = []
@@ -68,7 +68,13 @@ def parse_module(path):
         # column so the catalog itself says which rows are scale
         # postures and which are probes
         is_probe = re.search(r"\bprobe\s*=\s*true", scope) is not None
-        out.append((name, has_oracle, is_probe, first))
+        # Entry(..., scaleTwin = Some("name")) marks a
+        # reference-semantics posture: the unbounded reference shape,
+        # kept as the correctness anchor, with `name` the bounded twin
+        # to run at 100 TB (Catalog.Entry scaladoc)
+        tw = re.search(r'scaleTwin\s*=\s*Some\("([a-z0-9_]+)"\)', scope)
+        scale_twin = tw.group(1) if tw else None
+        out.append((name, has_oracle, is_probe, scale_twin, first))
     return out
 
 
@@ -124,13 +130,14 @@ def family_of(name, mod):
 
 def family_fallbacks(modules, exps):
     """family -> (max measured exponent over the family's PROD entries,
-    count of measured members). Probe entries are excluded — their
-    exponents describe diagnostic output contracts (all-pairs lists,
-    brute-force scans), not the family's production posture."""
+    count of measured members). Probe and reference-semantics entries
+    are excluded — their exponents describe diagnostic output contracts
+    (all-pairs lists, brute-force scans) or shapes the catalog itself
+    says not to ship at scale, not the family's production posture."""
     fam = {}
     for mod, entries in modules.items():
-        for (name, _, is_probe, _) in entries:
-            if is_probe or name not in exps:
+        for (name, _, is_probe, scale_twin, _) in entries:
+            if is_probe or scale_twin or name not in exps:
                 continue
             try:
                 v = float(exps[name].lstrip("~"))
@@ -156,8 +163,10 @@ def main():
         if entries:
             modules[mod] = entries
     total = sum(len(v) for v in modules.values())
-    with_oracle = sum(1 for v in modules.values() for (_, o, _, _) in v if o)
-    n_probe = sum(1 for v in modules.values() for (_, _, p, _) in v if p)
+    with_oracle = sum(1 for v in modules.values()
+                      for (_, o, _, _, _) in v if o)
+    n_probe = sum(1 for v in modules.values() for (_, _, p, _, _) in v if p)
+    n_ref = sum(1 for v in modules.values() for (_, _, _, t, _) in v if t)
     out = []
     out.append("# Catalog — the engine's query surface\n")
     out.append("GENERATED by `tools/gen_catalog_doc.py` — do not hand-edit; "
@@ -171,7 +180,13 @@ def main():
                f"{with_oracle} carry a DuckDB oracle twin{rest}. "
                f"{n_probe} entries are `probe` posture — diagnostic/"
                "ground-truth rows kept to verify or measure a production "
-               "twin, not the shape you would run at 100 TB. "
+               "twin, not the shape you would run at 100 TB — and "
+               f"{n_ref} are `ref→twin` posture: the reference's exact "
+               "unbounded shape kept as the correctness anchor, with "
+               "the named bounded twin being the row to run at scale "
+               "(their fits describe a shape the catalog itself says "
+               "not to ship, so they are excluded from family-fallback "
+               "exponents). "
                f"Seconds are sf0.1 local[32] per-entry minima from "
                f"`{src}`; exponent is the LATEST measured scale "
                "exponent from SCALE.md — per-decade where only "
@@ -189,7 +204,7 @@ def main():
         out.append("| entry | oracle | posture | sf0.1 s | exp | "
                    "description |")
         out.append("|---|---|---|---|---|---|")
-        for name, has_oracle, is_probe, desc in entries:
+        for name, has_oracle, is_probe, scale_twin, desc in entries:
             sec = f"{bench[name]:.2f}" if name in bench else ""
             exp = exps.get(name, "")
             if not exp:
@@ -197,7 +212,8 @@ def main():
                 if f in fam:
                     exp = f"≤{fam[f][0]:.2f} fam"
             o = "duckdb" if has_oracle else "spec"
-            p = "probe" if is_probe else "prod"
+            p = ("probe" if is_probe else
+                 f"ref\u2192`{scale_twin}`" if scale_twin else "prod")
             d = desc.replace("|", "\\|")
             out.append(f"| `{name}` | {o} | {p} | {sec} | {exp} | {d} |")
     dest = os.path.join(ROOT, "docs", "CATALOG.md")
