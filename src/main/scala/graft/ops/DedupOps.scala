@@ -829,6 +829,10 @@ object DedupOps {
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
                   edgeBuckets: Int = 256): DataFrame = {
     val B = edgeBuckets
+    // measurement knob: disable the sparse-frontier edge pruning so its
+    // benefit is A/B-able on the same JVM (output is bit-identical
+    // either way — the filter is superset-safe)
+    val ccNoPrune = sys.env.contains("SPARK_GRAFT_CC_NOPRUNE")
     def ebOf(c: Column): Column = pmod(hash(c), lit(B))
     val edgesPlain = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -875,7 +879,8 @@ object DedupOps {
       // filter is <= 4 In-chunks (cheap per row) and skips >= 7/8 of the
       // cached batches — the long-tail-chain regime it exists for.
       val edgeSide = buckets match {
-        case Some(bs) if bs.length <= B / 8 => edges.where(bucketPred(bs))
+        case Some(bs) if bs.length <= B / 8 && !ccNoPrune =>
+          edges.where(bucketPred(bs))
         case _ => edges
       }
       val nbrMin = edgeSide

@@ -19,7 +19,19 @@ object DedupSimQueries {
     * the dedup_clusters labeling oracle and the dedup_apply filter
     * oracle so the two stay in lockstep.
     */
-  private val minhashCcCte: String = """
+  /** [[minhashCcCte]] with the candidate-pair set optionally augmented
+    * by extra SQL pair rows (columns `doc_a, doc_b`) UNION'd in before
+    * the symmetric-edge expansion — the hook the straggler-chain CC
+    * entry uses to thread its id-derived path edges through the SAME
+    * reachability closure.
+    */
+  private def minhashCcCteWith(extraPairsSql: Option[String]): String = {
+    val pairsCte = extraPairsSql match {
+      case None => "pairs AS (SELECT * FROM pairs0)"
+      case Some(sql) =>
+        s"pairs AS (SELECT * FROM pairs0 UNION $sql)"
+    }
+    s"""
         WITH RECURSIVE w AS (
           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         sh AS (
@@ -37,12 +49,13 @@ object DedupSimQueries {
           SELECT doc_id, h // 4 AS band,
                  md5(string_agg(minh, '|' ORDER BY h)) AS band_hash
           FROM mh GROUP BY 1, 2),
-        pairs AS (
+        pairs0 AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.band_hash = b.band_hash
            AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
+        $pairsCte,
         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                   UNION SELECT doc_b, doc_a FROM pairs),
         reach AS (
@@ -50,6 +63,22 @@ object DedupSimQueries {
           UNION
           SELECT reach.id, edges.dst
           FROM reach JOIN edges ON reach.r = edges.src)"""
+  }
+
+  private val minhashCcCte: String = minhashCcCteWith(None)
+
+  /** Straggler-chain CC prelude: the minhash pair set plus a 96-link
+    * id-derived path (see `dedup_clusters_chain`).
+    */
+  private val minhashChainCcCte: String = minhashCcCteWith(Some("""
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+                FROM (SELECT DISTINCT doc_id FROM documents
+                      WHERE doc_id % 11 = 3 ORDER BY doc_id LIMIT 96)) a
+          JOIN (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+                FROM (SELECT DISTINCT doc_id FROM documents
+                      WHERE doc_id % 11 = 3 ORDER BY doc_id LIMIT 96)) b
+            ON b.rn = a.rn + 1"""))
 
   private def planeLit(b: Int, dim: Int): String =
     (0 until dim).map { i =>
@@ -416,6 +445,44 @@ object DedupSimQueries {
         SELECT d.doc_id, d.lang, d.source FROM documents d
         WHERE d.doc_id NOT IN
           (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)""")),
+
+    // Straggler-regime CC: the same minhash candidate graph PLUS one
+    // 96-link path of id-derived edges (consecutive ids in the
+    // doc_id % 11 == 3 stratum, smallest 96). The minhash bulk —
+    // near-dup cliques — converges in ~3 doubling rounds; the path's
+    // diameter forces ~4 more rounds in which the changed-vertex
+    // frontier is a handful of chain vertices, i.e. the SPARSE-frontier
+    // regime the cached-edge bucket pruning gate (DedupOps.dupClusters,
+    // frontier ≤ B/8 buckets) exists for: without the gate every
+    // straggler round re-scans the whole cached O(E) edge frame for a
+    // frontier of <100 vertices. LSH candidates can't express this
+    // shape on purpose (near-dup similarity is nearly transitive, so
+    // text-derived graphs are cliques, not paths — r14 telemetry:
+    // 255/256-bucket frontiers for all 3 rounds on every ScaleUp
+    // fixture), so the path edges are derived from ids and UNION'd in;
+    // the oracle replays the identical union through the same recursive
+    // reachability closure.
+    "dedup_clusters_chain" -> Entry(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        // smallest 96 stratum ids via distributed top-k
+        // (TakeOrderedAndProject), THEN the trivial 96-row window
+        val seq = docs.filter(col("doc_id") % 11 === 3)
+          .select(col("doc_id")).distinct()
+          .orderBy(col("doc_id")).limit(96)
+          .withColumn("rn",
+            row_number().over(Window.orderBy(col("doc_id"))))
+        val chain = seq.as("a").join(seq.as("b"),
+            col("b.rn") === col("a.rn") + 1)
+          .select(col("a.doc_id").as("doc_a"),
+            col("b.doc_id").as("doc_b"))
+        DedupOps.dupClusters(
+          DedupOps.minhashCandidates(docs).select("doc_a", "doc_b")
+            .unionByName(chain))
+      },
+      Some(s"""$minhashChainCcCte
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1""")),
 
     // Leakage-proof split: near-dup cluster members share a split (split
     // decided by md5 of the min-id cluster representative, not the
