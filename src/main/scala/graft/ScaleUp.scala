@@ -18,9 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    val Array(inDir, outDir, factorStr) = args
+    val Array(inDir, outDir, factorStr) = args.take(3)
     val factor = factorStr.toInt
     require(factor >= 2, s"factor $factor")
+    // optional 4th arg: append this many synthetic SINGLETON documents
+    // (globally unique words -> no shared shingles -> every minhash band
+    // bucket has one member) with ids in the doc_id % 11 == 3 stratum —
+    // the high-diameter chain variant for the CC straggler-regime bench
+    // (`dedup_clusters_chain` links consecutive singleton stratum ids
+    // into a path; ScaleUp'd corpora otherwise band nearly every doc
+    // into a cross-copy clique, leaving ~4 singletons at sf1). Injection
+    // happens AFTER the copy fan-out so the injected docs are not
+    // themselves near-dup'd across copies.
+    val chainDocs = args.lift(3).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -80,10 +90,25 @@ object ScaleUp {
     write(copies(events, Seq("event_id")), "events")
 
     val documents = spark.read.parquet(s"$inDir/documents.parquet")
-    write(copies(documents, Seq("doc_id"),
+    val docsScaled = copies(documents, Seq("doc_id"),
       (d, i) => if (i == 0) d
         else d.withColumn("text",
-          concat(col("text"), lit(s" rep$i")))), "documents")
+          concat(col("text"), lit(s" rep$i"))))
+    val docsOut = if (chainDocs == 0) docsScaled else {
+      val maxId = docsScaled.agg(max(col("doc_id"))).collect().head
+        .getLong(0)
+      // smallest id > maxId with id % 11 == 3; step 11 keeps the whole
+      // injected block inside the stratum, ids ascending
+      val base = (maxId / 11 + 1) * 11 + 3
+      val inject = spark.range(chainDocs.toLong).select(
+          (lit(base) + col("id") * 11L).as("doc_id"),
+          concat_ws(" ", (0 until 40).map(j =>
+            concat(lit("chain"), col("id"), lit(s"w$j"))): _*).as("text"),
+          lit("zh").as("lang"), lit("src0").as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      docsScaled.unionByName(inject)
+    }
+    write(docsOut, "documents")
 
     val embeddings = spark.read.parquet(s"$inDir/embeddings.parquet")
     write(copies(embeddings, Seq("vec_id")), "embeddings")

@@ -26,9 +26,25 @@ import graft.streaming.StreamingMetrics
   * (state-store init + codegen) and are excluded.
   *
   * Run: `runMain graft.StreamLatency [rateA,rateB,...] [triggerSec]
-  * [batches]` (defaults: 50000,500000 rows/s, 30 s, 6 measured batches
-  * after 2 warmup). Writes one JSON line to stdout and, best-effort, to
-  * SPARK_GRAFT_STREAM_LAT_OUT (default bench/STREAM_LATENCY.json).
+  * [batches] [shape]` (defaults: 50000,500000 rows/s, 30 s, 6 measured
+  * batches after 2 warmup, shape `uniform`). Writes one JSON line to
+  * stdout and, best-effort, to SPARK_GRAFT_STREAM_LAT_OUT (default
+  * bench/STREAM_LATENCY.json).
+  *
+  * Shape `stress` reproduces the reference feed's adversarial traits
+  * instead of a uniform row spray (the tweet simulator emits 20-message
+  * bursts, `twitter/stream_simulator_continuous.py:210`, and symbols are
+  * Zipf-skewed): rows arrive in 20-row BURSTS that share key + a single
+  * event-time instant; the user key is cube-skewed (u = ⌊10000·h³⌋ for
+  * uniform h — the hottest key draws ~4.6% of ALL rows, the kind of hot
+  * (window, key) group that stresses the shuffle and the state store);
+  * and 10% of bursts arrive 120 s LATE — beyond the 30 s watermark, so
+  * they exercise the discard-late path instead of growing state. All
+  * shaping is deterministic column algebra over the rate source's
+  * monotone `value`. The JSON adds per-rate state-store rows (last
+  * measured batch) and watermark-dropped rows (sum over measured
+  * batches) so the artifact also says what state the stress left
+  * behind.
   */
 object StreamLatency {
   def main(args: Array[String]): Unit = {
@@ -36,6 +52,8 @@ object StreamLatency {
       .split(",").map(_.trim.toLong).toSeq
     val triggerSec = args.lift(1).getOrElse("30").toInt
     val batches = args.lift(2).getOrElse("6").toInt
+    val shape = args.lift(3).getOrElse("uniform")
+    require(shape == "uniform" || shape == "stress", s"shape $shape")
     val skip = 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = SparkSession.builder()
@@ -50,17 +68,42 @@ object StreamLatency {
     val root = Files.createTempDirectory("graft_streamlat").toString
 
     // rate rows -> events shape, pure deterministic column algebra
-    def source(rate: Long): DataFrame =
-      spark.readStream.format("rate")
+    def source(rate: Long): DataFrame = {
+      val base = spark.readStream.format("rate")
         .option("rowsPerSecond", rate.toString)
         .load()
-        .select(
+      if (shape == "uniform")
+        base.select(
           col("timestamp").as("ts"),
           element_at(
             array(lit("click"), lit("view"), lit("purchase")),
             (pmod(col("value"), lit(3)) + 1).cast("int")).as("event_type"),
           pmod(col("value"), lit(10000L)).as("user_id"),
           (pmod(col("value"), lit(997L)).cast("double") / 10.0).as("value"))
+      else {
+        // burst id: 20 consecutive rows form one burst sharing key,
+        // event_type and a single event-time instant (truncated to the
+        // second) — the reference simulator's 20-message clump
+        val bid = floor(col("value") / 20L).cast("long")
+        // cube-skewed key: h uniform in [0,1) from the burst id's hash,
+        // u = floor(10000*h^3) — P(u=0) = (1e-4)^(1/3) ~ 4.6% of rows
+        val h = pmod(xxhash64(bid), lit(1000000L)).cast("double") / 1e6
+        val skewedUser = floor(h * h * h * 10000.0).cast("long")
+        // every 10th burst arrives 120 s late — beyond the 30 s
+        // watermark, so the discard-late path runs at a steady 10%
+        val late = pmod(bid, lit(10L)) === 0L
+        base.select(
+          when(late,
+            date_trunc("second",
+              col("timestamp") - expr("interval 120 seconds")))
+            .otherwise(date_trunc("second", col("timestamp"))).as("ts"),
+          element_at(
+            array(lit("click"), lit("view"), lit("purchase")),
+            (pmod(bid, lit(3)) + 1).cast("int")).as("event_type"),
+          skewedUser.as("user_id"),
+          (pmod(col("value"), lit(997L)).cast("double") / 10.0).as("value"))
+      }
+    }
 
     def measure(rate: Long): String = {
       val q = StreamingMetrics.cogroupedMetricsSink(
@@ -82,19 +125,32 @@ object StreamLatency {
         durs(math.min(durs.length - 1, (p * durs.length).toInt))
       val meanRows =
         measured.map(_.numInputRows).sum / measured.length
+      // state the run leaves behind: store rows after the last measured
+      // batch; watermark-discarded rows summed over the measured window.
+      // Drops are counted where Spark counts them — at the state
+      // operator, AFTER map-side partial aggregation — so under burst
+      // shaping one dropped row ≈ one late (window, key, user) partial,
+      // not one raw input row
+      val stateRows = measured.lastOption.toSeq
+        .flatMap(_.stateOperators).map(_.numRowsTotal).sum
+      val lateDropped = measured
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
       System.err.println(f"[streamlat] rate=$rate%d p50=${pct(0.50)}%.0f " +
         f"p95=${pct(0.95)}%.0f max=${durs.last}%.0f ms " +
-        f"rows/batch=$meanRows%d")
+        f"rows/batch=$meanRows%d state_rows=$stateRows%d " +
+        f"late_dropped=$lateDropped%d")
       s"""{"rows_per_sec":$rate,"batches":$batches,""" +
         f""""p50_ms":${pct(0.50)}%.0f,"p95_ms":${pct(0.95)}%.0f,""" +
-        f""""max_ms":${durs.last}%.0f,"mean_rows_per_batch":$meanRows%d}"""
+        f""""max_ms":${durs.last}%.0f,"mean_rows_per_batch":$meanRows%d,""" +
+        s""""state_rows_total":$stateRows,""" +
+        s""""late_dropped_rows":$lateDropped}"""
     }
 
     // per-rate warmup is the `skip` window above (state-store init +
     // first-ever codegen land in the excluded batches)
     val results = rates.map(measure)
     val line = s"""{"metric":"stream_batch_latency","unit":"ms",""" +
-      s""""cpus":$cpus,"trigger_sec":$triggerSec,""" +
+      s""""cpus":$cpus,"trigger_sec":$triggerSec,"shape":"$shape",""" +
       s""""results":[${results.mkString(",")}]}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_LAT_OUT",

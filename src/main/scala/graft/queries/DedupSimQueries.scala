@@ -68,16 +68,35 @@ object DedupSimQueries {
   private val minhashCcCte: String = minhashCcCteWith(None)
 
   /** Straggler-chain CC prelude: the minhash pair set plus a 96-link
-    * id-derived path (see `dedup_clusters_chain`).
+    * id-derived path over minhash singletons (see
+    * `dedup_clusters_chain`). `bands` comes from the shared prelude;
+    * a doc is a singleton iff every band bucket it occupies has
+    * exactly one member.
     */
   private val minhashChainCcCte: String = minhashCcCteWith(Some("""
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
-                FROM (SELECT DISTINCT doc_id FROM documents
-                      WHERE doc_id % 11 = 3 ORDER BY doc_id LIMIT 96)) a
+                FROM (SELECT doc_id FROM (
+                        SELECT DISTINCT doc_id FROM documents
+                        WHERE doc_id % 11 = 3) st
+                      WHERE doc_id NOT IN (
+                        SELECT DISTINCT bb.doc_id FROM bands bb
+                        JOIN (SELECT band, band_hash FROM bands
+                              GROUP BY 1, 2 HAVING count(*) >= 2) bh
+                          ON bb.band = bh.band
+                         AND bb.band_hash = bh.band_hash)
+                      ORDER BY doc_id LIMIT 96)) a
           JOIN (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
-                FROM (SELECT DISTINCT doc_id FROM documents
-                      WHERE doc_id % 11 = 3 ORDER BY doc_id LIMIT 96)) b
+                FROM (SELECT doc_id FROM (
+                        SELECT DISTINCT doc_id FROM documents
+                        WHERE doc_id % 11 = 3) st
+                      WHERE doc_id NOT IN (
+                        SELECT DISTINCT bb.doc_id FROM bands bb
+                        JOIN (SELECT band, band_hash FROM bands
+                              GROUP BY 1, 2 HAVING count(*) >= 2) bh
+                          ON bb.band = bh.band
+                         AND bb.band_hash = bh.band_hash)
+                      ORDER BY doc_id LIMIT 96)) b
             ON b.rn = a.rn + 1"""))
 
   private def planeLit(b: Int, dim: Int): String =
@@ -447,29 +466,46 @@ object DedupSimQueries {
           (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)""")),
 
     // Straggler-regime CC: the same minhash candidate graph PLUS one
-    // 96-link path of id-derived edges (consecutive ids in the
-    // doc_id % 11 == 3 stratum, smallest 96). The minhash bulk —
-    // near-dup cliques — converges in ~3 doubling rounds; the path's
-    // diameter forces ~4 more rounds in which the changed-vertex
+    // 96-link path of id-derived edges over minhash SINGLETONS
+    // (consecutive ids among the smallest 96 stratum docs that appear
+    // in NO candidate pair — every band bucket they occupy has exactly
+    // one member). The minhash bulk — near-dup cliques — converges in
+    // 2-3 doubling rounds with a wide changed-vertex frontier; the
+    // singleton path's diameter then forces ~5 more rounds in which the
     // frontier is a handful of chain vertices, i.e. the SPARSE-frontier
     // regime the cached-edge bucket pruning gate (DedupOps.dupClusters,
     // frontier ≤ B/8 buckets) exists for: without the gate every
     // straggler round re-scans the whole cached O(E) edge frame for a
-    // frontier of <100 vertices. LSH candidates can't express this
-    // shape on purpose (near-dup similarity is nearly transitive, so
-    // text-derived graphs are cliques, not paths — r14 telemetry:
-    // 255/256-bucket frontiers for all 3 rounds on every ScaleUp
-    // fixture), so the path edges are derived from ids and UNION'd in;
-    // the oracle replays the identical union through the same recursive
-    // reachability closure.
+    // frontier of <100 vertices. The singleton restriction is what
+    // makes the regime reachable: a chain over arbitrary docs drags
+    // each doc's whole near-dup clique into the relabeling wave
+    // (measured 255/256-bucket frontiers for 6 straight rounds at sf1),
+    // while LSH candidates alone can't express a path at all (near-dup
+    // similarity is nearly transitive — text-derived graphs are
+    // cliques; r14 telemetry: 255/256 frontiers for all rounds on
+    // every ScaleUp fixture). The banding is computed twice (once for
+    // the pair set, once for the singleton filter) — the entry's
+    // documented cost over plain dedup_clusters, alongside the extra
+    // straggler rounds it exists to measure. The oracle replays the
+    // identical pair union through the same recursive reachability
+    // closure.
     "dedup_clusters_chain" -> Entry(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, dir)
-        // smallest 96 stratum ids via distributed top-k
+        val banded = DedupOps.minhashBands(docs)
+        // docs sharing any band bucket with another doc are paired;
+        // chain vertices must be singletons (see above)
+        val paired = banded
+          .join(banded.groupBy(col("band"), col("band_hash"))
+              .agg(count(lit(1)).as("c")).filter(col("c") >= 2),
+            Seq("band", "band_hash"))
+          .select(col("doc_id")).distinct()
+        // smallest 96 singleton stratum ids via distributed top-k
         // (TakeOrderedAndProject), THEN the trivial 96-row window
         val seq = docs.filter(col("doc_id") % 11 === 3)
           .select(col("doc_id")).distinct()
+          .join(paired, Seq("doc_id"), "left_anti")
           .orderBy(col("doc_id")).limit(96)
           .withColumn("rn",
             row_number().over(Window.orderBy(col("doc_id"))))
@@ -478,7 +514,8 @@ object DedupSimQueries {
           .select(col("a.doc_id").as("doc_a"),
             col("b.doc_id").as("doc_b"))
         DedupOps.dupClusters(
-          DedupOps.minhashCandidates(docs).select("doc_a", "doc_b")
+          DedupOps.minhashCandidatesBands(banded)
+            .select("doc_a", "doc_b")
             .unionByName(chain))
       },
       Some(s"""$minhashChainCcCte
