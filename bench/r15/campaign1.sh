@@ -16,6 +16,8 @@ for sf in sf1c sf10c; do
       extra=""
       [ "$mode" = noprune ] && extra=', "SPARK_GRAFT_CC_NOPRUNE" -> "1"'
       out="bench/r15/chain_${sf}_${mode}_${run}.json"
+      # resumable: a cell that already produced its JSON is done
+      [ -s "$out" ] && { echo "== $sf $mode run$run: cached"; continue; }
       sbt -batch "set run / envVars := Map(\"SPARK_GRAFT_SF_DIR\" -> \"/tmp/${sf}\", \"SPARK_GRAFT_CPUS\" -> \"32\", \"SPARK_GRAFT_ONLY\" -> \"$Q\", \"SPARK_GRAFT_CC_LOG\" -> \"1\", \"SPARK_GRAFT_BENCH_OUT\" -> \"$out\"$extra)" "runMain graft.Bench" 2>&1 | grep -E "dupClusters|metric" > "bench/r15/chain_${sf}_${mode}_${run}.log"
       echo "== $sf $mode run$run: $(grep metric bench/r15/chain_${sf}_${mode}_${run}.log | tail -1)"
     done

@@ -834,10 +834,20 @@ object DedupOps {
     // either way — the filter is superset-safe)
     val ccNoPrune = sys.env.contains("SPARK_GRAFT_CC_NOPRUNE")
     def ebOf(c: Column): Column = pmod(hash(c), lit(B))
+    // the cache is HASH(dst)-PARTITIONED at fill: every round joins the
+    // edges on dst, so pre-partitioning pays ONE O(E) shuffle at fill
+    // and deletes the per-round O(E) exchange the join otherwise
+    // re-inserts every iteration (the dominant per-round mover at sf10).
+    // The partitioning composes with the _eb batch stats: _eb =
+    // pmod(hash(dst), B) and the partition = pmod(hash(dst), P), so one
+    // partition holds only B/P distinct _eb values and the
+    // within-partition _eb sort gives each columnar batch a ~single-_eb
+    // span — tighter pruning than the unpartitioned layout, not looser.
     val edgesPlain = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .withColumn("_eb", ebOf(col("dst")))
+      .repartition(col("dst"))
     // don't register a cache entry in plan-audit mode (nothing executes).
     // The within-partition sort on _eb is a LOCAL sort (no shuffle) paid
     // once at cache fill; it gives every cached columnar batch a tight
@@ -883,20 +893,32 @@ object DedupOps {
           edges.where(bucketPred(bs))
         case _ => edges
       }
+      // shuffle_hash on the changed side: build the hash map on the
+      // (frontier-bounded) changed set and STREAM the cached edges —
+      // with the cache hash(dst)-partitioned this side of the join has
+      // no exchange AND no sort (the SMJ default would re-sort the full
+      // edge frame every round to join against a frontier)
       val nbrMin = edgeSide
         .join(changed.select(col("doc_id").as("dst"),
-          col("cluster_id").as("nl")), Seq("dst"))
+          col("cluster_id").as("nl")).hint("shuffle_hash"), Seq("dst"))
         .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("nmin"))
       // carry the pre-round label through as _old so the convergence
       // check below is a scan of the already-materialized checkpoint,
-      // not an extra join job per round
+      // not an extra join job per round. The labels checkpoint is
+      // hash(doc_id)-partitioned (see the repartition below), and
+      // nbrMin is small (one row per changed-adjacent vertex), so the
+      // shuffle_hash build on nbrMin leaves the labels side
+      // exchange-free AND sort-free.
       val prop = labels.select(col("doc_id"), col("cluster_id").as("_old"))
-        .join(nbrMin, Seq("doc_id"), "left")
+        .join(nbrMin.hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"), col("_old"), least(col("_old"),
           coalesce(col("nmin"), col("_old"))).as("cluster_id"))
       // pointer doubling: follow the label one more hop. cluster_id is
       // itself a doc_id present in `prop`, and labels are min-monotone,
       // so label(label(v)) <= label(v) and is in the same component.
+      // The right (renamed) side is alias-aware: its join key is the
+      // original doc_id attribute, so when prop sits on hash(doc_id)
+      // (checkpoint partitioning) only the LEFT side exchanges.
       prop.as("l")
         .join(prop.select(col("doc_id").as("cluster_id"),
           col("cluster_id").as("_ll")).as("p"), Seq("cluster_id"), "left")
@@ -904,6 +926,12 @@ object DedupOps {
           least(col("cluster_id"),
             coalesce(col("_ll"), col("cluster_id"))).as("cluster_id"),
           col("_old"))
+        // partitioning-preserving checkpoint: land each round's state on
+        // hash(doc_id) so next round's prop join (doc_id), the changed
+        // side of the edge join (dst := doc_id, alias-aware), and the
+        // doubling join's renamed right side all reuse the checkpoint's
+        // partitioning instead of re-exchanging O(V) rows per round
+        .repartition(col("doc_id"))
     }
     // plan-audit mode: the loop's checkpoints explain as opaque
     // `Scan ExistingRDD`; return one round's composed dataflow instead —
