@@ -519,7 +519,11 @@ object DedupSimQueries {
             .unionByName(chain))
       },
       Some(s"""$minhashChainCcCte
-        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1""")),
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1"""),
+      // diagnostic regime by construction: the path forces ~2x the
+      // rounds plain dedup_clusters needs, to measure the pruning gate —
+      // the production posture stays dedup_clusters/dedup_apply
+      probe = true),
 
     // Leakage-proof split: near-dup cluster members share a split (split
     // decided by md5 of the min-id cluster representative, not the
