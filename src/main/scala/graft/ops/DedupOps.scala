@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Test-only hook: when non-null, [[dupClusters]] hands every round's
+    * final (post-AQE) physical-plan string to it right after the eager
+    * checkpoint — the observability handle the plan-shape pin spec uses
+    * (listener-based capture misses the rounds: checkpoint
+    * materialization is an RDD job, not a tracked Dataset action).
+    */
+  private[graft] var ccPlanHook: String => Unit = null
+
   /** [[bloomDecontaminate]] auto-sizing: bits per distinct eval gram
     * (~10% load at k=3) and the bitset cap (16 MiB as a plan literal). */
   val BloomBitsPerGram = 16L
@@ -941,9 +949,17 @@ object DedupOps {
         .select(col("doc_id"), col("cluster_id"))
     val reliable =
       pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+    def ckpt(df: DataFrame): DataFrame = {
+      val out =
+        if (reliable) df.checkpoint(eager = true)
+        else df.localCheckpoint(eager = true)
+      // test-only observability (null in production — zero cost): after
+      // the eager materialization the dataset's AQE plan is final; hand
+      // its string to the plan-shape pin spec
+      if (DedupOps.ccPlanHook != null)
+        DedupOps.ccPlanHook(df.queryExecution.executedPlan.toString)
+      out
+    }
     var labels = ckpt(seedFrame)
     // local mode: the checkpoint whose blocks the current `labels` lives
     // on; each round frees the superseded one NOW (blocking) — leaving

@@ -722,6 +722,77 @@ class DedupSimSpec extends SparkSpec {
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("dupClusters round plans pin the r15 shuffle layout: the cached " +
+      "edges and checkpointed labels stream through hash-build joins " +
+      "with no re-exchange of the edge frame and no per-round sorts") {
+    val plans = scala.collection.mutable.Buffer[String]()
+    DedupOps.ccPlanHook = p => plans.synchronized { plans += p }
+    try {
+      val pairs = (1L to 33L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      DedupOps.dupClusters(pairs).collect()
+    } finally {
+      DedupOps.ccPlanHook = null
+      spark.catalog.clearCache()
+    }
+    // plans(0) is the seed; the rest are doubling rounds (a 33-hop
+    // chain forces several)
+    val rounds = plans.drop(1)
+    assert(rounds.size >= 3, s"expected >=3 rounds, got ${plans.size - 1}")
+    // tree-text parent walk: operator nesting depth = offset of the
+    // first non-tree-art char
+    def opStart(l: String): Int = l.indexWhere(c => !" :+-".contains(c))
+    // analyze only the top-level "== Final Plan ==" section — the
+    // Initial Plan section is the pre-AQE static plan (its merge-join
+    // sorts never ran). Embedded cache dumps nest deeper than the
+    // top-level marker (opStart 3), so only the outer cut applies.
+    def finalSection(p: String): String = {
+      val ls = p.split("\n")
+      val cut = ls.indexWhere(l =>
+        l.contains("== Initial Plan ==") && opStart(l) == 3)
+      if (cut < 0) p else ls.take(cut).mkString("\n")
+    }
+    rounds.map(finalSection).foreach { p =>
+      def count(sub: String): Int = sub.r.findAllIn(p).size
+      // the frontier joins are hinted shuffled-hash joins (the doubling
+      // self-join inlines the propagate side twice, so a round plan can
+      // carry four)
+      assert(count("ShuffledHashJoin") >= 2, p)
+      // the O(E) pin: walking up from every cached-edge scan to its
+      // join crosses NO Exchange — the cache is hash(dst)-partitioned
+      // at fill, so the per-round O(E) re-exchange is gone
+      val ls = p.split("\n")
+      ls.zipWithIndex.filter(_._1.contains("InMemoryTableScan")).foreach {
+        case (line, idx) =>
+          var cur = opStart(line)
+          var j = idx - 1
+          var reachedJoin = false
+          while (j >= 0 && !reachedJoin) {
+            val s2 = opStart(ls(j))
+            if (s2 >= 0 && s2 < cur) {
+              if (ls(j).contains("ShuffledHashJoin")) reachedJoin = true
+              else {
+                assert(!ls(j).contains("Exchange"),
+                  s"exchange above the cached edge scan:\n$p")
+                cur = s2
+              }
+            }
+            j -= 1
+          }
+          assert(reachedJoin, s"edge scan not under a SHJ:\n$p")
+      }
+      // the no-per-round-sort pin: every Sort anywhere in the round
+      // plan is the cache FILL's one-time _eb sort (displayed inside
+      // the InMemoryRelation), never a fresh O(E)/O(V) merge-join sort
+      ls.filter(_.contains("Sort [")).foreach { l =>
+        assert(l.contains("Sort [_eb"), s"non-fill sort in round:\n$p")
+      }
+    }
+    // and the self-join's duplicated label scan rides a ReusedExchange
+    // (AQE stage reuse) rather than re-shuffling the checkpoint
+    assert(rounds.map(finalSection).exists(_.contains("ReusedExchange")),
+      rounds.headOption.getOrElse(""))
+  }
+
   test("extensions inject dot_product at session build (SQL surface)") {
     val desc = graft.GraftExtensions.dotProductDescriptor
     assert(desc._1.funcName === "dot_product")
