@@ -79,27 +79,30 @@ def parse_module(path):
 
 
 def scale_exponents():
-    """name -> exponent from SCALE.md, last row per name wins (the file
-    is chronological, so later re-measurements override earlier rows).
-    Three table shapes: the main 5-cell exponent table, the r12 4-cell
-    re-measurement table (**exp** (old)), and the r12 7-cell sf3
-    three-point table whose last cell is the full-decade **fit**."""
+    """name -> exponent from SCALE.md, LAST row per name wins in file
+    order regardless of table shape (the file is chronological, so the
+    most recent re-measurement is always the freshest number — r15
+    verdict: a shape-rank preference here let an old 7-cell row shadow
+    a newer 4-cell campaign row). Three table shapes: the main 5-cell
+    exponent table, the 4-cell campaign table (**exp**), and the r12
+    7-cell sf3 three-point table whose last cell is the full-decade
+    **fit**."""
     best = {}
     rows = [
-        (0, re.compile(r"^\|\s*([a-z0-9_]+)[^|]*\|[^|]*\|[^|]*\|[^|]*\|"
-                       r"\s*~?([0-9.]+)\s*\|\s*$")),
-        (1, re.compile(r"^\|\s*([a-z0-9_]+)[^|]*\|[^|]*\|[^|]*\|"
-                       r"\s*\*\*~?([0-9.]+)\*\*[^|]*\|\s*$")),
-        (2, re.compile(r"^\|\s*([a-z0-9_]+)[^|]*\|[^|]*\|[^|]*\|[^|]*\|"
-                       r"[^|]*\|[^|]*\|\s*\*\*~?([0-9.]+)\*\*\s*\|\s*$")),
+        re.compile(r"^\|\s*([a-z0-9_]+)[^|]*\|[^|]*\|[^|]*\|[^|]*\|"
+                   r"\s*~?([0-9.]+)\s*\|\s*$"),
+        re.compile(r"^\|\s*([a-z0-9_]+)[^|]*\|[^|]*\|[^|]*\|"
+                   r"\s*\*\*~?([0-9.]+)\*\*[^|]*\|\s*$"),
+        re.compile(r"^\|\s*([a-z0-9_]+)[^|]*\|[^|]*\|[^|]*\|[^|]*\|"
+                   r"[^|]*\|[^|]*\|\s*\*\*~?([0-9.]+)\*\*\s*\|\s*$"),
     ]
     for line in open(os.path.join(ROOT, "SCALE.md")):
-        for rank, row in rows:
+        for row in rows:
             m = row.match(line)
-            if m and rank >= best.get(m.group(1), (-1, ""))[0]:
-                best[m.group(1)] = (rank, m.group(2))
+            if m:
+                best[m.group(1)] = m.group(2)
                 break
-    return {k: v for k, (_, v) in best.items()}
+    return best
 
 
 def family_of(name, mod):
