@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
   * a factor-sized duplicate clique; embeddings keep their values (ANN
   * cost depends on counts, not coordinates). Event/order/lineitem keys
   * shift by the observed max so joins stay consistent within each copy.
+  * The optional `bounded` mode (see below) strengthens the de-dup to a
+  * per-copy word bijection for CC scale campaigns where even the residual
+  * cross-copy banding of the suffix mode distorts the edge-count slope.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
@@ -30,7 +33,22 @@ object ScaleUp {
     // into a cross-copy clique, leaving ~4 singletons at sf1). Injection
     // happens AFTER the copy fan-out so the injected docs are not
     // themselves near-dup'd across copies.
-    val chainDocs = args.lift(3).map(_.toInt).getOrElse(0)
+    val rest = args.drop(3)
+    // optional literal "bounded" (any position after factor): BOUNDED-
+    // CLIQUE copy mode for honest big-decade CC measurements. The default
+    // per-copy suffix token leaves enough shared shingles that copies
+    // band with their originals, so near-dup cliques — and the candidate
+    // PAIR set — grow ~quadratically with the factor (the r15 sf30 CC
+    // cells measured that fixture artifact, not the operator). Bounded
+    // mode instead applies a per-copy WORD BIJECTION (prefix every word
+    // with a copy tag): within-copy shingle sets are isomorphic to the
+    // source's, so within-copy Jaccard — and the near-dup clique profile
+    // — is EXACTLY the source's, while cross-copy Jaccard is 0 (no
+    // shared words → no shared shingles → no banding). Edge count then
+    // grows linearly with the factor and clique size stays constant.
+    val bounded = rest.contains("bounded")
+    val chainDocs = rest.filterNot(_ == "bounded").headOption
+      .map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -90,13 +108,23 @@ object ScaleUp {
     write(copies(events, Seq("event_id")), "events")
 
     val documents = spark.read.parquet(s"$inDir/documents.parquet")
-    val docsScaled = copies(documents, Seq("doc_id"),
-      (d, i) => if (i == 0) d
-        else d.withColumn("text",
-          concat(col("text"), lit(s" rep$i"))))
+    def perCopyText(d: DataFrame, i: Int): DataFrame =
+      if (i == 0) d
+      else if (bounded) d.withColumn("text",
+        array_join(transform(split(col("text"), " "),
+          w => concat(lit(s"c$i"), w)), " "))
+      else d.withColumn("text", concat(col("text"), lit(s" rep$i")))
+    val docsScaled = copies(documents, Seq("doc_id"), perCopyText)
     val docsOut = if (chainDocs == 0) docsScaled else {
-      val maxId = docsScaled.agg(max(col("doc_id"))).collect().head
-        .getLong(0)
+      // max scaled id DERIVED from the source max and the known copy
+      // shift ((maxSrc+1) per copy) instead of an agg over docsScaled —
+      // that agg recomputed the whole fan-out a second time before the
+      // write, and getLong(0) on an empty input threw an opaque NPE
+      val srcRow = documents.agg(max(col("doc_id"))).collect().head
+      require(!srcRow.isNullAt(0),
+        "empty documents input: cannot inject chain docs")
+      val maxSrc = srcRow.getLong(0)
+      val maxId = maxSrc + (maxSrc + 1L) * (factor - 1L)
       // smallest id > maxId with id % 11 == 3; step 11 keeps the whole
       // injected block inside the stratum, ids ascending
       val base = (maxId / 11 + 1) * 11 + 3

@@ -18,13 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Test-only hook: when non-null, [[dupClusters]] hands every round's
-    * final (post-AQE) physical-plan string to it right after the eager
-    * checkpoint — the observability handle the plan-shape pin spec uses
-    * (listener-based capture misses the rounds: checkpoint
+  /** Test-only hook: when bound non-null, [[dupClusters]] hands every
+    * round's final (post-AQE) physical-plan string to it right after the
+    * eager checkpoint — the observability handle the plan-shape pin spec
+    * uses (listener-based capture misses the rounds: checkpoint
     * materialization is an RDD job, not a tracked Dataset action).
+    * Thread-confined (`DynamicVariable.withValue`) so concurrent
+    * dupClusters callers — e.g. parallel test suites — cannot interleave
+    * plan strings from different runs into one pin buffer.
     */
-  private[graft] var ccPlanHook: String => Unit = null
+  private[graft] val ccPlanHook =
+    new scala.util.DynamicVariable[String => Unit](null)
 
   /** [[bloomDecontaminate]] auto-sizing: bits per distinct eval gram
     * (~10% load at k=3) and the bitset cap (16 MiB as a plan literal). */
@@ -836,7 +840,15 @@ object DedupOps {
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
                   edgeBuckets: Int = 256): DataFrame = {
-    val B = edgeBuckets
+    // snap the bucket count to a MULTIPLE of the session shuffle
+    // parallelism P: the cache below is hash(dst)-partitioned into P
+    // partitions, and _eb = pmod(hash(dst), B) nests inside the
+    // partition (each partition holds exactly B/P distinct _eb values,
+    // so the within-partition _eb sort gives single-_eb columnar
+    // batches) only when P | B. With the session default P=32 and
+    // edgeBuckets=256 this is the identity (B=256).
+    val P = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val B = P * math.max(1, math.round(edgeBuckets.toDouble / P).toInt)
     // measurement knob: disable the sparse-frontier edge pruning so its
     // benefit is A/B-able on the same JVM (output is bit-identical
     // either way — the filter is superset-safe)
@@ -846,16 +858,20 @@ object DedupOps {
     // edges on dst, so pre-partitioning pays ONE O(E) shuffle at fill
     // and deletes the per-round O(E) exchange the join otherwise
     // re-inserts every iteration (the dominant per-round mover at sf10).
+    // The partition count is pinned to P explicitly — an AQE-coalesced
+    // count would break both the B/P nesting (B is P-aligned above) and
+    // the claim that per-round joins reuse this partitioning as-is.
     // The partitioning composes with the _eb batch stats: _eb =
-    // pmod(hash(dst), B) and the partition = pmod(hash(dst), P), so one
-    // partition holds only B/P distinct _eb values and the
-    // within-partition _eb sort gives each columnar batch a ~single-_eb
-    // span — tighter pruning than the unpartitioned layout, not looser.
+    // pmod(hash(dst), B) and the partition = pmod(hash(dst), P) with
+    // P | B, so one partition holds exactly B/P distinct _eb values and
+    // the within-partition _eb sort gives each columnar batch a
+    // ~single-_eb span — tighter pruning than the unpartitioned layout,
+    // not looser.
     val edgesPlain = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .withColumn("_eb", ebOf(col("dst")))
-      .repartition(col("dst"))
+      .repartition(P, col("dst"))
     // don't register a cache entry in plan-audit mode (nothing executes).
     // The within-partition sort on _eb is a LOCAL sort (no shuffle) paid
     // once at cache fill; it gives every cached columnar batch a tight
@@ -938,8 +954,11 @@ object DedupOps {
         // hash(doc_id) so next round's prop join (doc_id), the changed
         // side of the edge join (dst := doc_id, alias-aware), and the
         // doubling join's renamed right side all reuse the checkpoint's
-        // partitioning instead of re-exchanging O(V) rows per round
-        .repartition(col("doc_id"))
+        // partitioning instead of re-exchanging O(V) rows per round.
+        // Count pinned to P so it always matches the edge cache's
+        // partitioning (an AQE-chosen count on either side would
+        // re-insert the per-round exchange).
+        .repartition(P, col("doc_id"))
     }
     // plan-audit mode: the loop's checkpoints explain as opaque
     // `Scan ExistingRDD`; return one round's composed dataflow instead —
@@ -956,8 +975,8 @@ object DedupOps {
       // test-only observability (null in production — zero cost): after
       // the eager materialization the dataset's AQE plan is final; hand
       // its string to the plan-shape pin spec
-      if (DedupOps.ccPlanHook != null)
-        DedupOps.ccPlanHook(df.queryExecution.executedPlan.toString)
+      if (DedupOps.ccPlanHook.value != null)
+        DedupOps.ccPlanHook.value(df.queryExecution.executedPlan.toString)
       out
     }
     var labels = ckpt(seedFrame)

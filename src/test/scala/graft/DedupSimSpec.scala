@@ -726,12 +726,14 @@ class DedupSimSpec extends SparkSpec {
       "edges and checkpointed labels stream through hash-build joins " +
       "with no re-exchange of the edge frame and no per-round sorts") {
     val plans = scala.collection.mutable.Buffer[String]()
-    DedupOps.ccPlanHook = p => plans.synchronized { plans += p }
     try {
-      val pairs = (1L to 33L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-      DedupOps.dupClusters(pairs).collect()
+      // withValue thread-confines the hook: a concurrent dupClusters on
+      // another suite's thread sees null, not this buffer
+      DedupOps.ccPlanHook.withValue(p => plans.synchronized { plans += p }) {
+        val pairs = (1L to 33L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+        DedupOps.dupClusters(pairs).collect()
+      }
     } finally {
-      DedupOps.ccPlanHook = null
       spark.catalog.clearCache()
     }
     // plans(0) is the seed; the rest are doubling rounds (a 33-hop

@@ -41,6 +41,10 @@ def main():
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written (ScaleUp fixtures): a dir of parts
+            if not glob.glob(f"{p}/*.parquet"):
+                # aborted write (_SUCCESS-only / empty dir): skip like a
+                # missing file instead of erroring in read_parquet
+                continue
             p = f"{p}/*.parquet"
         elif not os.path.exists(p):
             continue
