@@ -183,7 +183,18 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errs,"sf":"$sfDir","reps":$reps,"passes":$passes,"spread_med":$spreadMed}"""
+    // PROD-posture subtotal alongside the all-entries total: probe and
+    // ref→twin rows are diagnostics the catalog itself says not to ship
+    // at scale (and they keep accreting round over round — the chain
+    // straggler probe alone is the single most expensive entry), so
+    // round-over-round comparisons of shipping shapes track value_prod
+    // while value stays the whole-catalog number.
+    val prodNames = graft.queries.Catalog.all.collect {
+      case (k, e) if !e.probe && e.scaleTwin.isEmpty => k
+    }.toSet
+    val prodTimings = timings.filter { case (k, _) => prodNames(k) }
+    val prodTotal = prodTimings.values.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_prod":$prodTotal,"n_entries":${timings.size},"n_prod":${prodTimings.size},"queries":$qs,"failed":${errors.size},"errors":$errs,"sf":"$sfDir","reps":$reps,"passes":$passes,"spread_med":$spreadMed}"""
     println(line)
     // full-resolution artifact: the driver's BENCH_rN.json keeps only the
     // last ~4 KB of stdout, which truncates per-query timings for ~90 of

@@ -26,10 +26,24 @@ import graft.streaming.StreamingMetrics
   * (state-store init + codegen) and are excluded.
   *
   * Run: `runMain graft.StreamLatency [rateA,rateB,...] [triggerSec]
-  * [batches] [shape]` (defaults: 50000,500000 rows/s, 30 s, 6 measured
-  * batches after 2 warmup, shape `uniform`). Writes one JSON line to
-  * stdout and, best-effort, to SPARK_GRAFT_STREAM_LAT_OUT (default
+  * [batches] [shape] [provider] [keyCard]` (defaults: 50000,500000
+  * rows/s, 30 s, 6 measured batches after 2 warmup, shape `uniform`,
+  * provider `hdfs`, keyCard 10000). Writes one JSON line to stdout
+  * and, best-effort, to SPARK_GRAFT_STREAM_LAT_OUT (default
   * bench/STREAM_LATENCY.json).
+  *
+  * `provider` selects the state-store backend: `hdfs` is Spark's
+  * default on-heap HDFSBackedStateStoreProvider; `rocksdb` is the
+  * production posture for state that outgrows the heap
+  * (RocksDBStateStoreProvider — native off-heap memtables + SST files,
+  * the backend StreamingEventDedup's scaladoc already prescribes).
+  * `keyCard` is the user-key cardinality of the synthetic feed — the
+  * state-size dial: state rows ≈ live windows x keys, so raising it
+  * with a small SPARK_DRIVER_MEM heap produces the
+  * state-larger-than-heap cell the 100 TB posture claim needs. The
+  * JSON records provider, key_card, state-store memory
+  * (`memoryUsedBytes` for hdfs / rocksdb total memory usage custom
+  * metric) and the JVM max heap alongside the latency percentiles.
   *
   * Shape `stress` reproduces the reference feed's adversarial traits
   * instead of a uniform row spray (the tweet simulator emits 20-message
@@ -54,16 +68,24 @@ object StreamLatency {
     val batches = args.lift(2).getOrElse("6").toInt
     val shape = args.lift(3).getOrElse("uniform")
     require(shape == "uniform" || shape == "stress", s"shape $shape")
+    val provider = args.lift(4).getOrElse("hdfs")
+    require(provider == "hdfs" || provider == "rocksdb",
+      s"provider $provider")
+    val keyCard = args.lift(5).getOrElse("10000").toLong
     val skip = 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "8192")
-      .getOrCreate()
+    val spark = (if (provider == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val root = Files.createTempDirectory("graft_streamlat").toString
 
@@ -78,7 +100,7 @@ object StreamLatency {
           element_at(
             array(lit("click"), lit("view"), lit("purchase")),
             (pmod(col("value"), lit(3)) + 1).cast("int")).as("event_type"),
-          pmod(col("value"), lit(10000L)).as("user_id"),
+          pmod(col("value"), lit(keyCard)).as("user_id"),
           (pmod(col("value"), lit(997L)).cast("double") / 10.0).as("value"))
       else {
         // burst id: 20 consecutive rows form one burst sharing key,
@@ -86,9 +108,10 @@ object StreamLatency {
         // second) — the reference simulator's 20-message clump
         val bid = floor(col("value") / 20L).cast("long")
         // cube-skewed key: h uniform in [0,1) from the burst id's hash,
-        // u = floor(10000*h^3) — P(u=0) = (1e-4)^(1/3) ~ 4.6% of rows
+        // u = floor(keyCard*h^3) — at the default 10000 keys P(u=0) =
+        // (1e-4)^(1/3) ~ 4.6% of rows
         val h = pmod(xxhash64(bid), lit(1000000L)).cast("double") / 1e6
-        val skewedUser = floor(h * h * h * 10000.0).cast("long")
+        val skewedUser = floor(h * h * h * keyCard.toDouble).cast("long")
         // every 10th burst arrives 120 s late — beyond the 30 s
         // watermark, so the discard-late path runs at a steady 10%
         val late = pmod(bid, lit(10L)) === 0L
@@ -135,14 +158,26 @@ object StreamLatency {
         .flatMap(_.stateOperators).map(_.numRowsTotal).sum
       val lateDropped = measured
         .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      // state-store memory after the last measured batch:
+      // memoryUsedBytes is the provider's own figure (on-heap estimate
+      // for hdfs; rocksdb reports its native memtable+block-cache
+      // usage); the rocksdb custom metric is recorded too when present
+      // so the artifact can show NATIVE state vs JVM heap directly
+      val lastOps = measured.lastOption.toSeq.flatMap(_.stateOperators)
+      val stateMem = lastOps.map(_.memoryUsedBytes).sum
+      val rocksMem = lastOps.map(o =>
+        Option(o.customMetrics.get("rocksdbTotalMemoryUsage"))
+          .map(_.longValue).getOrElse(0L)).sum
       System.err.println(f"[streamlat] rate=$rate%d p50=${pct(0.50)}%.0f " +
         f"p95=${pct(0.95)}%.0f max=${durs.last}%.0f ms " +
         f"rows/batch=$meanRows%d state_rows=$stateRows%d " +
+        f"state_mem=$stateMem%d rocks_mem=$rocksMem%d " +
         f"late_dropped=$lateDropped%d")
       s"""{"rows_per_sec":$rate,"batches":$batches,""" +
         f""""p50_ms":${pct(0.50)}%.0f,"p95_ms":${pct(0.95)}%.0f,""" +
         f""""max_ms":${durs.last}%.0f,"mean_rows_per_batch":$meanRows%d,""" +
         s""""state_rows_total":$stateRows,""" +
+        s""""state_mem_bytes":$stateMem,"rocksdb_mem_bytes":$rocksMem,""" +
         s""""late_dropped_rows":$lateDropped}"""
     }
 
@@ -151,6 +186,8 @@ object StreamLatency {
     val results = rates.map(measure)
     val line = s"""{"metric":"stream_batch_latency","unit":"ms",""" +
       s""""cpus":$cpus,"trigger_sec":$triggerSec,"shape":"$shape",""" +
+      s""""provider":"$provider","key_card":$keyCard,""" +
+      s""""heap_bytes":${Runtime.getRuntime.maxMemory},""" +
       s""""results":[${results.mkString(",")}]}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_LAT_OUT",

@@ -11,7 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.aggregate
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
+  IntegerType, LongType, StringType, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Aggregation buffers for the bounded smallest-k aggregates below —
@@ -114,30 +115,34 @@ final class MinKLongHeap(val k: Int) extends MinKBuf {
   }
 }
 
-/** Bounded smallest-k-BY-KEY buffer: parallel (long key, [[UTF8String]]
-  * payload) arrays ordered lexicographically on (key, payload bytes) —
+/** Bounded smallest-k-BY-KEY buffer: parallel (long key, payload)
+  * arrays ordered lexicographically on (key, payload-under-`cmp`) —
   * the payload tie-break makes the survivor set deterministic under
   * duplicate keys, matching a `row_number() OVER (ORDER BY key,
-  * payload) <= k` oracle exactly. */
-final class MinKByHeap(val k: Int) extends MinKBuf {
+  * payload) <= k` oracle exactly. Payloads are opaque `AnyRef`s ordered
+  * by the caller-supplied comparator (UTF8String byte order for string
+  * payloads; field-wise [[InternalRow]] order for struct payloads), so
+  * the keys stay a primitive array either way. */
+final class MinKByHeap(val k: Int,
+                       cmp: java.util.Comparator[AnyRef]) extends MinKBuf {
   val keys = new Array[Long](k)
-  val vals = new Array[UTF8String](k)
+  val vals = new Array[AnyRef](k)
   var size = 0
 
   @inline private def gt(i: Int, j: Int): Boolean =
     keys(i) > keys(j) ||
-      (keys(i) == keys(j) && vals(i).binaryCompare(vals(j)) > 0)
+      (keys(i) == keys(j) && cmp.compare(vals(i), vals(j)) > 0)
 
   /** True when (`key`, `v`) orders strictly before the current root
     * (the largest survivor) — the saturated-path admission test,
     * callable BEFORE cloning `v` out of reused row memory. */
-  def beatsRoot(key: Long, v: UTF8String): Boolean =
+  def beatsRoot(key: Long, v: AnyRef): Boolean =
     key < keys(0) ||
-      (key == keys(0) && v.binaryCompare(vals(0)) < 0)
+      (key == keys(0) && cmp.compare(v, vals(0)) < 0)
 
-  /** `v` MUST already be owned by this buffer (callers clone
+  /** `v` MUST already be owned by this buffer (callers clone/copy
     * row-backed memory before inserting). */
-  def insert(key: Long, v: UTF8String): Unit = {
+  def insert(key: Long, v: AnyRef): Unit = {
     if (size < k) {
       var i = size
       keys(i) = key; vals(i) = v
@@ -169,13 +174,13 @@ final class MinKByHeap(val k: Int) extends MinKBuf {
   }
 
   /** Payloads in ascending (key, payload) order (heap stays intact). */
-  def sortedPayloads: Array[UTF8String] = {
+  def sortedPayloads: Array[AnyRef] = {
     val idx = Array.range(0, size)
     val boxed = idx.map(Integer.valueOf)
     java.util.Arrays.sort(boxed, (a: Integer, b: Integer) => {
       val (i, j) = (a.intValue(), b.intValue())
       if (keys(i) != keys(j)) java.lang.Long.compare(keys(i), keys(j))
-      else vals(i).binaryCompare(vals(j))
+      else cmp.compare(vals(i), vals(j))
     })
     boxed.map(i => vals(i.intValue()))
   }
@@ -373,12 +378,25 @@ case class MinK(child: Expression, k: Int,
   * of [[MinK]] for when the RANKING column differs from the OUTPUT
   * column: `a5_collect_series_capped` ranks by epoch-millis (a true
   * chronological head, no lexicographic zero-pad encoding of time into
-  * the payload) while emitting the human-readable "epoch:value" point.
+  * the payload) while emitting the human-readable "epoch:value" point,
+  * and `a5_collect_series_capped_typed` emits the TYPED
+  * `array<struct<...>>` point the consumer can use without re-parsing.
   * Same bounded-buffer contract: O(k) state, map-side partials ship
-  * ≤ k (key, payload) pairs per (group, partition), one byte-compare +
-  * one long-compare admission once saturated. Rows where either child
+  * ≤ k (key, payload) pairs per (group, partition), one payload-compare
+  * + one long-compare admission once saturated. Rows where either child
   * is null are skipped (`collect_list` semantics); an empty group
   * yields an empty array.
+  *
+  * Payload types: a binary-collated string (UTF-8 byte-order
+  * tie-break) or a STRUCT whose fields are each bigint / int / double /
+  * timestamp / binary-collated string — struct payloads tie-break
+  * FIELD-WISE in declaration order (nulls first per field), the same
+  * lexicographic struct order `ORDER BY payload` gives in Spark and
+  * DuckDB, so the survivor set stays oracle-matched. Struct partials
+  * travel the shuffle as UnsafeRow bytes. (Doubles tie-break by IEEE
+  * total order — `java.lang.Double.compare` — which puts -0.0 before
+  * 0.0 where SQL comparison calls them equal; only the admission
+  * boundary of a group holding both could notice.)
   */
 case class MinKBy(left: Expression, right: Expression, k: Int,
                   mutableAggBufferOffset: Int = 0,
@@ -389,6 +407,14 @@ case class MinKBy(left: Expression, right: Expression, k: Int,
   private def key = left
   private def payload = right
 
+  /** Struct-payload field types supported by [[fieldCmp]] + the
+    * UnsafeRow serde; anything else is rejected at analysis time. */
+  private def fieldOk(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | TimestampType => true
+    case st: StringType => st == StringType
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     (key.dataType, payload.dataType) match {
       case (LongType, st: StringType) if st == StringType =>
@@ -396,12 +422,70 @@ case class MinKBy(left: Expression, right: Expression, k: Int,
       case (LongType, st: StringType) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName tie-breaks by binary compare; non-binary-collated " +
           s"payload ${st.sql} would keep the wrong k elements")
+      case (LongType, st: StructType) =>
+        st.fields.find(f => !fieldOk(f.dataType)) match {
+          case None => TypeCheckResult.TypeCheckSuccess
+          case Some(f) => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName struct payloads tie-break field-wise; field " +
+              s"${f.name}: ${f.dataType.sql} has no supported order " +
+              "(use bigint/int/double/timestamp/binary-collated string)")
+        }
       case (kt, vt) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects (bigint key, string payload), got " +
-          s"(${kt.sql}, ${vt.sql})")
+        s"$prettyName expects (bigint key, string or struct payload), " +
+          s"got (${kt.sql}, ${vt.sql})")
     }
 
-  override def createAggregationBuffer(): MinKBuf = new MinKByHeap(k)
+  private def isStruct = payload.dataType.isInstanceOf[StructType]
+  @transient private lazy val structType =
+    payload.dataType.asInstanceOf[StructType]
+
+  /** Null-safe (nulls-first) comparator for struct field `i`. */
+  private def fieldCmp(dt: DataType, i: Int)
+      : (InternalRow, InternalRow) => Int = {
+    val base: (InternalRow, InternalRow) => Int = dt match {
+      case LongType | TimestampType =>
+        (a, b) => java.lang.Long.compare(a.getLong(i), b.getLong(i))
+      case IntegerType =>
+        (a, b) => Integer.compare(a.getInt(i), b.getInt(i))
+      case DoubleType =>
+        (a, b) => java.lang.Double.compare(a.getDouble(i), b.getDouble(i))
+      case _ =>
+        (a, b) => a.getUTF8String(i).binaryCompare(b.getUTF8String(i))
+    }
+    (a, b) => {
+      val an = a.isNullAt(i)
+      val bn = b.isNullAt(i)
+      if (an && bn) 0 else if (an) -1 else if (bn) 1 else base(a, b)
+    }
+  }
+
+  @transient private lazy val payloadCmp: java.util.Comparator[AnyRef] =
+    if (!isStruct)
+      (x: AnyRef, y: AnyRef) =>
+        x.asInstanceOf[UTF8String]
+          .binaryCompare(y.asInstanceOf[UTF8String])
+    else {
+      val cmps = structType.fields.zipWithIndex
+        .map { case (f, i) => fieldCmp(f.dataType, i) }
+      (x: AnyRef, y: AnyRef) => {
+        val a = x.asInstanceOf[InternalRow]
+        val b = y.asInstanceOf[InternalRow]
+        var c = 0
+        var i = 0
+        while (c == 0 && i < cmps.length) { c = cmps(i)(a, b); i += 1 }
+        c
+      }
+    }
+
+  /** Struct serde projection (Generic rows from the scan -> UnsafeRow
+    * bytes for the shuffle). The projection reuses its output buffer,
+    * so serialize copies each result before the next apply. */
+  @transient private lazy val toUnsafe =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(structType.fields.map(_.dataType))
+
+  override def createAggregationBuffer(): MinKBuf =
+    new MinKByHeap(k, payloadCmp)
 
   override def update(buf: MinKBuf, input: InternalRow): MinKBuf = {
     val b = buf.asInstanceOf[MinKByHeap]
@@ -410,10 +494,15 @@ case class MinKBy(left: Expression, right: Expression, k: Int,
       val pv = payload.eval(input)
       if (pv != null) {
         val kl = kv.asInstanceOf[Long]
-        val s = pv.asInstanceOf[UTF8String]
-        // admission test BEFORE cloning the payload out of the scan's
-        // reused row memory
-        if (b.size < b.k || b.beatsRoot(kl, s)) b.insert(kl, s.clone())
+        // admission test BEFORE cloning/copying the payload out of the
+        // scan's reused row memory
+        if (isStruct) {
+          val r = pv.asInstanceOf[InternalRow]
+          if (b.size < b.k || b.beatsRoot(kl, r)) b.insert(kl, r.copy())
+        } else {
+          val s = pv.asInstanceOf[UTF8String]
+          if (b.size < b.k || b.beatsRoot(kl, s)) b.insert(kl, s.clone())
+        }
       }
     }
     buf
@@ -424,7 +513,7 @@ case class MinKBy(left: Expression, right: Expression, k: Int,
     val o = other.asInstanceOf[MinKByHeap]
     var i = 0
     while (i < o.size) {
-      // already-serialized values own their bytes; no clone needed
+      // already-deserialized values own their bytes; no clone needed
       b.insert(o.keys(i), o.vals(i))
       i += 1
     }
@@ -438,26 +527,40 @@ case class MinKBy(left: Expression, right: Expression, k: Int,
 
   override def serialize(buf: MinKBuf): Array[Byte] = {
     val b = buf.asInstanceOf[MinKByHeap]
-    var total = 4
+    // per element: 8-byte key + 4-byte length + payload bytes (UTF-8
+    // for string payloads, UnsafeRow image for struct payloads)
+    val payloads = new Array[Array[Byte]](b.size)
     var i = 0
-    while (i < b.size) { total += 8 + 4 + b.vals(i).numBytes(); i += 1 }
+    while (i < b.size) {
+      payloads(i) =
+        if (isStruct)
+          // .copy() before getBytes: the projection reuses ONE output
+          // buffer across applies, and getBytes returns that backing
+          // array as-is when it is exact-size — without the copy every
+          // serialized payload aliases the LAST projected element
+          toUnsafe(b.vals(i).asInstanceOf[InternalRow]).copy().getBytes
+        else b.vals(i).asInstanceOf[UTF8String].getBytes
+      i += 1
+    }
+    var total = 4
+    i = 0
+    while (i < b.size) { total += 12 + payloads(i).length; i += 1 }
     val out = new Array[Byte](total)
     MinKSerde.putInt(out, 0, b.size)
     var off = 4
     i = 0
     while (i < b.size) {
       MinKSerde.putLong(out, off, b.keys(i))
-      val bytes = b.vals(i).getBytes
-      MinKSerde.putInt(out, off + 8, bytes.length)
-      System.arraycopy(bytes, 0, out, off + 12, bytes.length)
-      off += 12 + bytes.length
+      MinKSerde.putInt(out, off + 8, payloads(i).length)
+      System.arraycopy(payloads(i), 0, out, off + 12, payloads(i).length)
+      off += 12 + payloads(i).length
       i += 1
     }
     out
   }
 
   override def deserialize(bytes: Array[Byte]): MinKBuf = {
-    val h = new MinKByHeap(k)
+    val h = new MinKByHeap(k, payloadCmp)
     val n = MinKSerde.getInt(bytes, 0)
     var off = 4
     var i = 0
@@ -468,7 +571,13 @@ case class MinKBy(left: Expression, right: Expression, k: Int,
       val len = MinKSerde.getInt(bytes, off + 8)
       val arr = new Array[Byte](len)
       System.arraycopy(bytes, off + 12, arr, 0, len)
-      h.vals(i) = UTF8String.fromBytes(arr)
+      h.vals(i) =
+        if (isStruct) {
+          val r = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(
+            structType.fields.length)
+          r.pointTo(arr, len)
+          r
+        } else UTF8String.fromBytes(arr)
       off += 12 + len
       i += 1
     }
@@ -477,7 +586,7 @@ case class MinKBy(left: Expression, right: Expression, k: Int,
   }
 
   override def dataType: DataType =
-    ArrayType(StringType, containsNull = false)
+    ArrayType(payload.dataType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "min_k_by"
 
@@ -518,7 +627,10 @@ object MinKAgg {
 
   /** Column form: the k payloads with the smallest (key, payload)
     * pairs, ascending — `row_number() OVER (ORDER BY key, payload)
-    * <= k` as a bounded one-scan aggregate. */
+    * <= k` as a bounded one-scan aggregate. Payload may be a
+    * binary-collated string or a struct of bigint/int/double/
+    * timestamp/string fields (field-wise tie-break, typed
+    * `array<struct<...>>` output). */
   def minKBy(key: Column, payload: Column, k: Int): Column =
     Bridge.column(MinKBy(Bridge.expression(key),
       Bridge.expression(payload), k).toAggregateExpression())

@@ -826,6 +826,13 @@ object DedupOps {
     * component). Throws `IllegalStateException` if `maxIter` rounds pass
     * without convergence rather than returning a wrong clustering.
     *
+    * Edge-cache memory: the cache holds 2·|pairs| rows of three
+    * numeric columns — measured bytes/edge and the sizing rule live in
+    * SCALE.md §CC memory sizing (probe: `graft.CcMemProbe`). On heaps
+    * below that budget set SPARK_GRAFT_CC_EDGE_LEVEL (see
+    * [[edgeStorageLevel]]) so the fill spills instead of pressuring
+    * execution memory.
+    *
     * Each round's result is eagerly checkpointed: iterative plans
     * otherwise nest the previous round's plan (twice, with the doubling
     * join), so the logical plan — and Catalyst's analysis cost — grows
@@ -838,47 +845,74 @@ object DedupOps {
     * `localCheckpoint` and the superseded round's blocks are freed
     * synchronously each iteration.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20,
-                  edgeBuckets: Int = 256): DataFrame = {
-    // snap the bucket count to a MULTIPLE of the session shuffle
-    // parallelism P: the cache below is hash(dst)-partitioned into P
-    // partitions, and _eb = pmod(hash(dst), B) nests inside the
-    // partition (each partition holds exactly B/P distinct _eb values,
-    // so the within-partition _eb sort gives single-_eb columnar
-    // batches) only when P | B. With the session default P=32 and
-    // edgeBuckets=256 this is the identity (B=256).
+  /** The CC edge-cache LAYOUT, shared by [[dupClusters]] and the
+    * memory-sizing probe (`graft.CcMemProbe`): both edge directions,
+    * an `_eb` bucket tag, hash(dst)-partitioned into exactly P
+    * partitions. Returns (frame, B, P).
+    *
+    * B is snapped to a MULTIPLE of the session shuffle parallelism P:
+    * _eb = pmod(hash(dst), B) nests inside the partition
+    * (= pmod(hash(dst), P) — same Murmur3 hash on both sides) only when
+    * P | B, and then each partition holds exactly B/P distinct _eb
+    * values, so a within-partition _eb sort gives single-_eb columnar
+    * batches. With the session default P=32 and edgeBuckets=256 the
+    * snap is the identity (B=256).
+    *
+    * The frame is HASH(dst)-PARTITIONED at fill: every CC round joins
+    * the edges on dst, so pre-partitioning pays ONE O(E) shuffle at
+    * fill and deletes the per-round O(E) exchange the join otherwise
+    * re-inserts every iteration (the dominant per-round mover at sf10).
+    * The partition count is pinned to P explicitly — an AQE-coalesced
+    * count would break both the B/P nesting and the claim that
+    * per-round joins reuse this partitioning as-is.
+    */
+  private[graft] def edgeLayout(pairs: DataFrame, edgeBuckets: Int)
+      : (DataFrame, Int, Int) = {
     val P = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val B = P * math.max(1, math.round(edgeBuckets.toDouble / P).toInt)
+    val frame = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .withColumn("_eb", pmod(hash(col("dst")), lit(B)))
+      .repartition(P, col("dst"))
+    (frame, B, P)
+  }
+
+  /** Storage level for the CC edge cache — MEMORY_AND_DISK (the
+    * `Dataset.cache()` default) unless SPARK_GRAFT_CC_EDGE_LEVEL names
+    * another level (`MEMORY_AND_DISK_SER`, `DISK_ONLY`, ...): the
+    * memory-governed posture knob for heaps below the SCALE.md sizing
+    * budget, where keeping the O(E) cache out of the storage pool lets
+    * execution memory breathe (the batch-stat frontier pruning still
+    * applies — batch min/max stats live with the batch regardless of
+    * medium). Output is identical at every level.
+    */
+  private[graft] def edgeStorageLevel
+      : org.apache.spark.storage.StorageLevel =
+    sys.env.get("SPARK_GRAFT_CC_EDGE_LEVEL")
+      .map(org.apache.spark.storage.StorageLevel.fromString)
+      .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20,
+                  edgeBuckets: Int = 256): DataFrame = {
+    // (uppercase names can't bind in a tuple pattern — they'd be read
+    // as stable-identifier matches — hence the two-step)
+    val layout = edgeLayout(pairs, edgeBuckets)
+    val edgesPlain = layout._1
+    val B = layout._2
+    val P = layout._3
     // measurement knob: disable the sparse-frontier edge pruning so its
     // benefit is A/B-able on the same JVM (output is bit-identical
     // either way — the filter is superset-safe)
     val ccNoPrune = sys.env.contains("SPARK_GRAFT_CC_NOPRUNE")
     def ebOf(c: Column): Column = pmod(hash(c), lit(B))
-    // the cache is HASH(dst)-PARTITIONED at fill: every round joins the
-    // edges on dst, so pre-partitioning pays ONE O(E) shuffle at fill
-    // and deletes the per-round O(E) exchange the join otherwise
-    // re-inserts every iteration (the dominant per-round mover at sf10).
-    // The partition count is pinned to P explicitly — an AQE-coalesced
-    // count would break both the B/P nesting (B is P-aligned above) and
-    // the claim that per-round joins reuse this partitioning as-is.
-    // The partitioning composes with the _eb batch stats: _eb =
-    // pmod(hash(dst), B) and the partition = pmod(hash(dst), P) with
-    // P | B, so one partition holds exactly B/P distinct _eb values and
-    // the within-partition _eb sort gives each columnar batch a
-    // ~single-_eb span — tighter pruning than the unpartitioned layout,
-    // not looser.
-    val edgesPlain = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .withColumn("_eb", ebOf(col("dst")))
-      .repartition(P, col("dst"))
     // don't register a cache entry in plan-audit mode (nothing executes).
     // The within-partition sort on _eb is a LOCAL sort (no shuffle) paid
     // once at cache fill; it gives every cached columnar batch a tight
     // _eb min/max so the late-round frontier filter prunes whole batches.
     val edges =
       if (graft.PlanMode.isExplainOnly) edgesPlain
-      else edgesPlain.sortWithinPartitions("_eb").cache()
+      else edgesPlain.sortWithinPartitions("_eb").persist(edgeStorageLevel)
     // OR-of-In chunks of <=10 literals: In stays `In` below the InSet
     // conversion threshold, and In/Or are what the cached-batch stats
     // pruner supports — one big isin would optimize into InSet and scan

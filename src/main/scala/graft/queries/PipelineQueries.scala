@@ -313,6 +313,39 @@ object PipelineQueries {
                  AS series_head
         FROM t GROUP BY 1""")),
 
+    // The capped fan-in with a TYPED head: same bounded min_k_by
+    // aggregate, but the payload is a struct<epoch bigint, v double>,
+    // so the series head lands as array<struct<...>> the trainer can
+    // consume directly — no "epoch:value" re-parse (the r15 verdict's
+    // struct-payload item). Ranking is unchanged (numeric epoch, then
+    // the payload's field-wise order: epoch again, then the double
+    // value); points with a null ts or null value are skipped like the
+    // string twin (the when() nulls the whole payload).
+    "a5_collect_series_capped_typed" -> Entry(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_points"),
+          graft.functions.MinKAgg.minKBy(
+            unix_millis(col("ts")),
+            when(col("value").isNotNull,
+              struct(unix_millis(col("ts")).as("epoch"),
+                col("value").as("v"))), 20)
+            .as("series_head")),
+      Some("""
+        WITH p AS (
+          SELECT event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS e,
+                 value AS v
+          FROM events),
+        t AS (SELECT event_type, e, v,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY (e IS NULL OR v IS NULL), e, v) AS rn
+              FROM p)
+        SELECT event_type, count(*) AS n_points,
+               coalesce(list(struct_pack(epoch := e, v := v) ORDER BY rn)
+                 FILTER (WHERE rn <= 20 AND e IS NOT NULL
+                         AND v IS NOT NULL), []) AS series_head
+        FROM t GROUP BY 1""")),
+
     // North-star multimodal: binary payload projection — the
     // codec-independent columns are oracle-checked; decode-stub features
     // are covered by the rows-only query below + unit specs.

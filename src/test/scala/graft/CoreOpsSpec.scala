@@ -139,6 +139,55 @@ class CoreOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("min_k_by"))
   }
 
+  test("MinKAgg.minKBy STRUCT payload: typed array<struct> head, " +
+      "field-wise tie-break, null-payload skip, cross-partition merge") {
+    import graft.functions.MinKAgg
+    import org.apache.spark.sql.Row
+    val df = Seq(
+      // key ties at 10 tie-break on the struct's (e, v) fields: the
+      // double 1.5 < 9.0 even though "1.5" vs "9.0" would agree here,
+      // the e field differing at equal key exercises field order
+      ("g", Some(10L), Some((10L, 9.0, "z"))),
+      ("g", Some(10L), Some((10L, 1.5, "a"))),
+      ("g", Some(30L), Some((30L, 0.0, "c"))),
+      ("g", Some(20L), Some((20L, 2.0, "m"))),
+      ("g", None, Some((99L, 9.9, "dropped-null-key"))),
+      ("g", Some(5L), None), // null payload: smallest key does NOT win
+      ("h", Some(1L), Some((1L, 1.0, "x")))
+    ).toDF("grp", "k", "p")
+      .select($"grp", $"k",
+        $"p".getField("_1").as("e"), $"p".getField("_2").as("v"),
+        $"p".getField("_3").as("s"))
+    // nParts=1 puts ALL admitted entries in ONE partial buffer — the
+    // layout that catches payload-bytes aliasing across one serialize
+    // pass (the UnsafeProjection buffer-reuse bug); nParts=6 exercises
+    // the cross-partition merge path
+    for (nParts <- Seq(1, 6)) {
+      val out = df.repartition(nParts).groupBy($"grp")
+        .agg(MinKAgg.minKBy($"k",
+          when($"e".isNotNull, struct($"e", $"v", $"s")), 3).as("head"))
+      // the aggregate's declared type is the typed struct array
+      assert(out.schema("head").dataType.sql ===
+        "ARRAY<STRUCT<e: BIGINT, v: DOUBLE, s: STRING>>")
+      val rows = out.collect().map(r => r.getAs[String]("grp") ->
+        r.getSeq[Row](1).map(x =>
+          (x.getLong(0), x.getDouble(1), x.getString(2)))).toMap
+      assert(rows("g") === Seq((10L, 1.5, "a"), (10L, 9.0, "z"),
+        (20L, 2.0, "m")), s"nParts=$nParts")
+      assert(rows("h") === Seq((1L, 1.0, "x")), s"nParts=$nParts")
+    }
+  }
+
+  test("MinKAgg.minKBy rejects a struct payload with an unorderable " +
+      "field at analysis time") {
+    import graft.functions.MinKAgg
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, Seq("a"))).toDF("k", "arr")
+        .agg(MinKAgg.minKBy($"k", struct($"arr"), 3)).collect()
+    }
+    assert(e.getMessage.contains("no supported order"))
+  }
+
   test("forwardFill carries last non-null within key (W6/A12)") {
     val df = Seq(
       ("A", 1, Some(10.0)), ("A", 2, None), ("A", 3, None),

@@ -154,8 +154,10 @@ def family_fallbacks(modules, exps):
 
 def main():
     bench = {}
+    bench_doc = {}
     if len(sys.argv) > 1:
-        bench = json.loads(open(sys.argv[1]).read().strip())["queries"]
+        bench_doc = json.loads(open(sys.argv[1]).read().strip())
+        bench = bench_doc["queries"]
     exps = scale_exponents()
     modules = {}
     for path in sorted(glob.glob(os.path.join(QDIR, "*.scala"))):
@@ -201,6 +203,14 @@ def main():
                "probe rows excluded from the aggregate), so every row "
                "answers \"will this scale\". Blank = family has no "
                "measured member yet.\n")
+    if "value_prod" in bench_doc:
+        out.append(
+            f"Headline: **{bench_doc['value']:.1f} s** over "
+            f"{bench_doc.get('n_entries', len(bench))} entries; "
+            f"**prod-posture subtotal {bench_doc['value_prod']:.1f} s** "
+            f"over {bench_doc.get('n_prod', '?')} prod entries (probe / "
+            "ref→twin diagnostics excluded — the number that tracks "
+            "shipping shapes round over round).\n")
     fam = family_fallbacks(modules, exps)
     for mod, entries in sorted(modules.items()):
         out.append(f"\n## {mod} ({len(entries)} entries)\n")
