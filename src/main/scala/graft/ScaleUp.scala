@@ -45,8 +45,19 @@ object ScaleUp {
     // source's, so within-copy Jaccard — and the near-dup clique profile
     // — is EXACTLY the source's, while cross-copy Jaccard is 0 (no
     // shared words → no shared shingles → no banding). Edge count then
-    // grows linearly with the factor and clique size stays constant.
+    // grows linearly with the factor and clique size stays constant
+    // (measured: 508 edges at sf0.1 → 5110 at a single-pass ×10).
+    //
+    // The tag must keep the word mapping INJECTIVE across copies AND
+    // across CHAINED ScaleUp passes: a bare "c$i" prefix collides when
+    // passes compose ("c1" + w on a pass-2 copy of an UNTAGGED pass-1
+    // word equals pass-1's own "c1"-tagged word — measured as 2.4x
+    // super-linear edges on a chained sf3b). Hence (a) a per-invocation
+    // nonce (the output dir's basename) namespaces passes, and (b) a
+    // "_" terminator after the copy index prevents "C1" from being a
+    // prefix of "C12" within a pass.
     val bounded = rest.contains("bounded")
+    val boundedTag = new java.io.File(outDir).getName
     val chainDocs = rest.filterNot(_ == "bounded").headOption
       .map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -112,7 +123,7 @@ object ScaleUp {
       if (i == 0) d
       else if (bounded) d.withColumn("text",
         array_join(transform(split(col("text"), " "),
-          w => concat(lit(s"c$i"), w)), " "))
+          w => concat(lit(s"${boundedTag}C${i}_"), w)), " "))
       else d.withColumn("text", concat(col("text"), lit(s" rep$i")))
     val docsScaled = copies(documents, Seq("doc_id"), perCopyText)
     val docsOut = if (chainDocs == 0) docsScaled else {

@@ -168,6 +168,11 @@ object StreamLatency {
       val rocksMem = lastOps.map(o =>
         Option(o.customMetrics.get("rocksdbTotalMemoryUsage"))
           .map(_.longValue).getOrElse(0L)).sum
+      // total on-disk SST bytes: with memtables bounded, this is where
+      // state-larger-than-heap actually lives
+      val rocksSst = lastOps.map(o =>
+        Option(o.customMetrics.get("rocksdbSstFileSize"))
+          .map(_.longValue).getOrElse(0L)).sum
       System.err.println(f"[streamlat] rate=$rate%d p50=${pct(0.50)}%.0f " +
         f"p95=${pct(0.95)}%.0f max=${durs.last}%.0f ms " +
         f"rows/batch=$meanRows%d state_rows=$stateRows%d " +
@@ -178,6 +183,7 @@ object StreamLatency {
         f""""max_ms":${durs.last}%.0f,"mean_rows_per_batch":$meanRows%d,""" +
         s""""state_rows_total":$stateRows,""" +
         s""""state_mem_bytes":$stateMem,"rocksdb_mem_bytes":$rocksMem,""" +
+        s""""rocksdb_sst_bytes":$rocksSst,""" +
         s""""late_dropped_rows":$lateDropped}"""
     }
 
