@@ -68,8 +68,11 @@ object StreamLatency {
     val batches = args.lift(2).getOrElse("6").toInt
     val shape = args.lift(3).getOrElse("uniform")
     require(shape == "uniform" || shape == "stress", s"shape $shape")
+    // rocksdb_changelog = RocksDB + changelog checkpointing (per-batch
+    // delta upload instead of a full snapshot — the knob that moves
+    // checkpoint cost out of the batch-duration critical path)
     val provider = args.lift(4).getOrElse("hdfs")
-    require(provider == "hdfs" || provider == "rocksdb",
+    require(Seq("hdfs", "rocksdb", "rocksdb_changelog").contains(provider),
       s"provider $provider")
     val keyCard = args.lift(5).getOrElse("10000").toLong
     val skip = 2
@@ -81,11 +84,16 @@ object StreamLatency {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "8192")
-    val spark = (if (provider == "rocksdb")
-      builder.config("spark.sql.streaming.stateStore.providerClass",
+    val spark = (if (provider.startsWith("rocksdb")) {
+      val b = builder.config(
+        "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")
-    else builder).getOrCreate()
+      if (provider == "rocksdb_changelog")
+        b.config("spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled", "true")
+      else b
+    } else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val root = Files.createTempDirectory("graft_streamlat").toString
 
