@@ -548,7 +548,7 @@ object CorpusOps {
     docs.alias("_tl")
       .join(broadcast(plan.alias("_tr")),
         col(s"_tl.`$stratumCol`") <=> col(s"_tr.`$stratumCol`"))
-      .select((docs.columns.map(c => col(s"_tl.`$c`")) :+
+      .select((docs.columns.map(c => col(s"_tl.`$c`")).toIndexedSeq :+
         col("_tr.n_docs") :+ col("_tr.keep_frac")): _*)
       .filter(h < floor(col("keep_frac") * 4294967296.0).cast("long"))
   }
@@ -603,7 +603,7 @@ object CorpusOps {
       docs.alias("_ul")
         .join(broadcast(plan.alias("_ur")),
           col(s"_ul.`$stratumCol`") <=> col("_ur._s"))
-        .select((docs.columns.map(c => col(s"_ul.`$c`")) :+
+        .select((docs.columns.map(c => col(s"_ul.`$c`")).toIndexedSeq :+
           col("_ur.n_docs") :+ col("_ur.quota") :+
           col("_ur.keep_frac")): _*)
         .filter(coin < floor(col("keep_frac") * 4294967296.0).cast("long"))

@@ -918,7 +918,8 @@ object DedupOps {
     // pruner supports — one big isin would optimize into InSet and scan
     // every batch
     def bucketPred(bs: Array[Int]): Column =
-      bs.grouped(10).map(g => col("_eb").isin(g.map(Int.box): _*))
+      bs.grouped(10).map(g =>
+        col("_eb").isin(g.map(Int.box).toIndexedSeq: _*))
         .reduce(_ || _)
     // seed with min(self, neighbors) — the first propagate round for the
     // price of the vertex-set aggregate (identity seeding would spend a

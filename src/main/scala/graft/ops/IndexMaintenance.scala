@@ -345,8 +345,8 @@ object IndexMaintenance {
         // committed file fails footer/decode with OTHER errors and
         // still surfaces loudly).
         case e: org.apache.spark.sql.AnalysisException
-            if e.getErrorClass == "PATH_NOT_FOUND" ||
-              e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" => None
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
       }
     val extras = Seq(deltaPath(path), foldPath(path)).flatMap { d =>
       if (!hasParquet(spark, d)) None else readIfPresent(d)
@@ -365,7 +365,7 @@ object IndexMaintenance {
                   _: org.apache.spark.sql.AnalysisException)
             if attempt < 2 && (e match {
               case a: org.apache.spark.sql.AnalysisException =>
-                a.getErrorClass == "PATH_NOT_FOUND"
+                a.getCondition == "PATH_NOT_FOUND"
               case _ => true
             }) => resolveBase(attempt + 1)
       }

@@ -311,7 +311,7 @@ object TextOps {
     try {
       val uniTop = uniCounts.orderBy(col("cnt").desc, col("tok"))
         .limit(topV).collect().map(r => r.getString(0) -> r.getLong(1))
-      val total = uniCounts.agg(sum(col("cnt"))).as[Long].head
+      val total = uniCounts.agg(sum(col("cnt"))).as[Long].head()
       val denom = (total + uniTop.length + 1).toDouble
       def pUni(cnt: Long): Double = (cnt + 1).toDouble / denom
       val uniMap = uniTop.toMap
