@@ -234,6 +234,12 @@ def main():
     with open(dest, "w") as f:
         f.write("\n".join(out) + "\n")
     print(f"wrote {dest}: {total} entries, {with_oracle} with oracle")
+    # run the exp-recency pin right here so a regeneration can never
+    # leave (or silently create) a stale exponent without failing loudly
+    # (import at call time: check_catalog_exp imports scale_exponents
+    # from this module, which is fully loaded by now)
+    import check_catalog_exp
+    check_catalog_exp.main()
 
 
 if __name__ == "__main__":
