@@ -15,10 +15,16 @@ import graft.ops.DedupOps
   * a measured constant instead of a guess. Honors
   * SPARK_GRAFT_CC_EDGE_LEVEL like the operator, so the governed posture
   * (serialized / disk-backed cache) is measurable with the same tool.
+  * The output line goes to stdout and, when a path is given, to a file:
+  * positional `[outJson]`, or the SPARK_GRAFT_CC_MEM_OUT env var
+  * (positional wins when both are set).
   */
 object CcMemProbe {
   def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: runMain graft.CcMemProbe <sfDir> [outJson]")
     val sfDir = args(0)
+    val outJson = args.lift(1).orElse(sys.env.get("SPARK_GRAFT_CC_MEM_OUT"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -50,7 +56,7 @@ object CcMemProbe {
       s""""heap_bytes":$heap,"storage_level":"${level.description}",""" +
       f""""fill_sec":$fillSec%.2f,"edge_buckets":$b,"partitions":$p}"""
     println(line)
-    sys.env.get("SPARK_GRAFT_CC_MEM_OUT").foreach { outPath =>
+    outJson.foreach { outPath =>
       Files.write(Paths.get(outPath), (line + "\n").getBytes("UTF-8"))
     }
     edges.unpersist()

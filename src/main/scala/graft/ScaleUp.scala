@@ -57,8 +57,29 @@ object ScaleUp {
     // "_" terminator after the copy index prevents "C1" from being a
     // prefix of "C12" within a pass.
     val bounded = rest.contains("bounded")
+    // optional literal "boundedconst" (mutually exclusive with
+    // "bounded"): the CONSTANT-LENGTH bounded-clique mode for
+    // byte-honest CC decades. Prefix-mode bounded fixtures inflate
+    // text bytes (a tag per word), so their row-basis exponents need an
+    // arithmetic byte correction (SCALE.md r16). Here EVERY copy
+    // (including copy 0) has every word replaced by the fixed-width
+    // base-36 encoding of (copy * V + rank), where rank comes from a
+    // driver-side sorted-distinct vocabulary pass (fixture vocabularies
+    // are small; guarded below): an EXACT per-copy word bijection —
+    // zero collision risk, within-copy shingle profile isomorphic to
+    // the source's, cross-copy Jaccard 0 — with a constant 4 bytes per
+    // word regardless of factor, copy index or source word length, so
+    // fixture bytes scale exactly linearly with rows and a row-basis
+    // exponent IS the byte-basis exponent. Chained passes compose
+    // safely with no nonce at all: a second pass re-ranks the first
+    // pass's tokens and re-encodes (a bijection of a bijection), so
+    // nothing stacks and no cross-pass collision exists.
+    val boundedConst = rest.contains("boundedconst")
+    require(!(bounded && boundedConst),
+      "bounded and boundedconst are mutually exclusive")
     val boundedTag = new java.io.File(outDir).getName
-    val chainDocs = rest.filterNot(_ == "bounded").headOption
+    val chainDocs = rest
+      .filterNot(a => a == "bounded" || a == "boundedconst").headOption
       .map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -119,8 +140,49 @@ object ScaleUp {
     write(copies(events, Seq("event_id")), "events")
 
     val documents = spark.read.parquet(s"$inDir/documents.parquet")
+    // prefix-mode injectivity guard: the per-copy word map relies on the
+    // nonce (output basename) being ABSENT from the input vocabulary —
+    // two chained passes whose output dirs share a basename would
+    // silently reintroduce the cross-pass tag collision and the ~2.4x
+    // super-linear edge artifact documented above. Fail fast instead.
+    if (bounded) {
+      val clash = documents
+        .filter(col("text").contains(boundedTag)).limit(1).count()
+      require(clash == 0,
+        s"bounded nonce '$boundedTag' already appears in the input " +
+          "text (a prior pass with the same output basename?): pick a " +
+          "distinct output dir name, or the per-copy word map loses " +
+          "injectivity and edge counts inflate super-linearly")
+    }
+    // boundedconst: driver-side vocabulary ranking. 36^4 fixed-width
+    // tokens bound copy*V+rank; the require keeps the encoding total.
+    val constEnc: Option[org.apache.spark.sql.expressions
+      .UserDefinedFunction] =
+      if (!boundedConst) None
+      else {
+        val words = documents
+          .select(explode(split(col("text"), " ")).as("w"))
+          .distinct().collect().map(_.getString(0)).sorted
+        val v = words.length
+        require(v.toLong * factor <= 36L * 36 * 36 * 36,
+          s"boundedconst: vocabulary $v x factor $factor exceeds the " +
+            "4-char base-36 token space")
+        println(s"[scaleup] boundedconst vocabulary: $v words")
+        val rank = words.zipWithIndex.toMap
+        val bcast = spark.sparkContext.broadcast(rank)
+        Some(udf { (text: String, i: Int) =>
+          val m = bcast.value
+          text.split(" ", -1).iterator.map { w =>
+            val s = java.lang.Long.toString(i.toLong * m.size + m(w), 36)
+            "0" * (4 - s.length) + s
+          }.mkString(" ")
+        })
+      }
     def perCopyText(d: DataFrame, i: Int): DataFrame =
-      if (i == 0) d
+      if (boundedConst) d
+        .withColumn("text", constEnc.get(col("text"), lit(i)))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      else if (i == 0) d
       else if (bounded) d.withColumn("text",
         array_join(transform(split(col("text"), " "),
           w => concat(lit(s"${boundedTag}C${i}_"), w)), " "))

@@ -42,8 +42,10 @@ import graft.streaming.StreamingMetrics
   * with a small SPARK_DRIVER_MEM heap produces the
   * state-larger-than-heap cell the 100 TB posture claim needs. The
   * JSON records provider, key_card, state-store memory
-  * (`memoryUsedBytes` for hdfs / rocksdb total memory usage custom
-  * metric) and the JVM max heap alongside the latency percentiles.
+  * (`memoryUsedBytes` — the provider's own figure: on-heap estimate
+  * for hdfs, NATIVE memtable+block-cache bytes for rocksdb — plus the
+  * pinned-block-cache custom metric as a supplement) and the JVM max
+  * heap alongside the latency percentiles.
   *
   * Shape `stress` reproduces the reference feed's adversarial traits
   * instead of a uniform row spray (the tweet simulator emits 20-message
@@ -167,14 +169,18 @@ object StreamLatency {
       val lateDropped = measured
         .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
       // state-store memory after the last measured batch:
-      // memoryUsedBytes is the provider's own figure (on-heap estimate
-      // for hdfs; rocksdb reports its native memtable+block-cache
-      // usage); the rocksdb custom metric is recorded too when present
-      // so the artifact can show NATIVE state vs JVM heap directly
+      // memoryUsedBytes is the provider's own figure — on-heap estimate
+      // for hdfs, NATIVE memtable+block-cache usage for rocksdb — so it
+      // is already the "native state vs JVM heap" number for the
+      // rocksdb postures. Spark 4.1.2 exposes no
+      // 'rocksdbTotalMemoryUsage' custom metric (r16 artifacts recorded
+      // a constant 0 under that name); the one native-memory custom
+      // metric it does expose is the pinned-block-cache slice, recorded
+      // here as a supplement
       val lastOps = measured.lastOption.toSeq.flatMap(_.stateOperators)
       val stateMem = lastOps.map(_.memoryUsedBytes).sum
       val rocksMem = lastOps.map(o =>
-        Option(o.customMetrics.get("rocksdbTotalMemoryUsage"))
+        Option(o.customMetrics.get("rocksdbPinnedBlocksMemoryUsage"))
           .map(_.longValue).getOrElse(0L)).sum
       // total on-disk SST bytes: with memtables bounded, this is where
       // state-larger-than-heap actually lives
@@ -184,13 +190,14 @@ object StreamLatency {
       System.err.println(f"[streamlat] rate=$rate%d p50=${pct(0.50)}%.0f " +
         f"p95=${pct(0.95)}%.0f max=${durs.last}%.0f ms " +
         f"rows/batch=$meanRows%d state_rows=$stateRows%d " +
-        f"state_mem=$stateMem%d rocks_mem=$rocksMem%d " +
+        f"state_mem=$stateMem%d rocks_pinned=$rocksMem%d " +
         f"late_dropped=$lateDropped%d")
       s"""{"rows_per_sec":$rate,"batches":$batches,""" +
         f""""p50_ms":${pct(0.50)}%.0f,"p95_ms":${pct(0.95)}%.0f,""" +
         f""""max_ms":${durs.last}%.0f,"mean_rows_per_batch":$meanRows%d,""" +
         s""""state_rows_total":$stateRows,""" +
-        s""""state_mem_bytes":$stateMem,"rocksdb_mem_bytes":$rocksMem,""" +
+        s""""state_mem_bytes":$stateMem,""" +
+        s""""rocksdb_pinned_mem_bytes":$rocksMem,""" +
         s""""rocksdb_sst_bytes":$rocksSst,""" +
         s""""late_dropped_rows":$lateDropped}"""
     }

@@ -390,9 +390,14 @@ case class MinK(child: Expression, k: Int,
   * Payload types: a binary-collated string (UTF-8 byte-order
   * tie-break) or a STRUCT whose fields are each bigint / int / double /
   * timestamp / binary-collated string — struct payloads tie-break
-  * FIELD-WISE in declaration order (nulls first per field), the same
-  * lexicographic struct order `ORDER BY payload` gives in Spark and
-  * DuckDB, so the survivor set stays oracle-matched. Struct partials
+  * FIELD-WISE in declaration order, nulls FIRST per field: the
+  * lexicographic struct order `ORDER BY payload` gives in SPARK (ASC
+  * defaults to NULLS FIRST). DuckDB defaults to NULLS LAST for ASC, so
+  * a DuckDB oracle over a struct payload with nullable fields must
+  * spell `NULLS FIRST` per field (or filter null-fielded rows out, as
+  * the shipped a5 consumers do via the null-key / null-payload skip) —
+  * otherwise the survivor sets diverge at the admission boundary.
+  * Struct partials
   * travel the shuffle as UnsafeRow bytes. (Doubles tie-break by IEEE
   * total order — `java.lang.Double.compare` — which puts -0.0 before
   * 0.0 where SQL comparison calls them equal; only the admission

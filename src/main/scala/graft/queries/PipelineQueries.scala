@@ -317,10 +317,18 @@ object PipelineQueries {
     // aggregate, but the payload is a struct<epoch bigint, v double>,
     // so the series head lands as array<struct<...>> the trainer can
     // consume directly — no "epoch:value" re-parse (the r15 verdict's
-    // struct-payload item). Ranking is unchanged (numeric epoch, then
-    // the payload's field-wise order: epoch again, then the double
-    // value); points with a null ts or null value are skipped like the
-    // string twin (the when() nulls the whole payload).
+    // struct-payload item). Ranking is numeric epoch, then the
+    // payload's field-wise order: epoch again, then the double value
+    // (NUMERIC — the string twin tie-breaks on the rendered point, so
+    // the two heads can differ on epoch ties with multi-digit values);
+    // points with a null ts or null value are skipped like the string
+    // twin (the when() nulls the whole payload). For the driver gate
+    // the typed head is rendered to a scalar "epoch:value" string AFTER
+    // the aggregation — the r16 driver run showed array<struct> output
+    // columns break its pandas row-sort (unhashable ndarray cells), so
+    // catalog outputs stay scalar; the array<struct> shape itself is
+    // the ops/spec-level surface (MinKAggSpec struct-payload specs +
+    // the prefix-twin invariant below).
     "a5_collect_series_capped_typed" -> Entry(
       (s, dir) => Tables.events(s, dir)
         .groupBy(col("event_type"))
@@ -330,6 +338,11 @@ object PipelineQueries {
             when(col("value").isNotNull,
               struct(unix_millis(col("ts")).as("epoch"),
                 col("value").as("v"))), 20)
+            .as("typed_head"))
+        .select(col("event_type"), col("n_points"),
+          concat_ws(";", transform(col("typed_head"),
+            x => concat(x.getField("epoch"), lit(":"),
+              x.getField("v").cast("decimal(12,2)"))))
             .as("series_head")),
       Some("""
         WITH p AS (
@@ -341,9 +354,12 @@ object PipelineQueries {
                        ORDER BY (e IS NULL OR v IS NULL), e, v) AS rn
               FROM p)
         SELECT event_type, count(*) AS n_points,
-               coalesce(list(struct_pack(epoch := e, v := v) ORDER BY rn)
+               coalesce(string_agg(
+                   CAST(e AS VARCHAR) || ':' ||
+                     CAST(CAST(v AS DECIMAL(12,2)) AS VARCHAR),
+                   ';' ORDER BY rn)
                  FILTER (WHERE rn <= 20 AND e IS NOT NULL
-                         AND v IS NOT NULL), []) AS series_head
+                         AND v IS NOT NULL), '') AS series_head
         FROM t GROUP BY 1""")),
 
     // North-star multimodal: binary payload projection — the

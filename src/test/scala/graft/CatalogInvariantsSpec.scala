@@ -41,6 +41,36 @@ class CatalogInvariantsSpec extends SparkSpec {
       s"entries planning a CartesianProduct: $offenders")
   }
 
+  test("every catalog entry's output schema is scalar-only — no " +
+      "array/map/binary/struct top-level columns (the driver's " +
+      "correctness gate sorts every column with pandas; an ndarray " +
+      "cell is unhashable and the sort throws, which red-flagged " +
+      "a5_collect_series_capped_typed in CORRECTNESS_r16 before it " +
+      "was re-rendered to a string — typed shapes stay ops/spec-level)") {
+    assume(new java.io.File(sf).isDirectory, s"$sf missing")
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType,
+      StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val schema =
+          try PlanMode.explainOnly { fn(spark, sf).schema } finally {
+            spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+          }
+        schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+              f.dataType.isInstanceOf[MapType] ||
+              f.dataType.isInstanceOf[StructType] ||
+              f.dataType == BinaryType =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar catalog output columns (driver gate cannot sort " +
+        s"these): $offenders")
+  }
+
   test("reference-semantics posture: every scaleTwin points at an " +
       "existing catalog entry, and the two SCALE.md-flagged unbounded " +
       "collects are marked") {
