@@ -79,9 +79,17 @@ object StreamLatency {
     val keyCard = args.lift(5).getOrElse("10000").toLong
     val skip = 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // state shards = shuffle partitions; default ties them to the
+    // thread count (the r13-r16 cells), the env override unties them so
+    // "more shards" is measurable WITHOUT thread oversubscription — on
+    // a cluster the two are set independently (executors x cores vs
+    // spark.sql.shuffle.partitions), and the r17 64-thread cell showed
+    // the tied layout conflates the two levers past the core count
+    val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS",
+      cpus.toString).toInt
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
@@ -206,7 +214,8 @@ object StreamLatency {
     // first-ever codegen land in the excluded batches)
     val results = rates.map(measure)
     val line = s"""{"metric":"stream_batch_latency","unit":"ms",""" +
-      s""""cpus":$cpus,"trigger_sec":$triggerSec,"shape":"$shape",""" +
+      s""""cpus":$cpus,"partitions":$parts,""" +
+      s""""trigger_sec":$triggerSec,"shape":"$shape",""" +
       s""""provider":"$provider","key_card":$keyCard,""" +
       s""""heap_bytes":${Runtime.getRuntime.maxMemory},""" +
       s""""results":[${results.mkString(",")}]}"""
