@@ -20,6 +20,33 @@ import org.apache.spark.sql.functions._
   * cross-copy banding of the suffix mode distorts the edge-count slope.
   */
 object ScaleUp {
+  /** boundedconst token space: 4-char base-36 — copy·V + rank must fit. */
+  private[graft] val ConstTokenSpace: Long = 36L * 36 * 36 * 36
+
+  /** boundedconst word encoder: the word of rank `rank` in copy `copy`
+    * becomes the zero-padded 4-char base-36 numeral of
+    * (copy·vocabSize + rank) — injective across (copy, rank) because
+    * the numeral map is, and constant-width by the pad, so encoded doc
+    * bytes depend only on the word count. Callers must keep
+    * copy·vocabSize + rank < [[ConstTokenSpace]] (main's require).
+    */
+  private[graft] def constToken(copy: Int, vocabSize: Int,
+                                rank: Int): String = {
+    val s = java.lang.Long.toString(
+      copy.toLong * vocabSize + rank, 36)
+    "0" * (4 - s.length) + s
+  }
+
+  /** boundedconst text encoder: every space-separated word replaced by
+    * its [[constToken]]; separators (incl. empties from double spaces)
+    * preserved, so the encoded byte length is 5·words − 1 regardless
+    * of copy, factor or source word lengths.
+    */
+  private[graft] def constEncode(text: String, copy: Int,
+                                 rank: Map[String, Int]): String =
+    text.split(" ", -1).iterator
+      .map(w => constToken(copy, rank.size, rank(w))).mkString(" ")
+
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir, factorStr) = args.take(3)
     val factor = factorStr.toInt
@@ -164,18 +191,14 @@ object ScaleUp {
           .select(explode(split(col("text"), " ")).as("w"))
           .distinct().collect().map(_.getString(0)).sorted
         val v = words.length
-        require(v.toLong * factor <= 36L * 36 * 36 * 36,
+        require(v.toLong * factor <= ConstTokenSpace,
           s"boundedconst: vocabulary $v x factor $factor exceeds the " +
             "4-char base-36 token space")
         println(s"[scaleup] boundedconst vocabulary: $v words")
         val rank = words.zipWithIndex.toMap
         val bcast = spark.sparkContext.broadcast(rank)
         Some(udf { (text: String, i: Int) =>
-          val m = bcast.value
-          text.split(" ", -1).iterator.map { w =>
-            val s = java.lang.Long.toString(i.toLong * m.size + m(w), 36)
-            "0" * (4 - s.length) + s
-          }.mkString(" ")
+          constEncode(text, i, bcast.value)
         })
       }
     def perCopyText(d: DataFrame, i: Int): DataFrame =
