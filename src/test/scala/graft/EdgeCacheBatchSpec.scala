@@ -33,6 +33,17 @@ class EdgeCacheBatchSpec extends SparkSpec {
 
   test("edge cache batches carry single-_eb spans nested in their " +
       "partition (measured from SimpleMetricsCachedBatch stats)") {
+    census(DedupOps.edgeStorageLevel)
+  }
+
+  test("the governed DISK_ONLY posture keeps the same batch stats — " +
+      "frontier pruning loses nothing when the cache leaves the heap " +
+      "(SCALE.md: 'stats live with the batch regardless of medium')") {
+    census(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+  }
+
+  private def census(
+      level: org.apache.spark.storage.StorageLevel): Unit = {
     val batchSize = 100
     val prior = spark.conf.get("spark.sql.inMemoryColumnarStorage.batchSize")
     spark.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", batchSize)
@@ -46,8 +57,7 @@ class EdgeCacheBatchSpec extends SparkSpec {
       val frame = layout._1
       val b = layout._2
       val p = layout._3
-      val edges = frame.sortWithinPartitions("_eb")
-        .persist(DedupOps.edgeStorageLevel)
+      val edges = frame.sortWithinPartitions("_eb").persist(level)
       try {
         edges.count() // materialize the cache
         val rel = edges.queryExecution.optimizedPlan.collectFirst {
@@ -100,7 +110,8 @@ class EdgeCacheBatchSpec extends SparkSpec {
             case _ => ()
           }
         }
-        info(s"batch-span census: ${batches.length} batches, " +
+        info(s"batch-span census (${level.description}): " +
+          s"${batches.length} batches, " +
           s"${spans.getOrElse(0, 0)} single-_eb, $multi one-boundary " +
           s"(B=$b, P=$p, batchSize=$batchSize)")
       } finally edges.unpersist(blocking = true)
