@@ -28,7 +28,8 @@ object ScaleUp {
     * (copy·vocabSize + rank) — injective across (copy, rank) because
     * the numeral map is, and constant-width by the pad, so encoded doc
     * bytes depend only on the word count. Callers must keep
-    * copy·vocabSize + rank < [[ConstTokenSpace]] (main's require).
+    * copy·vocabSize + rank < [[ConstTokenSpace]]
+    * ([[constVocabRank]]'s require).
     */
   private[graft] def constToken(copy: Int, vocabSize: Int,
                                 rank: Int): String = {
@@ -38,14 +39,39 @@ object ScaleUp {
   }
 
   /** boundedconst text encoder: every space-separated word replaced by
-    * its [[constToken]]; separators (incl. empties from double spaces)
-    * preserved, so the encoded byte length is 5·words − 1 regardless
-    * of copy, factor or source word lengths.
+    * its [[constToken]]. "Word" here means every split element — an
+    * EMPTY word arising from a double/leading/trailing space is looked
+    * up and encoded as an ordinary vocabulary entry, not passed through
+    * (the vocabulary pass in [[constVocabRank]] uses the same
+    * keep-empties split semantics — Spark's `split(col, " ")` defaults
+    * to limit -1 like the explicit `-1` here — so "" always has a
+    * rank). Single-space separators are preserved, so the encoded byte
+    * length is 5·words − 1 regardless of copy, factor or source word
+    * lengths — exactly BECAUSE empties are widened to full tokens.
     */
   private[graft] def constEncode(text: String, copy: Int,
                                  rank: Map[String, Int]): String =
     text.split(" ", -1).iterator
       .map(w => constToken(copy, rank.size, rank(w))).mkString(" ")
+
+  /** boundedconst vocabulary pass: rank the corpus's distinct words
+    * (sorted, driver-side). The 36^4 token-space guard runs on a COUNT
+    * of the distinct vocabulary BEFORE the driver-side collect, so an
+    * over-vocab input fails with the friendly message instead of first
+    * materializing an arbitrarily large word list on the driver.
+    */
+  private[graft] def constVocabRank(documents: DataFrame,
+                                    factor: Int): Map[String, Int] = {
+    val distinctWords = documents
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+    val v = distinctWords.count()
+    require(v * factor <= ConstTokenSpace,
+      s"boundedconst: vocabulary $v x factor $factor exceeds the " +
+        "4-char base-36 token space")
+    val words = distinctWords.collect().map(_.getString(0)).sorted
+    println(s"[scaleup] boundedconst vocabulary: $v words")
+    words.zipWithIndex.toMap
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir, factorStr) = args.take(3)
@@ -187,18 +213,14 @@ object ScaleUp {
       .UserDefinedFunction] =
       if (!boundedConst) None
       else {
-        val words = documents
-          .select(explode(split(col("text"), " ")).as("w"))
-          .distinct().collect().map(_.getString(0)).sorted
-        val v = words.length
-        require(v.toLong * factor <= ConstTokenSpace,
-          s"boundedconst: vocabulary $v x factor $factor exceeds the " +
-            "4-char base-36 token space")
-        println(s"[scaleup] boundedconst vocabulary: $v words")
-        val rank = words.zipWithIndex.toMap
-        val bcast = spark.sparkContext.broadcast(rank)
+        val bcast = spark.sparkContext
+          .broadcast(constVocabRank(documents, factor))
+        // null-safe: the prefix/suffix modes pass a null text through
+        // via null-propagating SQL builtins; the UDF must match, or one
+        // null-text document row crashes the whole scale-up in this
+        // mode only
         Some(udf { (text: String, i: Int) =>
-          constEncode(text, i, bcast.value)
+          if (text == null) null else constEncode(text, i, bcast.value)
         })
       }
     def perCopyText(d: DataFrame, i: Int): DataFrame =

@@ -264,10 +264,10 @@ object PipelineQueries {
         SELECT event_type, count(*) AS n_points,
                string_agg(
                  CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS VARCHAR) || ':' ||
-                   CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR), ';'
+                   CAST(TRY_CAST(value AS DECIMAL(12,2)) AS VARCHAR), ';'
                  ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)),
                    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS VARCHAR) || ':' ||
-                     CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR)) AS series
+                     CAST(TRY_CAST(value AS DECIMAL(12,2)) AS VARCHAR)) AS series
         FROM events GROUP BY 1"""),
       scaleTwin = Some("a5_collect_series_capped")),
 
@@ -301,7 +301,7 @@ object PipelineQueries {
         WITH p AS (
           SELECT event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS e,
                  CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS VARCHAR) || ':' ||
-                   CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS pt
+                   CAST(TRY_CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS pt
           FROM events),
         t AS (SELECT event_type, pt,
                      row_number() OVER (PARTITION BY event_type
@@ -328,7 +328,13 @@ object PipelineQueries {
     // columns break its pandas row-sort (unhashable ndarray cells), so
     // catalog outputs stay scalar; the array<struct> shape itself is
     // the ops/spec-level surface (MinKAggSpec struct-payload specs +
-    // the prefix-twin invariant below).
+    // the prefix-twin invariant below). Overflow alignment (all three
+    // a5 entries): a |v| >= 10^10 nulls the non-ANSI decimal(12,2)
+    // render, and concat_ws/string_agg then drop that point from the
+    // rendered series ON BOTH SIDES — the oracles render through
+    // DuckDB's TRY_CAST (null on overflow, like Spark's non-ANSI cast)
+    // rather than CAST (which errors), so an out-of-range value keeps
+    // its rank/count but disappears from the string identically.
     "a5_collect_series_capped_typed" -> Entry(
       (s, dir) => Tables.events(s, dir)
         .groupBy(col("event_type"))
@@ -356,7 +362,7 @@ object PipelineQueries {
         SELECT event_type, count(*) AS n_points,
                coalesce(string_agg(
                    CAST(e AS VARCHAR) || ':' ||
-                     CAST(CAST(v AS DECIMAL(12,2)) AS VARCHAR),
+                     CAST(TRY_CAST(v AS DECIMAL(12,2)) AS VARCHAR),
                    ';' ORDER BY rn)
                  FILTER (WHERE rn <= 20 AND e IS NOT NULL
                          AND v IS NOT NULL), '') AS series_head

@@ -1,7 +1,5 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 /** Pins the boundedconst word-encoding invariants that the
   * catalog-facing CC exponents rest on (SCALE.md §r17): the fixture
   * claim "row basis IS byte basis" holds only while every token is
@@ -11,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * end-to-end check; this spec is the in-tree one that fails the build
   * if the encoder drifts.
   */
-class ScaleUpSpec extends AnyFunSuite {
+class ScaleUpSpec extends SparkSpec {
 
   test("constToken is 4 chars for every value in the token space and " +
       "injective across (copy, rank)") {
@@ -48,5 +46,36 @@ class ScaleUpSpec extends AnyFunSuite {
     // cross-copy disjoint: the same word never shares a token
     assert(ScaleUp.constEncode("a", 1, rank) !=
       ScaleUp.constEncode("a", 2, rank))
+  }
+
+  test("constEncode treats an EMPTY word from a double space as an " +
+      "ordinary vocabulary entry — widened to a full 4-char token, " +
+      "keeping the 5·words − 1 byte invariant (not passed through)") {
+    val rank = Map("a" -> 0, "" -> 1, "b" -> 2)
+    val e = ScaleUp.constEncode("a  b", 5, rank)
+    val toks = e.split(" ", -1)
+    // "a  b" splits (keep-empties) to ["a", "", "b"]: 3 words, and the
+    // middle token is the encoding of "" — NOT an empty string
+    assert(toks.length == 3, s"encoded as $e")
+    assert(toks(1) == ScaleUp.constToken(5, 3, 1), s"empty word -> ${toks(1)}")
+    assert(e.length == 3 * 5 - 1, s"byte invariant broke: ${e.length}")
+  }
+
+  test("constVocabRank's 36^4 token-space guard fires on an over-vocab " +
+      "input BEFORE the driver-side collect materializes the word list") {
+    import spark.implicits._
+    // tiny vocabulary x huge factor overflows the space without needing
+    // a large input: 3 words x 600000 copies > 36^4 = 1679616
+    val docs = Seq("w0 w1", "w2").toDF("text")
+    val ex = intercept[IllegalArgumentException] {
+      ScaleUp.constVocabRank(docs, 600000)
+    }
+    assert(ex.getMessage.contains("exceeds the 4-char base-36 token space"),
+      ex.getMessage)
+    assert(ex.getMessage.contains("vocabulary 3 x factor 600000"),
+      ex.getMessage)
+    // in-range passes and ranks sorted: "" absent here, plain 3 words
+    val rank = ScaleUp.constVocabRank(docs, 10)
+    assert(rank == Map("w0" -> 0, "w1" -> 1, "w2" -> 2))
   }
 }
