@@ -29,8 +29,10 @@ object Bench {
     // CONCURRENT per-task memory footprint — the executor-sizing lever a
     // capped-heap deployment turns first (SCALE.md §CC memory sizing)
     val shufP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // process-boundary override (see [[BenchMaster]] / SCALE.md §r18)
+    val master = BenchMaster.resolve(s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", shufP)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
@@ -43,7 +45,7 @@ object Bench {
       // ~1.45x inflation across the catalog, including untouched trivial
       // entries. Sized to hold every stage of a full sweep.
       .config("spark.sql.codegen.cache.maxEntries", "8192")
-      .getOrCreate()
+    val spark = BenchMaster.configure(builder0, master).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def sweep(): Unit = {

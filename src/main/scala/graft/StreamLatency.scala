@@ -87,8 +87,13 @@ object StreamLatency {
     // the tied layout conflates the two levers past the core count
     val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS",
       cpus.toString).toInt
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // process-boundary override (see [[BenchMaster]] / SCALE.md §r18):
+    // under local-cluster the state shards spread across real executor
+    // JVMs (one RocksDB instance set per process) and checkpointing
+    // crosses a process boundary to the shared filesystem
+    val master = BenchMaster.resolve(s"local[$cpus]")
+    val builder = BenchMaster.configure(SparkSession.builder(), master)
+      .master(master)
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
@@ -106,6 +111,16 @@ object StreamLatency {
     } else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val root = Files.createTempDirectory("graft_streamlat").toString
+    // the checkpoint scratch holds the run's full RocksDB state uploads
+    // (4-10 GiB per wall-shaped run): left behind, a campaign of them
+    // fills /tmp and the NEXT run dies on ENOSPC mid-batch (r18).
+    // A shutdown hook covers normal exit and uncaught exceptions; a
+    // hard JVM abort (the known RocksDB JNI info-logger teardown
+    // SIGSEGV, SCALE.md r16) skips hooks, so campaign scripts should
+    // still `rm -rf /tmp/graft_streamlat*` between runs as backstop.
+    sys.addShutdownHook {
+      deleteRecursively(new java.io.File(root))
+    }
 
     // rate rows -> events shape, pure deterministic column algebra
     def source(rate: Long): DataFrame = {
@@ -232,5 +247,10 @@ object StreamLatency {
       }
     }
     spark.stop()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 }
