@@ -286,6 +286,52 @@ object HashKernels {
     }
     new GenericInternalRow(Array[Any](hex32(minD), hex32(maxD)))
   }
+
+  /** Bloom-filter probe over distinct word n-gram shingles — the native
+    * kernel form of DedupOps.bloomDecontaminate's train-side projection
+    * (that HOF chain — `exists(transform(grams, md5), ...)` with one
+    * string `conv` per hash per gram — evaluates interpreted; measured
+    * ~31 s of task CPU at sf0.1 vs ~2 s for this kernel, r18).
+    * Bit-identical semantics to the declarative twin, replayed by the
+    * same DuckDB oracle:
+    *  - grams = distinct word n-gram shingles ([[wordShingleSet]] —
+    *    set semantics; `n_grams` is the distinct count);
+    *  - position i of a gram = its md5-hex chars [8i, 8i+8) read as an
+    *    unsigned 32-bit value (== `conv(substring(md5(g),8i+1,8),16,10)`),
+    *    mod `numBits`;
+    *  - hit iff ANY gram has ALL `numHashes` positions set in `words`
+    *    (bit p of word p/64 — exact `element_at(words, p/64 + 1) &
+    *    shiftleft(1L, p % 64)` replay). Early-exits on the first hit
+    *    gram, which the materialize-then-scan HOF form cannot.
+    */
+  def bloomProbe(text: UTF8String, n: Int, numHashes: Int, numBits: Int,
+                 words: Array[Long]): InternalRow = {
+    val sh = wordShingleSet(text, n)
+    val md = md5Local.get()
+    val tmp = new Array[Byte](16)
+    var hit = false
+    var s = 0
+    while (s < sh.size && !hit) {
+      md.reset()
+      md.update(sh.get(s).getBytes(StandardCharsets.UTF_8))
+      md.digest(tmp, 0, 16)
+      var all = true
+      var i = 0
+      while (i < numHashes && all) {
+        val v = ((tmp(4 * i) & 0xFFL) << 24) |
+          ((tmp(4 * i + 1) & 0xFFL) << 16) |
+          ((tmp(4 * i + 2) & 0xFFL) << 8) |
+          (tmp(4 * i + 3) & 0xFFL)
+        val p = v % numBits
+        if ((words((p / 64).toInt) & (1L << (p % 64).toInt)) == 0L)
+          all = false
+        i += 1
+      }
+      if (all) hit = true
+      s += 1
+    }
+    new GenericInternalRow(Array[Any](sh.size.toLong, hit))
+  }
 }
 
 private[functions] trait TextHashExpr extends UnaryExpression {
@@ -372,6 +418,37 @@ case class Md5MinMaxShingles(child: Expression, shingleLen: Int)
       : Expression = copy(child = newChild)
 }
 
+/** bloom_probe(text, n, numHashes, numBits, words):
+  * struct(n_grams, bloom_hit) — distinct word-n-gram count and whether any
+  * gram's md5-window positions are all set in the `words` bitset (see
+  * [[HashKernels.bloomProbe]]). `words` is embedded as a reference object
+  * in generated code (the bitset is driver-bounded by construction —
+  * numBits/64 longs).
+  */
+case class BloomProbe(child: Expression, n: Int, numHashes: Int,
+                      numBits: Int, words: Array[Long])
+    extends TextHashExpr {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("bloom_hit", BooleanType, nullable = false)))
+  override def prettyName: String = "bloom_probe"
+
+  override def nullSafeEval(t: Any): Any =
+    HashKernels.bloomProbe(t.asInstanceOf[UTF8String], n, numHashes,
+      numBits, words)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("bloomWords", words, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.bloomProbe($c, $n, " +
+        s"$numHashes, $numBits, $w);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 object TextHashFunctions {
   def simhash64(text: Column, shingleWords: Int): Column =
     Bridge.column(SimHash64(Bridge.expression(text), shingleWords))
@@ -384,4 +461,9 @@ object TextHashFunctions {
 
   def winnow_fps(text: Column, n: Int, w: Int): Column =
     Bridge.column(WinnowFps(Bridge.expression(text), n, w))
+
+  def bloom_probe(text: Column, n: Int, numHashes: Int, numBits: Int,
+                  words: Array[Long]): Column =
+    Bridge.column(BloomProbe(Bridge.expression(text), n, numHashes,
+      numBits, words))
 }

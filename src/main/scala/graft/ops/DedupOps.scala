@@ -778,16 +778,22 @@ object DedupOps {
       .collect().map(r => r.getInt(0) -> r.getLong(1))
     val bitWords = new Array[Long](sizedBits / 64)
     setWords.foreach { case (w, bits) => bitWords(w) = bits }
-    val wordsLit = typedlit(bitWords.toSeq)
-    def isSet(p: Column): Column =
-      element_at(wordsLit, (p / 64).cast("int") + 1)
-        .bitwiseAND(call_function("shiftleft", lit(1L),
-          (p % 64).cast("int"))) =!= 0L
+    // probe side: ONE native kernel call per doc
+    // ([[graft.functions.HashKernels.bloomProbe]] — codegen'd, md5 once
+    // per distinct gram, early-exit on the first hit gram). The previous
+    // declarative projection (`exists(transform(grams, md5), h =>
+    // positions(h) all set)`) is semantically identical — same distinct
+    // gram set, same md5-hex windows, same bitset test, replayed by the
+    // same oracle — but higher-order lambdas evaluate INTERPRETED with a
+    // string `conv` per hash per gram: measured 31 s task CPU / 2.0 s
+    // wall at sf0.1 vs ~2 s / 0.7 s for the kernel (r18 optimization;
+    // parity spec in DedupSimSpec).
+    val probe = graft.functions.TextHashFunctions
+      .bloom_probe(col(textCol), n, numHashes, sizedBits, bitWords)
     Rebalance(train)
-      .select(col(idCol), wordShingles(textCol, n).as("_gs"))
-      .select(col(idCol), size(col("_gs")).cast("long").as("n_grams"),
-        exists(transform(col("_gs"), g => md5(g)),
-          h => posFromHex(h).map(isSet).reduce(_ && _)).as("bloom_hit"))
+      .select(col(idCol), probe.as("_bp"))
+      .select(col(idCol), col("_bp").getField("n_grams").as("n_grams"),
+        col("_bp").getField("bloom_hit").as("bloom_hit"))
   }
 
   /** Dedup clusters: connected components over candidate pairs by
@@ -977,10 +983,16 @@ object DedupOps {
       // so label(label(v)) <= label(v) and is in the same component.
       // The right (renamed) side is alias-aware: its join key is the
       // original doc_id attribute, so when prop sits on hash(doc_id)
-      // (checkpoint partitioning) only the LEFT side exchanges.
+      // (checkpoint partitioning) only the LEFT side exchanges. The
+      // shuffle_hash hint is EXPLICIT (r18): under AQE the runtime
+      // already rewrote this to a hash join, but an AQE-off round
+      // (SPARK_GRAFT_CC_ROUND_AQE) would otherwise fall back to the
+      // planner's SortMergeJoin default and pay two per-round O(V)
+      // sorts the round-plan spec pins against.
       prop.as("l")
         .join(prop.select(col("doc_id").as("cluster_id"),
-          col("cluster_id").as("_ll")).as("p"), Seq("cluster_id"), "left")
+            col("cluster_id").as("_ll")).as("p").hint("shuffle_hash"),
+          Seq("cluster_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"),
             coalesce(col("_ll"), col("cluster_id"))).as("cluster_id"),
@@ -1015,6 +1027,41 @@ object DedupOps {
       out
     }
     var labels = ckpt(seedFrame)
+    // AQE posture for the doubling rounds (r18 optimization, measured):
+    // every degree of freedom AQE could exercise in a round is already
+    // pinned — both joins are hinted shuffle_hash, the edge cache and
+    // the label checkpoints are hash-partitioned at exactly P, and the
+    // round output repartition(P, doc_id) is explicit — so adaptive
+    // re-planning mainly splits each round into one scheduler job per
+    // exchange (a per-round driver barrier tax), while its one real
+    // lever, coalescing the nbrMin groupBy exchange, only matters while
+    // the frontier is WIDE. SPARK_GRAFT_CC_ROUND_AQE ∈ on|off|sparse:
+    // `off` disables AQE for every round, `sparse` only for rounds whose
+    // frontier passed the B/8 pruning gate (the straggler regime, where
+    // nbrMin is a handful of rows and the barrier tax is pure loss),
+    // `on` keeps the session setting. Default from the r18 A/B (2 fresh
+    // JVMs × reps=3, min-combined, sf0.1): `sparse` — five-entry CC
+    // subtotal 12.31 s vs 13.97 (on) / 13.96 (off); the chain probe
+    // takes the full straggler-round win (7.23 → 6.26 s) and the plain
+    // wide-frontier entries keep AQE where it demonstrably helps
+    // (mode=off regressed dedup_apply/_triage by 0.3-0.4 s). Numbers in
+    // OPTIMIZATION_r18.md.
+    // The seed/edge-fill job above always stays adaptive: its upstream
+    // pair pipeline (banding self-join + aggregates) is unpinned and
+    // AQE's runtime join rewrites measurably help it. Restored in the
+    // finally below; output is bit-identical at any setting (execution
+    // strategy only — same trajectory, same labels).
+    val roundAqeMode =
+      sys.env.getOrElse("SPARK_GRAFT_CC_ROUND_AQE", "sparse")
+    val sess = pairs.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = sess.conf.get(aqeKey)
+    def setRoundAqe(sparseRound: Boolean): Unit = roundAqeMode match {
+      case "off" => sess.conf.set(aqeKey, "false")
+      case "sparse" =>
+        sess.conf.set(aqeKey, if (sparseRound) "false" else aqePrev)
+      case _ => ()
+    }
     // local mode: the checkpoint whose blocks the current `labels` lives
     // on; each round frees the superseded one NOW (blocking) — leaving
     // dead rounds to driver GC + ContextCleaner lets storage balloon
@@ -1033,8 +1080,9 @@ object DedupOps {
     // frontier width on stderr — the observability handle for adjudicating
     // where a big CC run spends its rounds
     val ccLog = sys.env.contains("SPARK_GRAFT_CC_LOG")
-    while (!converged && i < maxIter) {
+    try while (!converged && i < maxIter) {
       val rt0 = System.nanoTime()
+      setRoundAqe(buckets.exists(bs => bs.length <= B / 8 && !ccNoPrune))
       val next = ckpt(roundFrame(labels, changedSet, buckets))
       // labels are min-monotone: "changed" == strictly decreased. The
       // probe reads the just-materialized checkpoint and doubles as the
@@ -1065,7 +1113,7 @@ object DedupOps {
       buckets = Some(frontierBuckets)
       converged = frontierBuckets.isEmpty
       i += 1
-    }
+    } finally sess.conf.set(aqeKey, aqePrev)
     edges.unpersist()
     if (!converged) throw new IllegalStateException(
       s"dupClusters: not converged after $maxIter rounds " +
