@@ -70,6 +70,67 @@ object TaOps {
     val series = col("series")
     val n = size(series)
 
+    // r18 optimization: the per-series fold runs as ONE native codegen'd
+    // kernel call ([[graft.functions.TaFoldKernel.taFold]]) instead of
+    // the interpreted Catalyst transform/aggregate/filter chain below
+    // (higher-order lambdas evaluate interpreted, allocating a 6-field
+    // struct per element — measured ~1.1 s single-task wall per snapshot
+    // at sf0.1, vs ~30 ms for the kernel; the fold is the operator's
+    // whole per-byte cost at scale). Op order, three-valued null logic,
+    // `greatest` null/NaN rules, the 0.0 fold inits and the VWAP window
+    // predicate are replicated exactly — the declarative twin is kept
+    // below ([[taSnapshotDeclarative]]) and TaKernelParitySpec pins
+    // equality row-for-row; the DuckDB oracle replay is unchanged.
+    val fold = graft.functions.TaFoldFunctions.ta_fold(series,
+      aF, aS, aG, aW, smaN, vwapHours * 3600000000L)
+    val withF = collected.withColumn("_f", fold)
+    val smaLen = least(n, lit(smaN))
+    val lastT = element_at(series, -1).getField("t")
+    val au = col("_f").getField("au")
+    val ad = col("_f").getField("ad")
+    val rsi = when(au.isNull, lit(null).cast("double"))
+      .when(ad === 0.0 && au === 0.0, lit(null).cast("double"))
+      .when(ad === 0.0, lit(100.0))
+      .otherwise(least(greatest(
+        lit(100.0) - lit(100.0) / (lit(1.0) + au / ad), lit(0.0)),
+        lit(100.0)))
+    val macd = col("_f").getField("ef") - col("_f").getField("es")
+    val sig = col("_f").getField("sig")
+    return withF.select(
+      col(keyCol),
+      lastT.as("ts_last"),
+      n.cast("long").as("n_points"),
+      round(col("_f").getField("sma_sum") / smaLen, 6).as("sma"),
+      round(rsi, 6).as("rsi"),
+      round(macd, 6).as("macd"),
+      round(sig, 6).as("macd_signal"),
+      round(macd - sig, 6).as("macd_hist"),
+      round(col("_f").getField("sum_pv") /
+        nullif(col("_f").getField("sum_w"), lit(0.0)), 6).as("vwap24"))
+  }
+
+  /** The pre-r18 declarative fold — retained verbatim as the
+    * oracle-shaped reference implementation the native kernel must match
+    * row-for-row (TaKernelParitySpec).
+    */
+  private[graft] def taSnapshotDeclarative(df: DataFrame, keyCol: String,
+                 tsCol: String, priceCol: String, volCol: String,
+                 smaN: Int = 20, rsiN: Int = 14,
+                 fast: Int = 12, slow: Int = 26, signalN: Int = 9,
+                 vwapHours: Int = 24): DataFrame = {
+    val aF = 2.0 / (fast + 1)
+    val aS = 2.0 / (slow + 1)
+    val aG = 2.0 / (signalN + 1)
+    val aW = 1.0 / rsiN
+
+    val collected = df.groupBy(col(keyCol)).agg(
+      array_sort(collect_list(struct(
+        col(tsCol).as("t"),
+        col(priceCol).cast("double").as("v"),
+        col(volCol).cast("double").as("w")))).as("series"))
+    val series = col("series")
+    val n = size(series)
+
     // fold element == accumulator struct: prev carries the element's own
     // price on input and the last-seen price inside the accumulator, so
     // the first element IS the init state (ef/es seeded at x_1, signal at

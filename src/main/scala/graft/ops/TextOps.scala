@@ -249,18 +249,41 @@ object TextOps {
   def unigramLogProb(df: DataFrame, topV: Int = 20,
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val toks = df.select(explode(split(lower(col(textCol)), " ")).as("tok"))
-    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("tok")).limit(topV)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    val total = toks.count()
+    // r18 optimization: ONE cached count table + ONE driver action for
+    // both model cuts (was: a top-topV collect AND a separate
+    // toks.count() — i.e. the corpus exploded twice and two driver
+    // barriers; the unionAll packs the top cut and the corpus total into
+    // a single job over the cached counts). Model values are unchanged.
+    val cnts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt")).cache()
+    val (counts, total) = try {
+      val topRows = cnts.orderBy(col("cnt").desc, col("tok")).limit(topV)
+        .select(lit(0).as("_t"), col("tok"), col("cnt"))
+      val totRow = cnts.agg(sum(col("cnt")).as("cnt"))
+        .select(lit(1).as("_t"), lit(null).cast("string").as("tok"),
+          col("cnt"))
+      val rows = topRows.unionAll(totRow).collect()
+      (rows.filter(_.getInt(0) == 0)
+         .map(r => r.getString(1) -> r.getLong(2)),
+       rows.find(_.getInt(0) == 1)
+         .map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).getOrElse(0L))
+    } finally cnts.unpersist()
     val vActual = counts.length
     val denom = (total + vActual + 1).toDouble
     def qlp(cnt: Long): Long =
       math.round(math.log((cnt + 1).toDouble / denom) * 1e6)
+    val oovQlp = lit(qlp(0L))
+    // scoring stays the narrow literal-map fold: an explode + broadcast
+    // join + doc-grain agg variant (the bigramLogProb shape) was
+    // measured in r18 and is SLOWER here (1.29 vs 0.80 s at sf0.1) —
+    // the unigram fold is one map probe + long add per token with no
+    // exploded shuffle, which is also the better 100 TB shape (the
+    // bigram op only left the fold because its per-pair struct lambda
+    // was ~10x the scalar probe).
     val vocabQlp: Column = map(
       counts.flatMap { case (t, c) => Seq(lit(t), lit(qlp(c))) }.toSeq: _*)
-    val oovQlp = lit(qlp(0L))
     val scored = df.select(col(idCol),
       split(lower(col(textCol)), " ").as("_toks"), vocabQlp.as("_v"))
     scored.select(col(idCol),

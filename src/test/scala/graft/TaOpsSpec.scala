@@ -89,4 +89,41 @@ class TaOpsSpec extends SparkSpec {
     val out = snap(rows)("z")
     assert(out.isNullAt(out.fieldIndex("vwap24")))
   }
+
+  test("native ta_fold kernel matches the declarative fold row-for-row, " +
+       "including null volumes, a cutting VWAP window, flat / monotone / " +
+       "single-point series") {
+    // r18 parity pin: taSnapshot moved from the interpreted Catalyst
+    // transform/aggregate/filter fold to TaFoldKernel; the old fold is
+    // retained as taSnapshotDeclarative and must agree bit-for-bit —
+    // including the three-valued-logic poison a null volume injects into
+    // the VWAP sums (the reference's get_json_object-missing case).
+    val rows: Seq[(String, Timestamp, Double, java.lang.Double)] = Seq(
+      ("a", ts(0), 10.0, java.lang.Double.valueOf(2.0)),
+      ("a", ts(1), 12.0, null),
+      ("a", ts(2), 11.0, java.lang.Double.valueOf(1.5)),
+      ("a", ts(3), 15.0, java.lang.Double.valueOf(4.0)),
+      ("b", Timestamp.valueOf("2024-01-01 00:00:00"), 100.0,
+        java.lang.Double.valueOf(10.0)),
+      ("b", Timestamp.valueOf("2024-01-02 05:00:00"), 10.0,
+        java.lang.Double.valueOf(1.0)),
+      ("b", Timestamp.valueOf("2024-01-02 06:00:00"), 20.0,
+        java.lang.Double.valueOf(3.0)),
+      ("c", ts(0), 7.0, java.lang.Double.valueOf(1.0)),
+      ("c", ts(1), 7.0, java.lang.Double.valueOf(1.0)),
+      ("d", ts(5), 42.0, java.lang.Double.valueOf(3.0))) ++
+      (0 until 40).map(i => ("e", ts(i), 10.0 + (i % 7) * 1.3 - (i % 3),
+        java.lang.Double.valueOf(1.0 + i)))
+    val df = rows.toDF("sym", "t", "p", "vol")
+    def dump(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => r.getString(0) ->
+        (1 until r.length).map(i =>
+          if (r.isNullAt(i)) null else r.get(i)).toList).toMap
+    val kernel = dump(TaOps.taSnapshot(df, "sym", "t", "p", "vol"))
+    val declarative = dump(
+      TaOps.taSnapshotDeclarative(df, "sym", "t", "p", "vol"))
+    assert(kernel === declarative)
+    // the null vol poisons symbol a's vwap (null * price nulls the sum)
+    assert(kernel("a").last == null)
+  }
 }
