@@ -1080,31 +1080,72 @@ object DedupOps {
     // frontier width on stderr — the observability handle for adjudicating
     // where a big CC run spends its rounds
     val ccLog = sys.env.contains("SPARK_GRAFT_CC_LOG")
+    // r19 (guide §2-barriers): the per-round frontier probe rides the
+    // checkpoint-materializing action as OBSERVED METRICS instead of a
+    // separate scan job over the just-written checkpoint. The changed
+    // bucket set is a fixed B-bit bitmap built from ceil(B/64) `bit_or`
+    // aggregates over when(cluster_id < _old) rows — bit_or is idempotent
+    // under recomputation, so the reliable-checkpoint path (whose file
+    // write re-runs the round RDD once more) cannot double-count. One
+    // scheduler job per round now materializes the round AND reports the
+    // frontier; at 100 TB the deleted probe was a full O(V)-partition
+    // barrier per round. The metric node sits above the round's final
+    // exchange and passes partitioning through (CollectMetricsExec
+    // preserves child partitioning), so the checkpoint keeps its
+    // hash(doc_id) layout and every downstream reuse claim holds.
+    val nWords = (B + 63) / 64
+    def frontierObserve(df: DataFrame): DataFrame = {
+      val ebC = pmod(hash(col("doc_id")), lit(B))
+      val chg = col("cluster_id") < col("_old")
+      val words = (0 until nWords).map { w =>
+        bit_or(when(chg && ebC >= lit(w * 64) && ebC < lit(w * 64 + 64),
+          call_function("shiftleft", lit(1L),
+            (ebC - lit(w * 64)).cast("int")))
+          .otherwise(lit(0L))).as(s"_fb$w")
+      }
+      df.observe("cc_frontier", words.head, words.tail: _*)
+    }
+    def frontierFromMetrics(df: DataFrame): Option[Array[Int]] =
+      df.queryExecution.observedMetrics.get("cc_frontier").map { row =>
+        val out = Array.newBuilder[Int]
+        var w = 0
+        while (w < nWords) {
+          val bits = if (row.isNullAt(w)) 0L else row.getLong(w)
+          var b = 0
+          while (b < 64) {
+            if ((bits & (1L << b)) != 0L) out += w * 64 + b
+            b += 1
+          }
+          w += 1
+        }
+        out.result()
+      }
     try while (!converged && i < maxIter) {
       val rt0 = System.nanoTime()
       setRoundAqe(buckets.exists(bs => bs.length <= B / 8 && !ccNoPrune))
-      val next = ckpt(roundFrame(labels, changedSet, buckets))
-      // labels are min-monotone: "changed" == strictly decreased. The
-      // probe reads the just-materialized checkpoint and doubles as the
-      // frontier-bucket collect: distinct _eb over the changed set is
-      // bounded by edgeBuckets rows on the driver, empty == converged —
-      // one job per round, same as the old limit(1).count() probe, and
-      // its result lets the next round's edge scan skip whole cached
-      // batches.
+      val roundDf = frontierObserve(roundFrame(labels, changedSet, buckets))
+      val next = ckpt(roundDf)
+      // labels are min-monotone: "changed" == strictly decreased; the
+      // lazy filter below feeds next round's delta-messaging join.
       val changedRows = next.filter(col("cluster_id") < col("_old"))
-      // shuffle-free distinct: per-partition dedup, driver merge — the
-      // collected set is bounded by edgeBuckets x partitions, and the
-      // probe stays a single-stage job like the limit(1).count() it
-      // replaced (a DataFrame distinct() would add one shuffle job per
-      // round, which at small SF costs more than the pruning saves)
+      // read the frontier bitmap off the materializing action; the old
+      // checkpoint-scan probe remains ONLY as a fallback should the
+      // runtime ever fail to report the metric (e.g. an AQE plan shape
+      // the metric collector cannot traverse) — output is identical
+      // either way, the fallback just pays the extra job the metric
+      // deletes
       val t0 = System.nanoTime()
-      val frontierBuckets = changedRows
-        .select(ebOf(col("doc_id")).as("_eb")).rdd
-        .mapPartitions(it => it.map(_.getInt(0)).toSet.iterator)
-        .collect().distinct
+      val observed = frontierFromMetrics(roundDf)
+      val frontierBuckets = observed.getOrElse {
+        changedRows
+          .select(ebOf(col("doc_id")).as("_eb")).rdd
+          .mapPartitions(it => it.map(_.getInt(0)).toSet.iterator)
+          .collect().distinct
+      }
       if (ccLog) System.err.println(
         f"[dupClusters] round ${i + 1} ${(System.nanoTime() - rt0) / 1e9}%.2f s" +
           s" (probe ${(System.nanoTime() - t0) / 1e6} ms," +
+          s" observed=${observed.isDefined}," +
           s" frontier buckets ${frontierBuckets.length}/$B)")
       if (!reliable) CheckpointLifecycle.release(current)
       current = next
