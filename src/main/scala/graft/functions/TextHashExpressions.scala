@@ -97,6 +97,48 @@ object HashKernels {
     new java.util.ArrayList[String](set)
   }
 
+  /** Sorted distinct word n-gram shingles as an array of UTF8Strings —
+    * the kernel twin of the declarative
+    * `array_sort(array_distinct(transform(...)))` column
+    * (DedupOps.wordShingles). Sort order is UTF8String's unsigned
+    * byte order, exactly what `array_sort` uses on strings.
+    */
+  def wordShinglesSorted(text: UTF8String, n: Int): ArrayData = {
+    val sh = wordShingleSet(text, n)
+    val arr = new Array[AnyRef](sh.size)
+    var i = 0
+    while (i < sh.size) {
+      arr(i) = UTF8String.fromString(sh.get(i))
+      i += 1
+    }
+    java.util.Arrays.sort(arr, new java.util.Comparator[AnyRef] {
+      override def compare(a: AnyRef, b: AnyRef): Int =
+        a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    })
+    new GenericArrayData(arr)
+  }
+
+  /** (bigram, second word) pair rows for the bigram LM scorer — the
+    * kernel twin of the `when(size >= 2, transform(sequence(1, n-1),
+    * struct(concat_ws(" ", w_i, w_i+1), w_i+1)))` projection over
+    * `split(lower(text), " ")`; null when the doc has fewer than two
+    * words (the declarative `when` yields null there, which the
+    * caller's explode_outer turns into the one null pair per doc).
+    */
+  def bigramPairs(text: UTF8String): ArrayData = {
+    val words = text.toLowerCase.toString.split(" ", -1)
+    if (words.length < 2) return null
+    val out = new Array[AnyRef](words.length - 1)
+    var i = 0
+    while (i < words.length - 1) {
+      val w2 = UTF8String.fromString(words(i + 1))
+      val g = UTF8String.fromString(words(i) + " " + words(i + 1))
+      out(i) = new GenericInternalRow(Array[Any](g, w2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over distinct word n-gram shingles. The per-shingle
     * hash is the first 8 md5 digest bytes read big-endian — i.e. the first
     * 16 md5-hex chars as an unsigned 64-bit value — which any engine can
@@ -449,6 +491,48 @@ case class BloomProbe(child: Expression, n: Int, numHashes: Int,
       : Expression = copy(child = newChild)
 }
 
+/** word_shingles(text, n): sorted distinct word n-gram shingles. */
+case class WordShingles(child: Expression, n: Int) extends TextHashExpr {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(t: Any): Any =
+    HashKernels.wordShinglesSorted(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.wordShinglesSorted($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** bigram_pairs(text): array<struct<g,w2>> over split(lower(text), " ");
+  * null for docs with fewer than two words (see
+  * [[HashKernels.bigramPairs]]).
+  */
+case class BigramPairs(child: Expression) extends TextHashExpr {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("g", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "bigram_pairs"
+
+  override def nullSafeEval(t: Any): Any =
+    HashKernels.bigramPairs(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.HashKernels.bigramPairs($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 object TextHashFunctions {
   def simhash64(text: Column, shingleWords: Int): Column =
     Bridge.column(SimHash64(Bridge.expression(text), shingleWords))
@@ -466,4 +550,10 @@ object TextHashFunctions {
                   words: Array[Long]): Column =
     Bridge.column(BloomProbe(Bridge.expression(text), n, numHashes,
       numBits, words))
+
+  def word_shingles(text: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(text), n))
+
+  def bigram_pairs(text: Column): Column =
+    Bridge.column(BigramPairs(Bridge.expression(text)))
 }

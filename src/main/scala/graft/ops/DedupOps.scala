@@ -67,6 +67,16 @@ object DedupOps {
       concat_ws(" ", slice(words, i + 1, lit(n))))))
   }
 
+  /** Kernel twin of [[wordShingles]] (graft.functions.WordShingles): one
+    * whole-stage-codegen call per doc instead of the interpreted
+    * transform+distinct+sort lambda chain — element-for-element identical
+    * output (TextHashExprSpec parity pin). The declarative column above
+    * stays as the oracle-shaped reference and feeds the parity twins
+    * ([[minhashSignaturesDeclarative]], [[simhashDeclarative]]).
+    */
+  def wordShinglesKernel(textCol: String, n: Int): Column =
+    graft.functions.TextHashFunctions.word_shingles(col(textCol), n)
+
   /** MinHash signatures as a one-pass native kernel
     * ([[graft.functions.MinHashSigs]]): a per-doc signature is a scalar
     * function of the text, so the scale-right shape is a narrow projection —
@@ -210,7 +220,7 @@ object DedupOps {
         col("est_jaccard") > estLo)
       .select(col("doc_a"), col("doc_b"))
     val sh = docs.select(col(idCol),
-      explode(wordShingles(textCol, shingleWords)).as("s"))
+      explode(wordShinglesKernel(textCol, shingleWords)).as("s"))
     val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
     val inter = mid
       .join(sh.select(col(idCol).as("doc_a"), col("s")), Seq("doc_a"))
@@ -395,7 +405,7 @@ object DedupOps {
     // intersection), so neither a sizes join-back nor a second scan of
     // the projection exists
     val exploded = Rebalance(docs)
-      .select(col(idCol), wordShingles(textCol, n).as("shingles"))
+      .select(col(idCol), wordShinglesKernel(textCol, n).as("shingles"))
       .select(col(idCol), size(col("shingles")).as("sz"),
         explode(col("shingles")).as("sh"))
     if (maxDf == Int.MaxValue) {
@@ -484,7 +494,7 @@ object DedupOps {
                        textCol: String = "text", n: Int = 3,
                        minDf: Int = 2): DataFrame = {
     val grams = Rebalance(docs)
-      .select(col(idCol), explode(wordShingles(textCol, n)).as("g"))
+      .select(col(idCol), explode(wordShinglesKernel(textCol, n)).as("g"))
       .select(col(idCol),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
     // wordShingles is distinct per doc, so the per-h count == distinct-doc df
@@ -705,11 +715,11 @@ object DedupOps {
     // wordShingles is already per-doc distinct, so repetitive docs emit
     // each gram once into the explode — no extra dedup pass needed here
     val testGrams = test
-      .select(explode(wordShingles(textCol, n)).as("g"))
+      .select(explode(wordShinglesKernel(textCol, n)).as("g"))
       .distinct()
     val contaminated = Rebalance(train)
       .select(col(idCol),
-        explode(wordShingles(textCol, n)).as("g"))
+        explode(wordShinglesKernel(textCol, n)).as("g"))
       .join(broadcast(testGrams), Seq("g"))
       .select(col(idCol)).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
@@ -752,7 +762,7 @@ object DedupOps {
       if (numBits > 0) numBits
       else {
         val grams = test
-          .select(explode(wordShingles(textCol, n)).as("g"))
+          .select(explode(wordShinglesKernel(textCol, n)).as("g"))
           .distinct().count()
         val target = math.min(grams * BloomBitsPerGram, BloomMaxBits)
         var b = 64L
@@ -770,7 +780,7 @@ object DedupOps {
     // build: fold eval-gram bit positions into <= numBits/64 (word, bits)
     // rows with a map-side-partial bit_or — driver/collect cost is bounded
     // by the bitset size, never by the eval corpus
-    val setWords = test.select(explode(wordShingles(textCol, n)).as("g"))
+    val setWords = test.select(explode(wordShinglesKernel(textCol, n)).as("g"))
       .select(explode(array(positions(col("g")): _*)).as("p"))
       .groupBy((col("p") / 64).cast("int").as("w"))
       .agg(bit_or(call_function("shiftleft", lit(1L),

@@ -329,34 +329,58 @@ object TextOps {
     val spark = df.sparkSession
     import spark.implicits._
     val words = split(lower(col(textCol)), " ")
-    val uniCounts = df.select(explode(words).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("cnt")).cache()
+    // r19 (guide §2.3/§1.2-1): ONE corpus pass builds BOTH count tables.
+    // Each doc explodes its tokens (kind 0) and its bigrams (kind 1) as
+    // one combined array, so the model build scans the corpus once and
+    // shuffles once (the previous spelling exploded the corpus twice —
+    // two full scans and two exchanges; at 100 TB the second pass is a
+    // full re-read). The bigram array is built positionally and sliced
+    // to n-1 entries: slice-with-length-0 handles 0/1-word docs (the
+    // old form's size>=2 filter), and the out-of-range element_at on
+    // the dropped last entry is null under non-ANSI semantics, sliced
+    // away before it is ever observed. Counts are identical by
+    // construction; every later cut reads the one cached table.
+    val toksS = transform(words,
+      w => struct(lit(0).as("_k"), w.as("_key")))
+    val bgsS = slice(
+      transform(words, (w, i) => struct(lit(1).as("_k"),
+        concat_ws(" ", w, element_at(words, i + 2)).as("_key"))),
+      lit(1), greatest(size(words) - 1, lit(0)))
+    val cnts = df.select(explode(concat(toksS, bgsS)).as("_e"))
+      .groupBy(col("_e._k").as("_k"), col("_e._key").as("_key"))
+      .agg(count(lit(1)).as("cnt")).cache()
     try {
-      val uniTop = uniCounts.orderBy(col("cnt").desc, col("tok"))
-        .limit(topV).collect().map(r => r.getString(0) -> r.getLong(1))
-      val total = uniCounts.agg(sum(col("cnt"))).as[Long].head()
+      // ONE driver action for all three model cuts (top-topV unigrams,
+      // corpus token total, top-topB bigrams) — the unionAll packs them
+      // into a single job over the cached counts (same fusion as
+      // unigramLogProb's r18 change)
+      val uniCut = cnts.filter(col("_k") === 0)
+        .orderBy(col("cnt").desc, col("_key")).limit(topV)
+        .select(lit(0).as("_t"), col("_key"), col("cnt"))
+      val totCut = cnts.filter(col("_k") === 0)
+        .agg(sum(col("cnt")).as("cnt"))
+        .select(lit(1).as("_t"), lit(null).cast("string").as("_key"),
+          col("cnt"))
+      val biCut = cnts.filter(col("_k") === 1)
+        .orderBy(col("cnt").desc, col("_key")).limit(topB)
+        .select(lit(2).as("_t"), col("_key"), col("cnt"))
+      val cutRows = uniCut.unionAll(totCut).unionAll(biCut).collect()
+      val uniTop = cutRows.filter(_.getInt(0) == 0)
+        .map(r => r.getString(1) -> r.getLong(2))
+      val total = cutRows.find(_.getInt(0) == 1)
+        .map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).getOrElse(0L)
+      val biTop = cutRows.filter(_.getInt(0) == 2)
+        .map(r => r.getString(1) -> r.getLong(2))
       val denom = (total + uniTop.length + 1).toDouble
       def pUni(cnt: Long): Double = (cnt + 1).toDouble / denom
       val uniMap = uniTop.toMap
-
-      // sequence(1, n-1) would DESCEND for n=1 docs (Spark default step
-      // -1) and index word 0 — restrict to docs that have a bigram
-      val bigrams = df.select(words.as("_w")).filter(size(col("_w")) >= 2)
-        .select(explode(transform(
-          sequence(lit(1), size(col("_w")) - 1),
-          i => concat_ws(" ",
-            element_at(col("_w"), i), element_at(col("_w"), i + 1))))
-          .as("bg"))
-      val biTop = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("bg")).limit(topB)
-        .collect().map(r => r.getString(0) -> r.getLong(1))
       // unigram counts of the conditioning contexts (w1 of each top
       // bigram) — read from the cached count table, no corpus re-scan
       val ctxWords = biTop.map(_._1.split(" ", 2)(0)).distinct.toSeq
       val ctxCnt: Map[String, Long] =
         if (ctxWords.isEmpty) Map.empty
-        else uniCounts.filter(col("tok").isin(ctxWords: _*))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        else cnts.filter(col("_k") === 0 && col("_key").isin(ctxWords: _*))
+          .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
 
       def q(p: Double): Long = math.round(math.log(p) * 1e6)
       val biQlp: Seq[(String, Long)] = biTop.toSeq.map { case (bg, cb) =>
@@ -371,16 +395,16 @@ object TextOps {
       val bq = biQlp.toDF("_g", "_bqlp")
       val fq = backQlp.toDF("_w2", "_fqlp")
 
-      // (bigram, w2) pair stream: struct-array transform + explode_outer
-      // keeps 0-bigram docs as a single null pair (counted as 0 below)
-      val pairs = when(size(col("_w")) >= 2,
-        transform(sequence(lit(1), size(col("_w")) - 1),
-          i => struct(
-            concat_ws(" ", element_at(col("_w"), i),
-              element_at(col("_w"), i + 1)).as("g"),
-            element_at(col("_w"), i + 1).as("w2"))))
-      val scored = Rebalance(df).select(col(idCol), words.as("_w"))
-        .select(col(idCol), explode_outer(pairs).as("_p"))
+      // (bigram, w2) pair stream: one codegen kernel call per doc
+      // (graft.functions.BigramPairs — the r19 replacement for the
+      // interpreted when(size>=2, transform(sequence, struct(concat_ws)))
+      // lambda chain; bit-for-bit parity pinned by TextHashExprSpec) +
+      // explode_outer keeps 0-bigram docs as a single null pair
+      // (the kernel returns null there, exactly like the old `when`)
+      val pairs = graft.functions.TextHashFunctions
+        .bigram_pairs(col(textCol))
+      val scored = Rebalance(df).select(col(idCol), pairs.as("_ps"))
+        .select(col(idCol), explode_outer(col("_ps")).as("_p"))
         .join(broadcast(bq), col("_p.g") === col("_g"), "left")
         .join(broadcast(fq), col("_p.w2") === col("_w2"), "left")
         .groupBy(col(idCol))
@@ -396,7 +420,7 @@ object TextOps {
         when(col("n_bigrams") >= 1,
           (col("_qsum").cast("double") / 1e6) / col("n_bigrams"))
           .as("avg_logprob"))
-    } finally uniCounts.unpersist()
+    } finally cnts.unpersist()
   }
 
   // --- North-star: document fingerprinting -------------------------------

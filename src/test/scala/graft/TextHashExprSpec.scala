@@ -87,6 +87,58 @@ class TextHashExprSpec extends SparkSpec {
       === "winnow_fps")
   }
 
+  test("word_shingles kernel matches the declarative " +
+       "array_sort(array_distinct(transform)) column exactly") {
+    for (n <- Seq(2, 3, 5)) {
+      def arrs(c: org.apache.spark.sql.Column) = docs
+        .select($"doc_id", c.as("sh")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(arrs(DedupOps.wordShinglesKernel("text", n)) ===
+        arrs(DedupOps.wordShingles("text", n)), s"n=$n")
+    }
+    // real corpus slice + trailing/double-space edge rows
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001").limit(60)
+      .select($"doc_id", $"text")
+      .unionByName(Seq((9001L, "a  b  c "), (9002L, " leading space"))
+        .toDF("doc_id", "text"))
+    def sets(c: org.apache.spark.sql.Column) = corpus
+      .select($"doc_id", c.as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sets(DedupOps.wordShinglesKernel("text", 3)) ===
+      sets(DedupOps.wordShingles("text", 3)))
+    // null text -> null array, like the declarative column
+    val withNull = Seq((1L, "a b c"), (2L, null)).toDF("doc_id", "text")
+    val out = withNull
+      .select($"doc_id", DedupOps.wordShinglesKernel("text", 2).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out === Map(1L -> false, 2L -> true))
+  }
+
+  test("bigram_pairs kernel matches the declarative when/transform " +
+       "pair projection exactly, incl. null for <2-word docs") {
+    val words = split(lower(col("text")), " ")
+    val declPairs = when(size(words) >= 2,
+      transform(sequence(lit(1), size(words) - 1),
+        i => struct(
+          concat_ws(" ", element_at(words, i),
+            element_at(words, i + 1)).as("g"),
+          element_at(words, i + 1).as("w2"))))
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001").limit(60)
+      .select($"doc_id", $"text")
+      .unionByName(docs)
+      .unionByName(Seq((9001L, "A  Mixed CASE  trailing "),
+        (9002L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    def rows(c: org.apache.spark.sql.Column) = corpus
+      .select($"doc_id", explode_outer(c).as("p"))
+      .select($"doc_id", col("p.g"), col("p.w2")).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.toSeq).toMap
+    assert(rows(TextHashFunctions.bigram_pairs(col("text"))) ===
+      rows(declPairs))
+  }
+
   test("interpreted eval path (no codegen) agrees with codegen") {
     // force the interpreted path by evaluating the expression directly
     import org.apache.spark.sql.graftbridge.Bridge
