@@ -139,6 +139,28 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-doc unigram LM score fold — the kernel twin of
+    * `struct(size(toks), aggregate(toks, 0L, acc + coalesce(
+    * element_at(vocabMap, t), oov)))` over `split(lower(text), " ")`:
+    * token count and the exact integer sum of quantized log-probs, with
+    * the (bounded, driver-built) vocab map riding generated code as a
+    * reference object. Long addition is associative, so the sum is
+    * order-exact vs the declarative fold.
+    */
+  def unigramQsum(text: UTF8String,
+                  vocab: java.util.HashMap[UTF8String, java.lang.Long],
+                  oovQlp: Long): InternalRow = {
+    val toks = text.toLowerCase.toString.split(" ", -1)
+    var sum = 0L
+    var i = 0
+    while (i < toks.length) {
+      val q = vocab.get(UTF8String.fromString(toks(i)))
+      sum += (if (q == null) oovQlp else q.longValue())
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](toks.length.toLong, sum))
+  }
+
   /** 64-bit SimHash over distinct word n-gram shingles. The per-shingle
     * hash is the first 8 md5 digest bytes read big-endian — i.e. the first
     * 16 md5-hex chars as an unsigned 64-bit value — which any engine can
@@ -533,6 +555,35 @@ case class BigramPairs(child: Expression) extends TextHashExpr {
       : Expression = copy(child = newChild)
 }
 
+/** unigram_qsum(text, vocab, oov): struct(n_tokens, qsum) — token count
+  * and exact integer sum of quantized log-probs over
+  * split(lower(text), " ") (see [[HashKernels.unigramQsum]]). The vocab
+  * map is embedded as a reference object (bounded: topV entries).
+  */
+case class UnigramQsum(child: Expression,
+    vocab: java.util.HashMap[UTF8String, java.lang.Long], oovQlp: Long)
+    extends TextHashExpr {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("qsum", LongType, nullable = false)))
+  override def prettyName: String = "unigram_qsum"
+
+  override def nullSafeEval(t: Any): Any =
+    HashKernels.unigramQsum(t.asInstanceOf[UTF8String], vocab, oovQlp)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val v = ctx.addReferenceObj("unigramVocab", vocab,
+      "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.unigramQsum($c, $v, " +
+        s"${oovQlp}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 object TextHashFunctions {
   def simhash64(text: Column, shingleWords: Int): Column =
     Bridge.column(SimHash64(Bridge.expression(text), shingleWords))
@@ -556,4 +607,9 @@ object TextHashFunctions {
 
   def bigram_pairs(text: Column): Column =
     Bridge.column(BigramPairs(Bridge.expression(text)))
+
+  def unigram_qsum(text: Column,
+                   vocab: java.util.HashMap[UTF8String, java.lang.Long],
+                   oovQlp: Long): Column =
+    Bridge.column(UnigramQsum(Bridge.expression(text), vocab, oovQlp))
 }

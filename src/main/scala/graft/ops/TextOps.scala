@@ -274,26 +274,36 @@ object TextOps {
     val denom = (total + vActual + 1).toDouble
     def qlp(cnt: Long): Long =
       math.round(math.log((cnt + 1).toDouble / denom) * 1e6)
-    val oovQlp = lit(qlp(0L))
-    // scoring stays the narrow literal-map fold: an explode + broadcast
+    // scoring stays the narrow map-probe fold: an explode + broadcast
     // join + doc-grain agg variant (the bigramLogProb shape) was
     // measured in r18 and is SLOWER here (1.29 vs 0.80 s at sf0.1) —
     // the unigram fold is one map probe + long add per token with no
-    // exploded shuffle, which is also the better 100 TB shape (the
-    // bigram op only left the fold because its per-pair struct lambda
-    // was ~10x the scalar probe).
-    val vocabQlp: Column = map(
-      counts.flatMap { case (t, c) => Seq(lit(t), lit(qlp(c))) }.toSeq: _*)
-    val scored = df.select(col(idCol),
-      split(lower(col(textCol)), " ").as("_toks"), vocabQlp.as("_v"))
-    scored.select(col(idCol),
-        size(col("_toks")).cast("long").as("n_tokens"),
-        aggregate(col("_toks"), lit(0L),
-          (acc, t) => acc + coalesce(element_at(col("_v"), t), oovQlp))
-          .as("_qsum"))
-      .select(col(idCol), col("n_tokens"),
-        round((col("_qsum").cast("double") / 1e6) / col("n_tokens"), 6)
-          .as("avg_logprob"))
+    // exploded shuffle, which is also the better 100 TB shape. r19: the
+    // fold itself is now ONE codegen kernel call per doc
+    // (graft.functions.UnigramQsum, vocab as a reference object)
+    // instead of the interpreted aggregate() lambda over a plan-embedded
+    // map literal — long addition is associative, so qsum (and the
+    // rounded output) is bit-identical; TextStatsSpec pins the twin.
+    val vocabMap = {
+      val m = new java.util.HashMap[
+        org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
+        counts.length * 2)
+      counts.foreach { case (t, c) =>
+        m.put(org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          java.lang.Long.valueOf(qlp(c)))
+      }
+      m
+    }
+    // coalesce(-1): the old spelling's n_tokens was size(split(null)),
+    // which is -1 under legacy sizeOfNull (ANSI off) — a null text must
+    // keep emitting -1, not null, for bit parity (avg_logprob is null
+    // either way)
+    df.select(col(idCol), graft.functions.TextHashFunctions
+        .unigram_qsum(col(textCol), vocabMap, qlp(0L)).as("_uq"))
+      .select(col(idCol),
+        coalesce(col("_uq.n_tokens"), lit(-1L)).as("n_tokens"),
+        round((col("_uq.qsum").cast("double") / 1e6) /
+          col("_uq.n_tokens"), 6).as("avg_logprob"))
   }
 
   /** Interpolated bigram language-model log-probability per document —

@@ -139,6 +139,45 @@ class TextHashExprSpec extends SparkSpec {
       rows(declPairs))
   }
 
+  test("unigram_qsum kernel matches the declarative aggregate() fold " +
+       "over a plan-embedded vocab map exactly") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val vocab = Seq("the" -> -1200000L, "words" -> -2500000L,
+      "a" -> -900000L, "中文" -> -3000000L, "" -> -400000L)
+    val oov = -9900000L
+    val vmap = {
+      val m = new java.util.HashMap[UTF8String, java.lang.Long]()
+      vocab.foreach { case (t, q) =>
+        m.put(UTF8String.fromString(t), java.lang.Long.valueOf(q)) }
+      m
+    }
+    val vocabLit = map(vocab.flatMap { case (t, q) =>
+      Seq(lit(t), lit(q)) }: _*)
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001").limit(60)
+      .select($"doc_id", $"text")
+      .unionByName(docs)
+      .unionByName(Seq((9001L, "The  WORDS a  trailing "),
+        (9002L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    // comparison at the op's OUTPUT shape: the declarative size(null)
+    // is -1 under legacy sizeOfNull, which unigramLogProb preserves via
+    // coalesce(n_tokens, -1); qsum is null on null text in both forms
+    val decl = corpus.select($"doc_id",
+        split(lower($"text"), " ").as("_toks"), vocabLit.as("_v"))
+      .select($"doc_id", size($"_toks").cast("long").as("n"),
+        aggregate($"_toks", lit(0L),
+          (acc, t) => acc + coalesce(element_at($"_v", t), lit(oov)))
+          .as("q"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2))).toMap
+    val kern = corpus.select($"doc_id",
+        TextHashFunctions.unigram_qsum($"text", vmap, oov).as("_uq"))
+      .select($"doc_id",
+        coalesce($"_uq.n_tokens", lit(-1L)).as("n"), $"_uq.qsum")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2))).toMap
+    assert(kern === decl)
+  }
+
   test("interpreted eval path (no codegen) agrees with codegen") {
     // force the interpreted path by evaluating the expression directly
     import org.apache.spark.sql.graftbridge.Bridge
