@@ -161,6 +161,32 @@ object HashKernels {
     new GenericInternalRow(Array[Any](toks.length.toLong, sum))
   }
 
+  /** Combined unigram+bigram count keys for the bigram-LM model build —
+    * the kernel twin of `concat(transform(words, struct(0, w)),
+    * slice(transform(words, struct(1, w_i ++ " " ++ w_{i+1})), 1, n-1))`
+    * over `split(lower(text), " ")`: n (kind 0, token) entries followed
+    * by n-1 (kind 1, bigram) entries, same order as the declarative
+    * concat.
+    */
+  def unigramBigramKeys(text: UTF8String): ArrayData = {
+    val words = text.toLowerCase.toString.split(" ", -1)
+    val n = words.length
+    val out = new Array[AnyRef](n + math.max(n - 1, 0))
+    var i = 0
+    while (i < n) {
+      out(i) = new GenericInternalRow(Array[Any](0,
+        UTF8String.fromString(words(i))))
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      out(n + i) = new GenericInternalRow(Array[Any](1,
+        UTF8String.fromString(words(i) + " " + words(i + 1))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over distinct word n-gram shingles. The per-shingle
     * hash is the first 8 md5 digest bytes read big-endian — i.e. the first
     * 16 md5-hex chars as an unsigned 64-bit value — which any engine can
@@ -555,6 +581,29 @@ case class BigramPairs(child: Expression) extends TextHashExpr {
       : Expression = copy(child = newChild)
 }
 
+/** ub_keys(text): array<struct<_k:int,_key:string>> — unigram (kind 0)
+  * then bigram (kind 1) count keys (see
+  * [[HashKernels.unigramBigramKeys]]).
+  */
+case class UnigramBigramKeys(child: Expression) extends TextHashExpr {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("_k", IntegerType, nullable = false),
+    StructField("_key", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "ub_keys"
+
+  override def nullSafeEval(t: Any): Any =
+    HashKernels.unigramBigramKeys(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.unigramBigramKeys($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** unigram_qsum(text, vocab, oov): struct(n_tokens, qsum) — token count
   * and exact integer sum of quantized log-probs over
   * split(lower(text), " ") (see [[HashKernels.unigramQsum]]). The vocab
@@ -607,6 +656,9 @@ object TextHashFunctions {
 
   def bigram_pairs(text: Column): Column =
     Bridge.column(BigramPairs(Bridge.expression(text)))
+
+  def ub_keys(text: Column): Column =
+    Bridge.column(UnigramBigramKeys(Bridge.expression(text)))
 
   def unigram_qsum(text: Column,
                    vocab: java.util.HashMap[UTF8String, java.lang.Long],

@@ -421,10 +421,91 @@ case class ArgMinSqDist(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** Static kernel for [[QuantizeVec]] — kept out of the expression class so
+  * generated code can call it with one static invoke.
+  */
+object VectorKernels {
+  /** Element-wise `round(v.cast(double) * 1e6).cast(long)` with Spark's
+    * exact Round semantics for doubles: NaN/Infinity pass through the
+    * rounding unchanged (then saturating-cast to long like Spark's
+    * double→long cast), finite values round via
+    * BigDecimal.valueOf(d).setScale(0, HALF_UP) — the same
+    * shortest-decimal HALF_UP algebra RoundBase compiles to, so the
+    * quantized value (and every k-means/PQ trajectory built on it) is
+    * bit-identical to the declarative transform it replaces. Null
+    * elements stay null.
+    */
+  def quantize1e6(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                  isFloat: Boolean)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val d = (if (isFloat) a.getFloat(i).toDouble
+                 else a.getDouble(i)) * 1e6
+        val r =
+          if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+          else java.math.BigDecimal.valueOf(d)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        out(i) = r.toLong
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** quantize_vec(v): array<long> of round(x*1e6) per element — the codegen
+  * kernel behind every quantized k-means/PQ leg's input projection (the
+  * declarative `transform` HOF evaluates its lambda interpreted per
+  * element).
+  */
+case class QuantizeVec(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def prettyName: String = "quantize_vec"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"quantize_vec expects array<float|double>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.quantize1e6(a.asInstanceOf[ArrayData],
+      elemType == FloatType)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val isF = (elemType == FloatType).toString
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.quantize1e6($c, $isF);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product over array<float|double> columns. */
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd element-wise 1e6 quantization (see [[QuantizeVec]]). */
+  def quantize_vec(v: Column): Column =
+    Bridge.column(QuantizeVec(Bridge.expression(v)))
 
   /** Codegen'd exact Σ(a-b)² over array<bigint> columns. */
   def sq_dist_long(a: Column, b: Column): Column =

@@ -254,8 +254,7 @@ object SimilarityOps {
     require(k > 0 && iters > 0, s"k=$k iters=$iters")
     val spark = vecs.sparkSession
     import spark.implicits._
-    val qvec = transform(col(vecCol),
-      v => round(v.cast("double") * 1e6).cast("long"))
+    val qvec = graft.functions.VectorFunctions.quantize_vec(col(vecCol))
     val base = Rebalance(vecs)
       .select(col(idCol).as("_vid"), qvec.as("_qv")).cache()
 
@@ -306,8 +305,7 @@ object SimilarityOps {
   private[graft] def kmeansCentroidArrays(vecs: DataFrame, k: Int,
       iters: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): Seq[(Int, Seq[Long])] = {
-    val qvec = transform(col(vecCol),
-      v => round(v.cast("double") * 1e6).cast("long"))
+    val qvec = graft.functions.VectorFunctions.quantize_vec(col(vecCol))
     val base = Rebalance(vecs)
       .select(col(idCol).as("_vid"), qvec.as("_qv")).cache()
     try kmeansArraysQ(base, k, iters)
@@ -382,8 +380,7 @@ object SimilarityOps {
     import spark.implicits._
     val cents: Seq[(Int, Seq[Long])] =
       kmeansCentroidArrays(corpus, nClusters, iters, idCol, vecCol)
-    val qvecExpr = transform(col(vecCol),
-      v => round(v.cast("double") * 1e6).cast("long"))
+    val qvecExpr = graft.functions.VectorFunctions.quantize_vec(col(vecCol))
     def withCell(df: DataFrame, id: String, p: String) =
       argminAssign(
           df.select(col(idCol).as(id), col(vecCol).as(p + "v"),
@@ -1064,7 +1061,7 @@ object SimilarityOps {
 
   /** 1e-6 grid quantization (same as kmeansCentroids). */
   private def pqQuant(vecCol: String): Column =
-    transform(col(vecCol), v => round(v.cast("double") * 1e6).cast("long"))
+    graft.functions.VectorFunctions.quantize_vec(col(vecCol))
 
   /** Long-form quantized subvectors: (id, _sub, _qs). */
   private def pqSubForm(df: DataFrame, id: String, idCol: String,
@@ -1428,8 +1425,7 @@ object SimilarityOps {
     val spark = vecs.sparkSession
     import spark.implicits._
     val cents = kmeansCentroidArrays(vecs, nClusters, iters, idCol, vecCol)
-    val qv = transform(col(vecCol),
-      v => round(v.cast("double") * 1e6).cast("long"))
+    val qv = graft.functions.VectorFunctions.quantize_vec(col(vecCol))
     val assigned = argminAssign(
         Rebalance(vecs).select(col(idCol), col(vecCol).as("_v"),
           l2Norm(col(vecCol)).as("_n"), qv.as("_qv")),
@@ -1509,8 +1505,7 @@ object SimilarityOps {
     val spark = vecs.sparkSession
     import spark.implicits._
     val coarse = kmeansCentroidArrays(vecs, k1, iters, idCol, vecCol)
-    val qv = transform(col(vecCol),
-      v => round(v.cast("double") * 1e6).cast("long"))
+    val qv = graft.functions.VectorFunctions.quantize_vec(col(vecCol))
     val a1 = argminAssign(
         Rebalance(vecs).select(col(idCol).as("_vid"),
           col(vecCol).as("_v"), l2Norm(col(vecCol)).as("_n"),
@@ -1566,8 +1561,7 @@ object SimilarityOps {
     val spark = vecs.sparkSession
     import spark.implicits._
     val cents = kmeansCentroidArrays(vecs, nClusters, iters, idCol, vecCol)
-    val qv = transform(col(vecCol),
-      v => round(v.cast("double") * 1e6).cast("long"))
+    val qv = graft.functions.VectorFunctions.quantize_vec(col(vecCol))
     val assigned = argminAssign(
         Rebalance(vecs).select(col(idCol).as("_vid"),
           col(vecCol).as("_v"), l2Norm(col(vecCol)).as("_n"),
@@ -1606,8 +1600,7 @@ object SimilarityOps {
     val spark = vecs.sparkSession
     import spark.implicits._
     val coarse = kmeansCentroidArrays(vecs, k1, iters, idCol, vecCol)
-    val qv = transform(col(vecCol),
-      v => round(v.cast("double") * 1e6).cast("long"))
+    val qv = graft.functions.VectorFunctions.quantize_vec(col(vecCol))
     val a1 = argminAssign(
         Rebalance(vecs).select(col(idCol).as("_vid"),
           col(vecCol).as("_v"), l2Norm(col(vecCol)).as("_n"),

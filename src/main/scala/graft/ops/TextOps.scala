@@ -338,25 +338,21 @@ object TextOps {
                     textCol: String = "text"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val words = split(lower(col(textCol)), " ")
     // r19 (guide §2.3/§1.2-1): ONE corpus pass builds BOTH count tables.
     // Each doc explodes its tokens (kind 0) and its bigrams (kind 1) as
     // one combined array, so the model build scans the corpus once and
     // shuffles once (the previous spelling exploded the corpus twice —
     // two full scans and two exchanges; at 100 TB the second pass is a
-    // full re-read). The bigram array is built positionally and sliced
-    // to n-1 entries: slice-with-length-0 handles 0/1-word docs (the
-    // old form's size>=2 filter), and the out-of-range element_at on
-    // the dropped last entry is null under non-ANSI semantics, sliced
-    // away before it is ever observed. Counts are identical by
+    // full re-read). The combined array is ONE codegen kernel call per
+    // doc (graft.functions.UnigramBigramKeys) — a declarative
+    // concat-of-transforms spelling measured SLOWER than the two-scan
+    // original at sf1 (2.76 vs 2.08 s: the per-element struct lambdas
+    // evaluate interpreted and dominate the saved scan); the kernel
+    // keeps the single-scan shape AND the codegen'd per-task work
+    // (parity pinned in TextHashExprSpec). Counts are identical by
     // construction; every later cut reads the one cached table.
-    val toksS = transform(words,
-      w => struct(lit(0).as("_k"), w.as("_key")))
-    val bgsS = slice(
-      transform(words, (w, i) => struct(lit(1).as("_k"),
-        concat_ws(" ", w, element_at(words, i + 2)).as("_key"))),
-      lit(1), greatest(size(words) - 1, lit(0)))
-    val cnts = df.select(explode(concat(toksS, bgsS)).as("_e"))
+    val cnts = df.select(explode(graft.functions.TextHashFunctions
+        .ub_keys(col(textCol))).as("_e"))
       .groupBy(col("_e._k").as("_k"), col("_e._key").as("_key"))
       .agg(count(lit(1)).as("cnt")).cache()
     try {

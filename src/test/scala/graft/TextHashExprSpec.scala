@@ -139,6 +139,29 @@ class TextHashExprSpec extends SparkSpec {
       rows(declPairs))
   }
 
+  test("ub_keys kernel matches the declarative concat-of-transforms " +
+       "(kind, key) array element-for-element") {
+    val words = split(lower(col("text")), " ")
+    val toksS = transform(words,
+      w => struct(lit(0).as("_k"), w.as("_key")))
+    val bgsS = slice(
+      transform(words, (w, i) => struct(lit(1).as("_k"),
+        concat_ws(" ", w, element_at(words, i + 2)).as("_key"))),
+      lit(1), greatest(size(words) - 1, lit(0)))
+    val declKeys = concat(toksS, bgsS)
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001").limit(60)
+      .select($"doc_id", $"text")
+      .unionByName(docs)
+      .unionByName(Seq((9001L, "A  Mixed CASE  trailing "),
+        (9002L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    def rows(c: org.apache.spark.sql.Column) = corpus
+      .select($"doc_id", c.as("ks")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getInt(0), x.getString(1))))).toMap
+    assert(rows(TextHashFunctions.ub_keys(col("text"))) === rows(declKeys))
+  }
+
   test("unigram_qsum kernel matches the declarative aggregate() fold " +
        "over a plan-embedded vocab map exactly") {
     import org.apache.spark.unsafe.types.UTF8String

@@ -62,6 +62,41 @@ class VectorExprSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("quantize_vec matches the declarative round(v*1e6) transform " +
+       "bit-for-bit, incl. negative ties, shortest-decimal edges, " +
+       "NaN/Inf, null elements, float and double inputs") {
+    val decl = (c: org.apache.spark.sql.Column) =>
+      transform(c, v => round(v.cast("double") * 1e6).cast("long"))
+    val doubles = Seq(
+      Seq[Option[Double]](Some(1.23456749), Some(-1.23456749),
+        Some(0.0000005), Some(-0.0000005), Some(2.5e-6), Some(-2.5e-6),
+        Some(0.49999999999999994e-6)),
+      Seq[Option[Double]](Some(Double.NaN), Some(Double.PositiveInfinity),
+        Some(Double.NegativeInfinity), None, Some(-123.4567891)),
+      Seq.empty[Option[Double]])
+      .toDF("v")
+    val dRows = doubles.select(
+      VectorFunctions.quantize_vec($"v").as("k"), decl($"v").as("d"))
+      .collect()
+    dRows.foreach(r => assert(r.getSeq[Any](0) === r.getSeq[Any](1)))
+    val floats = Seq(
+      Seq[Option[Float]](Some(0.123456f), Some(-0.999999f),
+        Some(1.0e-7f), None),
+      Seq[Option[Float]](Some(Float.NaN), Some(-0.5e-6f)))
+      .toDF("v")
+    val fRows = floats.select(
+      VectorFunctions.quantize_vec($"v").as("k"), decl($"v").as("d"))
+      .collect()
+    fRows.foreach(r => assert(r.getSeq[Any](0) === r.getSeq[Any](1)))
+    // real corpus embeddings: full-column equality
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val mism = emb.select(
+      VectorFunctions.quantize_vec($"embedding").as("k"),
+      decl($"embedding").as("d"))
+      .filter(not($"k" <=> $"d")).count()
+    assert(mism === 0L)
+  }
+
   test("sq_dist_long: null array yields null, shorter array truncates") {
     val df = Seq(
       (Some(Array(1L, 2L, 3L)), Some(Array(1L, 1L))),
